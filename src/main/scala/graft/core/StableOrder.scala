@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stable, scalable row numbering.
+  *
+  * The reference's core "query" pattern is ordered positional slicing —
+  * head/tail train/test splits and cursor-paged batch windows
+  * (reference: src/elastic_surv/dataset.py:64-68,189-225). Spark
+  * DataFrames have no inherent row order, so the engine imposes a total
+  * order via a caller-named unique key.
+  *
+  * A naive `row_number().over(Window.orderBy(key))` collapses to a
+  * single partition — the classic scalability trap. This is the
+  * distributed two-pass scheme instead:
+  *
+  *   1. range-partition + sort by the key (one shuffle, stays sorted);
+  *   2. count rows per partition (tiny job; ≤ numPartitions rows to the
+  *      driver) → running offsets;
+  *   3. rn = offset(pid) + row_number() windowed BY partition id — every
+  *      partition numbers itself in parallel.
+  *
+  * At 100 TB the preferred variant is materializing `rn` once at ingest
+  * (then splits become data filters with parquet min/max row-group
+  * pruning); this two-pass form is the on-the-fly fallback and is what
+  * the oracle checks (it equals `row_number() OVER (ORDER BY key) - 1`).
+  */
+object StableOrder {
+  val RN = "rn"
+
+  /** Returns (df ⊕ rn, totalRowCount). Keys must form a total order
+    * (unique); ties would make rn nondeterministic.
+    */
+  def withRowNumber(df: DataFrame, keys: Seq[Column],
+                    numPartitions: Int = 0): (DataFrame, Long) = {
+    val np =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // persist: RangePartitioner samples its boundaries with a seed
+    // derived from the RDD id, so two *separate executions* of this
+    // plan (the counts pass below vs. downstream queries) could see
+    // different partitionings — numbering would then be wrong. Caching
+    // pins one physical partitioning for both passes. (At 100 TB you
+    // don't do this on the fly at all: materialize rn once at ingest.)
+    val sorted = df
+      .repartitionByRange(np, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
+    val offCol = counts.map(_._1).zip(offsets)
+      .foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+        when(col("_pid") === pid, lit(off)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col("_pid")).orderBy(keys: _*)
+    val out = sorted
+      .withColumn(RN, offCol + row_number().over(w).cast("long") - 1L)
+      .drop("_pid")
+    (out, counts.map(_._2).sum)
+  }
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The declared relational surface (SURVEY §2.1-2.4, §2.9): scans,
+  * projections/filters, aggregations, distinct, joins, windows, set
+  * ops, top-k. Each query has a DuckDB oracle; float-summing goes
+  * through exact DECIMAL so results are bit-identical across engines
+  * (doubles only ever see +,-,*,/ on identical operands).
+  *
+  * Scale notes per query are inline; the general rules: filters and
+  * projections reach the parquet scan (Catalyst pushdown), small dims
+  * are broadcast, group-bys get map-side partial aggregation, windows
+  * are partitioned by a real key (never a global single-partition
+  * window).
+  */
+object RelationalQueries {
+
+  /** Exact sum of a 2-dp money column: through DECIMAL(18,s) so the
+    * result is independent of addition order, then back to double.
+    */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S5 + A1: one count per table (10 parquet scans, count-star
+    // is metadata-only per row group at scale).
+    "q_count_tables" -> ((s, dir) => {
+      Tables.all.map { t =>
+        Tables.load(s, dir, t).agg(count(lit(1)).as("n"))
+          .select(lit(t).as("tbl"), col("n"))
+      }.reduce(_ unionAll _).orderBy("tbl")
+    }),
+
+    // S1 + P1: scan with filter + projection; both push to parquet.
+    "q_scan_filter_project" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A3: distinct values of a categorical column.
+    "q_distinct_values" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment")).distinct().orderBy("c_mktsegment")
+    }),
+
+    // A2: exact distinct counts (the reference's nunique is an
+    // approximate ES cardinality agg; engine is exact and documents
+    // approx_count_distinct as the ES-parity mode).
+    "q_nunique" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").agg(
+        countDistinct(col("c_mktsegment")).as("n_mktsegment"),
+        countDistinct(col("c_nationkey")).as("n_nationkey"))
+    }),
+
+    // §2.9 aggregation: TPC-H Q1 shape. One shuffle on the 2-key
+    // group (map-side partials); decimal sums exact.
+    "q1_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.9 joins: TPC-H Q3 shape. Filtered customer dim is broadcast;
+    // the orders⋈lineitem join shuffles on orderkey (the same key the
+    // group-by uses → single exchange reused).
+    "q3_join" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1998-01-01")))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) > lit(java.sql.Date.valueOf("1998-01-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.9 windows: per-customer order sequence + running spend.
+    // Window is partitioned by custkey → fully parallel.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          row_number().over(w).as("order_seq"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "order_seq")
+    }),
+
+    // §2.9 set ops over customer activity by year.
+    "q_setops" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def ids(y: Int) =
+        o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey").as("id")).distinct()
+      val both = ids(1995).intersect(ids(1996))
+        .select(lit("both").as("op"), col("id"))
+      val only95 = ids(1995).except(ids(1996))
+        .select(lit("only_1995").as("op"), col("id"))
+      val only96 = ids(1996).except(ids(1995))
+        .select(lit("only_1996").as("op"), col("id"))
+      both.unionAll(only95).unionAll(only96).orderBy("op", "id")
+    }),
+
+    // L5: deterministic top-k (order + tiebreak on unique key).
+    "q_topk_orders" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_count_tables" ->
+      Tables.all.map(t => s"SELECT '$t' AS tbl, count(*) AS n FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"),
+
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |       CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_distinct_values" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q_nunique" ->
+      """SELECT count(DISTINCT c_mktsegment) AS n_mktsegment,
+        |       count(DISTINCT c_nationkey) AS n_nationkey FROM customer""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY o_orderkey, o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  row_number() OVER w AS order_seq,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q_setops" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey AS id FROM orders WHERE year(o_orderdate) = 1995),
+        |     y96 AS (SELECT DISTINCT o_custkey AS id FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS op, id FROM (SELECT id FROM y95 INTERSECT SELECT id FROM y96)
+        |UNION ALL
+        |SELECT 'only_1995' AS op, id FROM (SELECT id FROM y95 EXCEPT SELECT id FROM y96)
+        |UNION ALL
+        |SELECT 'only_1996' AS op, id FROM (SELECT id FROM y96 EXCEPT SELECT id FROM y95)
+        |ORDER BY op, id""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.surv.{ChurnView, DurationCuts}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The survival data layer as oracle-checkable queries (SURVEY
+  * §2.2-2.5): the churn survival view, stable ordered 90/10 splits,
+  * batch windows, feature inference, one-hot encoding, and duration
+  * discretization. These pin the reference's quirky split/encode
+  * semantics (head/tail ordered split, sklearn-sorted categories,
+  * train-fitted equidistant cuts) against DuckDB SQL.
+  */
+object SurvQueries {
+
+  private val C = ChurnView.sql // churn + churn_rn CTEs
+
+  private val splitSql =
+    """tl AS (SELECT CAST(floor(count(*) * CAST(0.9 AS DOUBLE)) AS BIGINT)
+      |          AS train_len FROM churn)""".stripMargin
+
+  /** Expected encoded feature list — written out literally so the
+    * oracle stays independent of the engine's fit.
+    */
+  private val expectedFeatures: Seq[String] =
+    Seq("c_acctbal") ++
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        .map(v => s"c_mktsegment_$v") ++
+      (0 until 25).map(i => s"NATION_$i").sorted.map(v => s"n_name_$v") ++
+      Seq("n_orders", "total_spent")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The survival view itself (joins + group-by + global-max cross).
+    "q_churn_view" -> ((s, dir) =>
+      ChurnView.build(s, dir).orderBy("id")),
+
+    // L1: ordered head split (first 90% in stable id order).
+    "q_split_train" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      ds.train.select(col("id"), col("t"), col("e"), col("rn")).orderBy("id")
+    }),
+
+    // L2: ordered tail split (last 10%).
+    "q_split_test" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      ds.test.select(col("id"), col("t"), col("e"), col("rn")).orderBy("id")
+    }),
+
+    // L3: batch window [256, 320) of the train split in stable order.
+    "q_batch_window" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      ds.batch(ds.train, 256, 64)
+        .select(col("id"), col("rn"), col("t"), col("e")).orderBy("id")
+    }),
+
+    // P2 + E3: inferred encoded feature list (sorted setdiff,
+    // in-place one-hot expansion).
+    "q_feature_names" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      import s.implicits._
+      ds.encodedFeatures.zipWithIndex.toDF("feature", "pos").orderBy("pos")
+    }),
+
+    // E1/E2: one-hot of c_mktsegment (sorted categories, 0/1 ints).
+    "q_onehot_mktsegment" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val spec = ds.oneHot.find(_.column == "c_mktsegment").get
+      ds.df.select(col("id") +: spec.exprs: _*).orderBy("id")
+    }),
+
+    // E4: duration cuts fitted on TRAIN, bucketize applied to all.
+    "q_label_discretize" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", 10)
+      ds.df.select(col("id"), col("t"), cuts.indexCol(col("t")).as("t_idx"))
+        .orderBy("id")
+    }),
+
+    // E5: tensorized batch (rows-only check: float32 array column).
+    "q_tensorize" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      ds.tensorized(ds.train).orderBy("rn")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_churn_view" -> (C + "SELECT * FROM churn ORDER BY id"),
+
+    "q_split_train" -> (C + s", $splitSql\n" +
+      "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl WHERE rn < train_len ORDER BY id"),
+
+    "q_split_test" -> (C + s", $splitSql\n" +
+      "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl WHERE rn >= train_len ORDER BY id"),
+
+    "q_batch_window" -> (C +
+      "SELECT id, rn, t, e FROM churn_rn WHERE rn >= 256 AND rn < 320 ORDER BY id"),
+
+    "q_feature_names" -> {
+      val values = expectedFeatures.zipWithIndex
+        .map { case (f, i) => s"('$f', $i)" }.mkString(", ")
+      s"SELECT * FROM (VALUES $values) AS t(feature, pos) ORDER BY pos"
+    },
+
+    "q_onehot_mktsegment" -> {
+      val cases = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        .map(v => s"""CASE WHEN c_mktsegment = '$v' THEN 1 ELSE 0 END AS "c_mktsegment_$v"""")
+        .mkString(",\n       ")
+      C + s"SELECT id,\n       $cases\nFROM churn ORDER BY id"
+    },
+
+    "q_label_discretize" -> (C + s", $splitSql," +
+      """
+        |tr AS (SELECT churn_rn.* FROM churn_rn CROSS JOIN tl WHERE rn < train_len),
+        |cut AS (SELECT CAST(min(t) AS DOUBLE) AS tmin, CAST(max(t) AS DOUBLE) AS tmax FROM tr)
+        |SELECT id, t,
+        |  LEAST(GREATEST(CAST(FLOOR((CAST(t AS DOUBLE) - tmin)
+        |    / ((tmax - tmin) / CAST(9 AS DOUBLE))) AS INT), 0), 9) AS t_idx
+        |FROM churn_rn CROSS JOIN cut ORDER BY id""".stripMargin))
+}

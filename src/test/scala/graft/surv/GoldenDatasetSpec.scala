@@ -1,0 +1,84 @@
+package graft.surv
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tier-1 golden tests: the reference's own unit expectations, ported
+  * exactly (reference: tests/test_dataset.py:6-88; FIXTURES.md §1).
+  * Frame rows are `[i, 2i, 3i, "a"*i]` with columns A(time), B(event),
+  * C(numeric feature), D(categorical feature).
+  */
+class GoldenDatasetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def tiny(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i, 2 * i, 3 * i, "a" * i)).toDF("A", "B", "C", "D")
+  }
+
+  private def ds(n: Int) =
+    SurvDataset.fromDataFrame(tiny(n), Seq(col("A")), "A", "B")
+
+  test("encoded feature names match sklearn convention (test_dataset.py:23)") {
+    assert(ds(3).encodedFeatures == Seq("C", "D_a", "D_aa", "D_aaa"))
+  }
+
+  test("90/10 ordered head/tail split values (test_dataset.py:29-36)") {
+    val d = ds(3)
+    assert(d.n == 3 && d.trainLen == 2)
+    val tr = d.train.select("A", "B").orderBy("A").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val te = d.test.select("A", "B").orderBy("A").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(tr.toSeq == Seq((1, 2), (2, 4)))
+    assert(te.toSeq == Seq((3, 6)))
+  }
+
+  test("split lengths and feature counts (test_dataset.py:39-51)") {
+    val d = ds(10)
+    assert(d.trainLen == 9 && d.testLen == 1)
+    assert(d.numFeatures == 11) // C + 10 one-hot of D
+  }
+
+  test("batch shapes incl. short last batch (test_dataset.py:63-82)") {
+    val d = ds(10)
+    val b1 = d.tensorized(d.batch(d.train, 0, 5)).collect()
+    val b2 = d.tensorized(d.batch(d.train, 5, 5)).collect()
+    assert(b1.length == 5 && b2.length == 4)
+    assert(b1.forall(_.getSeq[Float](1).size == 11))
+  }
+
+  test("unknown categories encode to all-zeros (test_dataset.py:84-88)") {
+    import spark.implicits._
+    val d = ds(3)
+    val unseen = Seq((9, 2, 1, "zzz")).toDF("A", "B", "C", "D")
+    val row = d.encode(unseen).select(d.encodedFeatures.map(col): _*).head()
+    assert(row.getInt(0) == 1)            // C passes through
+    assert((1 to 3).forall(row.getInt(_) == 0)) // one-hots all zero
+  }
+
+  test("string time/event column raises (dataset.py:58-62)") {
+    intercept[IllegalArgumentException] {
+      SurvDataset.fromDataFrame(tiny(3), Seq(col("A")), "D", "B")
+    }
+    intercept[IllegalArgumentException] {
+      SurvDataset.fromDataFrame(tiny(3), Seq(col("A")), "A", "D")
+    }
+  }
+
+  test("stable order rn equals rank of order key") {
+    val d = ds(10)
+    val got = d.df.select("A", "rn").orderBy("A").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == (1 to 10).map(i => (i, (i - 1).toLong)))
+  }
+
+  test("duration cuts: equidistant, clamped index (dataset.py:122-132)") {
+    val d = ds(10)
+    val cuts = DurationCuts.fit(d.train, "A", 5) // train A = 1..9
+    assert(cuts.cuts.toSeq == Seq(1.0, 3.0, 5.0, 7.0, 9.0))
+    val idx = d.df.select(cuts.indexCol(col("A")).as("i")).orderBy(col("rn"))
+      .collect().map(_.getInt(0))
+    // A=1..10 → floor((t-1)/2) clamped to [0,4]
+    assert(idx.toSeq == Seq(0, 0, 1, 1, 2, 2, 3, 3, 4, 4))
+  }
+}
