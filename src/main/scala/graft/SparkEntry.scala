@@ -19,7 +19,8 @@ object SparkEntry {
   private val providers: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
-      (SurvQueries.queries, SurvQueries.oracles))
+      (SurvQueries.queries, SurvQueries.oracles),
+      (EvalQueries.queries, EvalQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,87 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IPCW (integrated) Brier score over a time grid — the Spark design
+  * of the reference's `integrated_brier_score(time_grid)` with
+  * `censor_surv="km"` (reference: src/elastic_surv/models/base.py:
+  * 75-82): grid = 100 equidistant points over [t_min, t_max] of the
+  * test split; per grid time τ the IPCW-weighted mean of squared
+  * survival-prediction error; integrated by trapezoid and normalized
+  * by the grid span.
+  *
+  * Per subject i at grid time τ, with G = censoring KM:
+  *   t_i <= τ, e_i = 1 → S(τ|x_i)² / G(t_i⁻)
+  *   t_i >  τ          → (1 − S(τ|x_i))² / G(τ)
+  *   otherwise 0        (and 0 whenever the G weight is 0)
+  * BS(τ) = Σ contrib / N.
+  *
+  * Scale shape: censoring KM reduces to |distinct t| rows and is
+  * broadcast; the subjects×grid expansion is a broadcast cross join
+  * (grid is 100 literal rows); one final groupBy(τ). No driver
+  * collect anywhere; two broadcast lookups replace the reference's
+  * client-side numpy.
+  */
+object BrierScore {
+
+  /** Per-τ Brier scores: (tau, bs).
+    * `df`: (idCol, tCol, eCol); `surv`: long form (idCol, tau, s)
+    * evaluated at exactly the grid times.
+    */
+  def grid(df: DataFrame, idCol: String, tCol: String, eCol: String,
+           surv: DataFrame, gridTimes: Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val cens = KaplanMeier.censoringCurve(df, tCol, eCol)
+
+    val gridDf = gridTimes.zipWithIndex
+      .foldLeft(Seq.empty[(Int, Double)])((acc, p) => acc :+ (p._2, p._1))
+    import spark.implicits._
+    val g = gridDf.toDF("tau_idx", "tau")
+
+    // G(τ) per grid point (100 rows, driver-free broadcast lookup)
+    val gAtTau = KaplanMeier.lookup(g, "tau", cens, strict = false, "g_tau")
+    // G(t_i⁻) per subject
+    val base = df.select(col(idCol).as("id"), col(tCol).cast("double").as("t"),
+      col(eCol).cast("int").as("e"))
+    val gAtTi = KaplanMeier.lookup(base, "t", cens, strict = true, "g_ti")
+
+    val joined = gAtTi
+      .crossJoin(broadcast(gAtTau))
+      .join(surv.select(col(idCol).as("id"), col("tau"), col("s")),
+        Seq("id", "tau"))
+
+    val contrib =
+      when(col("t") <= col("tau") && col("e") === 1 && col("g_ti") > 0.0,
+        col("s") * col("s") / col("g_ti"))
+      .when(col("t") > col("tau") && col("g_tau") > 0.0,
+        (lit(1.0) - col("s")) * (lit(1.0) - col("s")) / col("g_tau"))
+      .otherwise(0.0)
+
+    joined.groupBy(col("tau_idx"), col("tau"))
+      .agg((sum(contrib) / lit(n.toDouble)).as("bs"))
+      .select(col("tau_idx"), col("tau"), col("bs"))
+  }
+
+  /** Trapezoid-integrated Brier score normalized by grid span —
+    * single-row (ibs).
+    */
+  def integrated(gridBs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tau_idx"))
+    val withPrev = gridBs
+      .withColumn("prev_bs", lag(col("bs"), 1).over(w))
+      .withColumn("prev_tau", lag(col("tau"), 1).over(w))
+    withPrev.filter(col("prev_bs").isNotNull)
+      .agg((sum((col("bs") + col("prev_bs")) / 2.0 * (col("tau") - col("prev_tau")))
+        / (max(col("tau")) - min(col("prev_tau")))).as("ibs"))
+  }
+
+  /** The reference's default grid: 100 equidistant points over the
+    * test split's [t_min, t_max] (base.py:77-81).
+    */
+  def defaultGrid(df: DataFrame, tCol: String): Array[Double] = {
+    val r = df.agg(min(col(tCol).cast("double")), max(col(tCol).cast("double"))).head()
+    graft.surv.DurationCuts.linspace(r.getDouble(0), r.getDouble(1), 100)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.eval
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed golden values for the evaluators (SURVEY §2.7). */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("KM curve matches hand computation") {
+    import spark.implicits._
+    val df = Seq((1, 1), (2, 0), (3, 1), (3, 1), (4, 0)).toDF("t", "e")
+    val got = KaplanMeier.curve(df, "t", "e").orderBy("t").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == (1.0, 1L, 5L, 0.8))
+    assert(got(1) == (2.0, 0L, 4L, 0.8))
+    assert(got(2)._2 == 2L && got(2)._3 == 3L)
+    assert(math.abs(got(2)._4 - 0.8 / 3.0) < 1e-12)
+    assert(math.abs(got(3)._4 - 0.8 / 3.0) < 1e-12) // censoring-only time
+  }
+
+  test("KM survival is monotone non-increasing in [0,1] (churn sf0.001)") {
+    val churn = graft.surv.ChurnView.build(spark, "/root/testdata/sf0.001")
+    val s = KaplanMeier.curve(churn, "t", "e").orderBy("t")
+      .collect().map(_.getDouble(3))
+    assert(s.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s.sliding(2).forall { case Array(a, b) => b <= a + 1e-15; case _ => true })
+  }
+
+  test("Harrell C-index matches hand computation incl. tie credit") {
+    import spark.implicits._
+    val df = Seq((1.0, 1, 3.0), (2.0, 1, 1.0), (3.0, 0, 2.0)).toDF("t", "e", "r")
+    val row = Concordance.harrell(df, "t", "e", "r").head()
+    assert(row.getLong(0) == 3L)
+    assert(row.getDouble(1) == 2.0)
+    assert(math.abs(row.getDouble(2) - 2.0 / 3.0) < 1e-12)
+    val tied = Seq((1.0, 1, 2.0), (2.0, 1, 2.0)).toDF("t", "e", "r")
+    assert(Concordance.harrell(tied, "t", "e", "r").head().getDouble(1) == 0.5)
+  }
+
+  test("Brier: perfect step prediction on uncensored data scores 0") {
+    import spark.implicits._
+    // two uncensored subjects; S(τ|x)=1{τ<t_i} is the perfect predictor
+    val df = Seq((1L, 2.0, 1), (2L, 4.0, 1)).toDF("id", "t", "e")
+    val grid = Array(1.0, 2.0, 3.0, 4.0)
+    val surv = df.as[(Long, Double, Int)].flatMap { case (id, t, _) =>
+      grid.zipWithIndex.map { case (tau, i) =>
+        (id, i, tau, if (tau < t) 1.0 else 0.0) }
+    }.toDF("id", "tau_idx", "tau", "s")
+    val bs = BrierScore.grid(df, "id", "t", "e", surv, grid)
+      .orderBy("tau_idx").collect().map(_.getDouble(2))
+    assert(bs.forall(math.abs(_) < 1e-12))
+  }
+}
