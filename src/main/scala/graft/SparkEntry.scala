@@ -20,7 +20,8 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (SurvQueries.queries, SurvQueries.oracles),
-      (EvalQueries.queries, EvalQueries.oracles))
+      (EvalQueries.queries, EvalQueries.oracles),
+      (ModelQueries.queries, ModelQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

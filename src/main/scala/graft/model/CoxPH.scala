@@ -1,0 +1,207 @@
+package graft.model
+
+import breeze.linalg.{norm, DenseVector}
+import breeze.optimize.{DiffFunction, LBFGS}
+import graft.surv.SurvDataset
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Linear Cox proportional hazards — the engine's re-expression of
+  * the reference's CoxPH adaptor (reference: src/elastic_surv/models/
+  * model_cox_ph.py:86-110). The reference wraps a pycox neural risk
+  * net; the parity target here is the linear risk score g(x) = βᵀx
+  * (SURVEY §2.6 M1, §7.4 non-goals) with the same training objective
+  * (Cox partial likelihood, Breslow ties), Breslow baseline hazards,
+  * and survival prediction S(t|x) = exp(−H₀(t)·e^{g(x)}).
+  *
+  * Distributed training design (the MLlib-GLM rhythm, SURVEY §3.2):
+  * driver-side Breeze L-BFGS; per iteration ONE pass over the cached,
+  * standardized train split computes the exact negative partial
+  * log-likelihood and gradient:
+  *
+  *   1. per-row: score = βᵀx, w = e^score         (codegen'd exprs)
+  *   2. groupBy(t): d_t, Σ_{events}score, Σw, and per-feature Σx·w,
+  *      Σ_{events}x  (posexplode → groupBy(t, idx): the shuffle is
+  *      |distinct t| × p rows, map-side combined)
+  *   3. risk sets via suffix sums over DISTINCT times only —
+  *      S0(t) window over |T| rows, S1(t, idx) window partitioned by
+  *      feature → parallel
+  *   4. loglik = Σ_t [Σscore_ev − d_t·ln S0(t)],
+  *      grad_k = Σ_t [Σx_ev − d_t·S1/S0]          (collect: p+1 scalars)
+  *
+  * No driver-side data, no quadratic pair work, shuffles keyed on t
+  * and (t, idx) only. Features are internally standardized (fit on
+  * train) for L-BFGS conditioning; β is kept in standardized space
+  * with the scaler stored in the fitted model.
+  */
+final case class CoxPH(
+    maxIter: Int = 100,
+    tol: Double = 1e-7,
+    l2: Double = 1e-4) extends SurvModel {
+
+  def name: String = "cox_ph"
+
+  // Mirrors the spirit of model_cox_ph.py:67-84 (lr, batch_norm, ...)
+  // restricted to what a linear model has.
+  def hyperparameterSpace: Seq[Param] = Seq(
+    FloatP("l2", 1e-6, 1e-1),
+    IntegerP("max_iter", 50, 200, 50))
+
+  def fit(ds: SurvDataset): FittedCoxPH = {
+    val p = ds.numFeatures
+    val raw = ds.tensorized(ds.train)
+      .select(col("t").cast("double").as("t"), col("e").cast("int").as("e"),
+        transform(col("x"), _.cast("double")).as("x"))
+
+    // ---- scaler (one job): per-feature mean / population std ----
+    val stats = raw.select(posexplode(col("x")).as(Seq("idx", "xv")))
+      .groupBy("idx")
+      .agg(avg(col("xv")).as("mu"), stddev_pop(col("xv")).as("sd"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mu = stats.map(_._2)
+    val sd = stats.map(s => if (s._3 == 0.0 || s._3.isNaN) 1.0 else s._3)
+
+    val xstd = zip_with(
+      zip_with(col("x"), array(mu.map(lit(_)): _*), (v, m) => v - m),
+      array(sd.map(lit(_)): _*), (v, s) => v / s)
+    val train = raw.select(col("t"), col("e"), xstd.as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    train.count() // materialize once
+
+    val objective = new DiffFunction[DenseVector[Double]] {
+      def calculate(beta: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        val (ll, grad) = logLikAndGrad(train, beta)
+        // negated + ridge
+        val reg = 0.5 * l2 * (beta dot beta)
+        (-ll + reg, -grad + beta * l2)
+      }
+    }
+    val lbfgs = new LBFGS[DenseVector[Double]](maxIter, 7, tol)
+    val beta = lbfgs.minimize(objective, DenseVector.zeros[Double](p))
+
+    // ---- Breslow baseline on the FULL train split at final β ----
+    // (deviation from the reference's last-batch artifact, SURVEY §4.2.1)
+    val baseline = CoxPH.breslow(train, CoxPH.scoreCol(col("x"), beta.toArray))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+
+    train.unpersist()
+    FittedCoxPH(this, beta.toArray, mu, sd, baseline)
+  }
+
+  /** Exact partial log-likelihood + gradient in one distributed pass. */
+  private def logLikAndGrad(train: DataFrame, beta: DenseVector[Double])
+      : (Double, DenseVector[Double]) = {
+    val p = beta.length
+    val sc = CoxPH.scoreCol(col("x"), beta.toArray)
+    val scored = train.select(col("t"), col("e"), col("x"),
+      sc.as("sc"), exp(sc).as("w"))
+
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perT = scored.groupBy(col("t")).agg(
+        sum(col("w")).as("w_t"),
+        coalesce(sum(when(col("e") === 1, col("sc"))), lit(0.0)).as("esc"),
+        sum(col("e")).as("d"))
+      .withColumn("s0", sum(col("w_t")).over(wDesc))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val llRow = perT.filter(col("d") > 0)
+      .agg(sum(col("esc") - col("d") * log(col("s0"))).as("ll")).head()
+    val ll = if (llRow.isNullAt(0)) 0.0 else llRow.getDouble(0)
+
+    val wDescIdx = Window.partitionBy(col("idx")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vec = scored.select(col("t"), col("e"), col("w"),
+      posexplode(col("x")).as(Seq("idx", "xv")))
+    val gradRows = vec.groupBy(col("t"), col("idx")).agg(
+        sum(col("xv") * col("w")).as("wx"),
+        coalesce(sum(when(col("e") === 1, col("xv"))), lit(0.0)).as("xsum"))
+      .withColumn("s1", sum(col("wx")).over(wDescIdx))
+      .join(perT.select(col("t"), col("d"), col("s0")), Seq("t"))
+      .filter(col("d") > 0)
+      .groupBy(col("idx"))
+      .agg(sum(col("xsum") - col("d") * col("s1") / col("s0")).as("g"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+
+    perT.unpersist()
+    val grad = DenseVector.zeros[Double](p)
+    gradRows.foreach { case (i, g) => grad(i) = g }
+    (ll, grad)
+  }
+}
+
+object CoxPH {
+
+  /** βᵀx as a codegen'd array expression (no UDF). */
+  def scoreCol(x: Column, beta: Array[Double]): Column =
+    aggregate(zip_with(x, array(beta.map(lit(_)): _*), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Breslow cumulative baseline hazard from rows with a linear score
+    * column: per distinct event time, h0 = d / S0 (S0 = Σ_{T>=t} e^sc)
+    * and H0 = running Σ h0. Windows run over distinct times only.
+    */
+  def breslow(df: DataFrame, sc: Column): DataFrame = {
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("t").cast("double").as("t"), col("e"), exp(sc).as("w"))
+      .groupBy(col("t"))
+      .agg(sum(col("w")).as("w_t"), sum(col("e")).as("d"))
+      .withColumn("s0", sum(col("w_t")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("h0", col("d").cast("double") / col("s0"))
+      .withColumn("H0", sum(col("h0")).over(wAsc))
+      .select(col("t"), col("H0"))
+  }
+
+  /** Step lookup of a collected baseline as a codegen'd expression:
+    * H0(τ) = value at the last event time <= τ (0 before the first).
+    * The baseline has one entry per distinct event time — small by
+    * construction — so inlining it as a literal when-chain keeps the
+    * lookup broadcast-free AND shuffle-free.
+    */
+  def h0At(tau: Column, baseline: Array[(Double, Double)]): Column = {
+    // binary-search semantics via filter+max over a literal map array
+    val entries = array(baseline.map { case (t, h) =>
+      struct(lit(t).as("t"), lit(h).as("h")) }: _*)
+    val eligible = filter(entries, s => s.getField("t") <= tau)
+    // guarded: element_at on an empty array throws under ANSI mode
+    when(size(eligible) > 0, element_at(eligible, -1).getField("h"))
+      .otherwise(lit(0.0))
+  }
+}
+
+/** Fitted linear CoxPH: β (standardized space), the scaler, and the
+  * collected Breslow baseline (distinct event times only).
+  */
+final case class FittedCoxPH(
+    model: CoxPH,
+    beta: Array[Double],
+    mu: Array[Double],
+    sd: Array[Double],
+    baseline: Array[(Double, Double)]) extends FittedSurvModel {
+
+  /** Linear risk score on the ORIGINAL feature space. */
+  def riskScore(x: Column): Column = {
+    val xstd = zip_with(
+      zip_with(x, array(mu.map(lit(_)): _*), (v, m) => v - m),
+      array(sd.map(lit(_)): _*), (v, s) => v / s)
+    CoxPH.scoreCol(xstd, beta)
+  }
+
+  def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
+    val spark = tensorized.sparkSession
+    import spark.implicits._
+    val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
+    val xd = transform(col("x"), _.cast("double"))
+    tensorized.select(col("id"), riskScore(xd).as("sc"))
+      .crossJoin(broadcast(g))
+      .select(col("id"), col("tau_idx"), col("tau"),
+        exp(-CoxPH.h0At(col("tau"), baseline) * exp(col("sc"))).as("s"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.model
+
+import graft.eval.{BrierScore, Concordance}
+import graft.surv.SurvDataset
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model contract — the Spark shape of the reference's
+  * `ModelSkeleton` ABC (reference: src/elastic_surv/models/base.py:
+  * 11-82): a named model with a hyperparameter space, `fit` over a
+  * SurvDataset, and the fitted artifact predicting a survival matrix
+  * and scoring with time-dependent concordance + integrated Brier.
+  */
+trait SurvModel {
+  def name: String
+  def hyperparameterSpace: Seq[Param]
+  def fit(ds: SurvDataset): FittedSurvModel
+}
+
+trait FittedSurvModel {
+
+  /** Long-form survival matrix (id, tau_idx, tau, s) for rows in
+    * tensorized form (id, x). The reference's predict returns the
+    * same matrix with time horizons as the index
+    * (model_cox_ph.py:106-110).
+    */
+  def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame
+
+  /** Scores on the test split as one distributed pipeline —
+    * c_index (Antolini concordance_td) and brier_score (IPCW IBS over
+    * the 100-point grid), mirroring base.py:61-82. No collect until
+    * the two final scalars.
+    */
+  def score(ds: SurvDataset): Map[String, Double] = {
+    val test = ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val grid = BrierScore.defaultGrid(test, "t")
+      val surv = predictSurv(test, grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val c = Concordance.antolini(test, "id", "t", "e", surv)
+          .head().getAs[Double]("cindex")
+        val ibs = BrierScore
+          .integrated(BrierScore.grid(test, "id", "t", "e", surv, grid))
+          .head().getAs[Double]("ibs")
+        Map("c_index" -> c, "brier_score" -> ibs)
+      } finally surv.unpersist()
+    } finally test.unpersist()
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.model.CoxPH
+import graft.surv.{ChurnView, DurationCuts}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model operators as deterministic fixed-weight forward passes
+  * (SURVEY §5 tier 2: iterative fits aren't bit-stable across
+  * engines; the algebra they execute is). Fixed linear predictor over
+  * churn features:
+  *
+  *   lp = c_acctbal·(−1e−4) + n_orders·0.01 + total_spent·1e−7
+  *
+  * covering M1 (risk score), M2 (Breslow baseline on the full train
+  * split), M3 (survival matrix) through the SAME code paths the
+  * trained model uses (CoxPH.breslow / CoxPH.h0At).
+  */
+object ModelQueries {
+
+  private val C = ChurnView.sql
+  private val splitSql =
+    """tl AS (SELECT CAST(floor(count(*) * CAST(0.9 AS DOUBLE)) AS BIGINT)
+      |          AS train_len FROM churn)""".stripMargin
+
+  private def lpCol: Column =
+    col("c_acctbal").cast("double") * lit(-0.0001) +
+      col("n_orders").cast("double") * lit(0.01) +
+      col("total_spent").cast("double") * lit(1.0e-7)
+
+  private val lpSql =
+    """CAST(c_acctbal AS DOUBLE) * CAST(-0.0001 AS DOUBLE)
+      |         + CAST(n_orders AS DOUBLE) * CAST(0.01 AS DOUBLE)
+      |         + CAST(total_spent AS DOUBLE) * CAST(0.0000001 AS DOUBLE)""".stripMargin
+
+  private def trainWithLp(s: SparkSession, dir: String): DataFrame = {
+    val ds = ChurnView.dataset(s, dir)
+    ds.train.select(col("id"), col("t").cast("double").as("t"), col("e"),
+      lpCol.as("lp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M1: risk scores e^{g(x)} with fixed weights.
+    "q_cox_risk" -> ((s, dir) =>
+      ChurnView.build(s, dir)
+        .select(col("id"), round(exp(lpCol), 6).as("risk"))
+        .orderBy("id")),
+
+    // M2: Breslow cumulative baseline hazard on the full train split.
+    "q_cox_breslow" -> ((s, dir) =>
+      CoxPH.breslow(trainWithLp(s, dir), col("lp"))
+        .select(col("t"), round(col("H0"), 6).as("h0cum"))
+        .orderBy("t")),
+
+    // M3: survival matrix S(τ|x) = exp(−H₀(τ)·e^{lp}) for the test
+    // split over a 10-point train-fitted grid (long form).
+    "q_cox_surv" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val train = trainWithLp(s, dir)
+      val baseline = CoxPH.breslow(train, col("lp"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+      val grid = DurationCuts.fit(ds.train, "t", 10)
+      import s.implicits._
+      val g = grid.cuts.zipWithIndex.map(p => (p._2, p._1)).toSeq
+        .toDF("tau_idx", "tau")
+      ds.test.select(col("id"), lpCol.as("lp"))
+        .crossJoin(broadcast(g))
+        .select(col("id"), col("tau_idx"), col("tau"),
+          round(exp(-CoxPH.h0At(col("tau"), baseline) * exp(col("lp"))), 6)
+            .as("s"))
+        .orderBy("id", "tau_idx")
+    }))
+
+  private val trainSql =
+    s"""trn AS (
+       |  SELECT id, CAST(t AS DOUBLE) AS t, e,
+       |         $lpSql AS lp
+       |  FROM churn_rn CROSS JOIN tl WHERE rn < train_len)""".stripMargin
+
+  private val breslowSql =
+    """bt0 AS (SELECT t, sum(exp(lp)) AS w_t, CAST(sum(e) AS BIGINT) AS d
+      |        FROM trn GROUP BY t),
+      |bt1 AS (SELECT t, d, sum(w_t) OVER (ORDER BY t DESC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+      |        FROM bt0),
+      |bres AS (SELECT t, sum(CAST(d AS DOUBLE) / s0) OVER (ORDER BY t
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h0cum
+      |         FROM bt1 WHERE d > 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_cox_risk" -> (C +
+      s"""SELECT id, round(exp($lpSql), 6) AS risk
+         |FROM churn ORDER BY id""".stripMargin),
+
+    "q_cox_breslow" -> (C + s", $splitSql,\n$trainSql,\n$breslowSql\n" +
+      "SELECT t, round(h0cum, 6) AS h0cum FROM bres ORDER BY t"),
+
+    "q_cox_surv" -> (C + s", $splitSql,\n$trainSql,\n$breslowSql,\n" +
+      s"""rng AS (SELECT min(t) AS tmin, max(t) AS tmax,
+         |               (max(t) - min(t)) / CAST(9 AS DOUBLE) AS step FROM trn),
+         |grid AS (SELECT CAST(range AS INT) AS tau_idx,
+         |                CASE WHEN range = 9 THEN tmax
+         |                     ELSE tmin + range * step END AS tau
+         |         FROM range(10) CROSS JOIN rng),
+         |tst AS (SELECT id, $lpSql AS lp
+         |        FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),
+         |h0g AS (SELECT tau_idx, tau, coalesce(max_by(bres.h0cum, bres.t),
+         |               CAST(0 AS DOUBLE)) AS h0
+         |        FROM grid LEFT JOIN bres ON bres.t <= grid.tau
+         |        GROUP BY tau_idx, tau)
+         |SELECT id, tau_idx, tau, round(exp(-h0 * exp(lp)), 6) AS s
+         |FROM tst CROSS JOIN h0g ORDER BY id, tau_idx""".stripMargin))
+}
