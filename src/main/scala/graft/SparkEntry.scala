@@ -21,7 +21,8 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (SurvQueries.queries, SurvQueries.oracles),
       (EvalQueries.queries, EvalQueries.oracles),
-      (ModelQueries.queries, ModelQueries.oracles))
+      (ModelQueries.queries, ModelQueries.oracles),
+      (DiscreteQueries.queries, DiscreteQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

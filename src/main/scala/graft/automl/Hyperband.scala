@@ -1,0 +1,178 @@
+package graft.automl
+
+import graft.model.{CoxPH, DeepHit, FittedSurvModel, LogisticHazard, Param, SurvModel}
+import graft.surv.SurvDataset
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** A model family Hyperband can search over: a name, a sampling
+  * space, and a constructor from (params, epochs). Mirrors the
+  * reference's seed classes (optimizer.py:25-29).
+  */
+trait ModelFactory {
+  def name: String
+  def space: Seq[Param]
+  def build(params: Map[String, Any], epochs: Int): SurvModel
+}
+
+object ModelFactory {
+  /** The default three seeds, linear parity flavors. `epochs` maps to
+    * the iteration budget of each trainer.
+    */
+  val coxPH: ModelFactory = new ModelFactory {
+    val name = "cox_ph"
+    val space = CoxPH().hyperparameterSpace
+    def build(params: Map[String, Any], epochs: Int): SurvModel =
+      CoxPH(
+        maxIter = epochs,
+        l2 = params.getOrElse("l2", 1e-4).asInstanceOf[Double])
+  }
+  val deepHit: ModelFactory = new ModelFactory {
+    val name = "deephit"
+    val space = DeepHit().hyperparameterSpace
+    def build(params: Map[String, Any], epochs: Int): SurvModel =
+      DeepHit(
+        epochs = epochs,
+        alpha = params.getOrElse("alpha", 0.2).asInstanceOf[Double],
+        sigma = params.getOrElse("sigma", 0.1).asInstanceOf[Double],
+        batchSize = params.getOrElse("batch_size", 128).asInstanceOf[Int])
+  }
+  val logisticHazard: ModelFactory = new ModelFactory {
+    val name = "logistic_hazard"
+    val space = LogisticHazard().hyperparameterSpace
+    def build(params: Map[String, Any], epochs: Int): SurvModel =
+      LogisticHazard(
+        maxIter = epochs,
+        regParam = params.getOrElse("reg_param", 1e-4).asInstanceOf[Double])
+  }
+  val defaults: Seq[ModelFactory] = Seq(coxPH, deepHit, logisticHazard)
+}
+
+/** Hyperband successive halving — faithful port of the reference's
+  * control flow (reference: src/elastic_surv/optimizer.py:123-180):
+  *
+  *   s = s_max..0 with s_max = ⌊log_η(max_iter)⌋, B = (s_max+1)·max_iter
+  *   n = ⌈B/max_iter/(s+1)·η^s⌉ configs, r = max_iter·η^{−s} epochs
+  *   sample ⌈n/|seeds|⌉ per model, default config {} ALWAYS first per
+  *   model, configs deduped by canonical key (optimizer.py:76-96)
+  *   rungs i = 0..s: train each config epochs = r·η^i, keep top
+  *   ⌈⌈n·η^{−i}⌉/η⌉ by score = c_index − brier (optimizer.py:110)
+  *
+  * Reproduced quirk (H4, optimizer.py:112-119): the per-model best is
+  * only updated inside the global-best branch — it changes which two
+  * model names survive into `seeds` after the search
+  * (optimizer.py:172-174).
+  *
+  * Each config evaluation is a full Spark train+score; configs within
+  * a rung are embarrassingly parallel on a cluster (FAIR pools) — run
+  * sequentially here.
+  */
+object Hyperband {
+
+  /** The bracket/rung schedule in EXACT integer arithmetic — equal to
+    * the reference's float formulas (optimizer.py:127-155) whenever
+    * max_iter is a power of eta (the default 81/3 is). Rows:
+    * (s, i, n_configs, epochs).
+    */
+  def scheduleExact(maxIter: Int = 81, eta: Int = 3): Seq[(Int, Int, Int, Int)] = {
+    val sMax = (math.log(maxIter) / math.log(eta)).toInt
+    val b = (sMax + 1) * maxIter
+    for {
+      s <- sMax to 0 by -1
+      n = (b / maxIter * pow(eta, s) + s) / (s + 1) // ceil(B/maxIter/(s+1)·η^s)
+      i <- 0 to s
+    } yield {
+      val nConfigs = (n + pow(eta, i) - 1) / pow(eta, i) // ceil(n·η^{−i})
+      val epochs = maxIter / pow(eta, s) * pow(eta, i) // r·η^i
+      (s, i, nConfigs, epochs)
+    }
+  }
+
+  private def pow(b: Int, e: Int): Int = BigInt(b).pow(e).toInt
+}
+
+final class Hyperband(
+    var seeds: Seq[ModelFactory] = ModelFactory.defaults,
+    maxIter: Int = 81, // optimizer.py:30
+    eta: Int = 3, // optimizer.py:31
+    outputEpochs: Int = 200, // optimizer.py:33
+    seedRng: Long = 42L) {
+
+  private val rng = new Random(seedRng)
+  private def logEta(x: Double): Double = math.log(x) / math.log(eta.toDouble)
+  val sMax: Int = logEta(maxIter.toDouble).toInt
+  val bBudget: Int = (sMax + 1) * maxIter
+
+  private val visited = mutable.Set.empty[String]
+  var bestScore: Double = Double.NegativeInfinity
+  var bestModel: Option[ModelFactory] = None
+  var bestParams: Map[String, Any] = Map.empty
+  val modelBestScore: mutable.Map[String, Double] =
+    mutable.Map(seeds.map(_.name -> Double.NegativeInfinity): _*)
+
+  /** Canonical dedup key (H2; reference uses sorted-key JSON). */
+  private def keyOf(name: String, params: Map[String, Any]): String =
+    name + "|" + params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  private def sampleModel(m: ModelFactory, n: Int): Seq[(ModelFactory, Map[String, Any])] = {
+    val out = mutable.Buffer.empty[(ModelFactory, Map[String, Any])]
+    var left = n
+    val defaultKey = keyOf(m.name, Map.empty)
+    if (!visited.contains(defaultKey)) { // default config first (H2)
+      visited += defaultKey
+      out += ((m, Map.empty[String, Any]))
+      left -= 1
+    }
+    (0 until left).foreach { _ =>
+      val params = m.space.map(p => p.name -> p.sample(rng)).toMap
+      val k = keyOf(m.name, params)
+      if (!visited.contains(k)) { visited += k; out += ((m, params)) }
+    }
+    out.toSeq
+  }
+
+  private def evalParams(m: ModelFactory, ds: SurvDataset,
+                         params: Map[String, Any], epochs: Int): Double = {
+    val scores = m.build(params, epochs).fit(ds).score(ds)
+    val score = scores("c_index") - scores("brier_score")
+    if (score > bestScore) {
+      bestScore = score
+      bestModel = Some(m)
+      bestParams = params
+      // QUIRK H4: nested inside the global-best branch, as in the
+      // reference — an intentionally faithful artifact.
+      if (score > modelBestScore(m.name)) modelBestScore(m.name) = score
+    }
+    score
+  }
+
+  /** Runs the search and returns the winner re-fit with
+    * `outputEpochs` (H5).
+    */
+  def selectModel(ds: SurvDataset): FittedSurvModel = {
+    for (s <- sMax to 0 by -1) {
+      val n = math.ceil(bBudget.toDouble / maxIter / (s + 1) * math.pow(eta, s)).toInt
+      val r = maxIter * math.pow(eta, -s)
+      var configs = seeds.flatMap(m =>
+        sampleModel(m, math.ceil(n.toDouble / seeds.size).toInt))
+      var i = 0
+      while (i <= s && configs.nonEmpty) {
+        val nConfigs = math.ceil(n * math.pow(eta, -i)).toInt
+        val epochs = (r * math.pow(eta, i)).toInt
+        val scored = configs.map { case (m, params) =>
+          (evalParams(m, ds, params, epochs), (m, params))
+        }
+        val saved = math.ceil(nConfigs.toDouble / eta).toInt
+        configs = scored.sortBy(_._1).takeRight(saved).map(_._2)
+        i += 1
+      }
+    }
+    // seeds := 2 best model names (optimizer.py:172-174)
+    seeds = modelBestScore.toSeq.sortBy(-_._2).take(2)
+      .flatMap { case (nm, _) => seeds.find(_.name == nm) }
+    val winner = bestModel.getOrElse(throw new IllegalStateException("no model evaluated"))
+    winner.build(bestParams, outputEpochs).fit(ds)
+  }
+}

@@ -1,0 +1,307 @@
+package graft.model
+
+import graft.surv.{DurationCuts, SurvDataset}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** DeepHit, single risk (reference: src/elastic_surv/models/
+  * model_deephit.py). The reference trains a pycox DeepHitSingle net
+  * producing a discrete PMF over `num_durations` bins with loss
+  * NLL + alpha·ranking (kernel sigma, defaults 0.2/0.1 —
+  * model_deephit.py:28-29); the ranking term needs the within-batch
+  * pair-rank matrix (E6, dataset.py:218-221).
+  *
+  * Linear parity model: logits_k(x) = c_k + W_k·x, pmf = softmax,
+  * F = cumsum(pmf), S = 1 − F.
+  *
+  *   L = −mean_i [ e_i·ln pmf_{k_i} + (1−e_i)·ln S(k_i) ]
+  *     + alpha · (Σ_{ij} r_ij · exp((F_j(k_i) − F_i(k_i)) / sigma)) / Σ_{ij} r_ij
+  *   r_ij = 1 ⟺ e_i = 1 ∧ (k_i < k_j ∨ (k_i = k_j ∧ e_j = 0))
+  *
+  * Distributed training: batches are DETERMINISTIC rn-contiguous
+  * chunks inside each partition (SURVEY §7.4 — makes the
+  * batch-dependent ranking term reproducible); each partition computes
+  * exact loss+gradient per batch with local dense algebra, results
+  * reduce to the driver (p·K + K + 1 doubles), driver runs Adam.
+  * Same job rhythm as MLlib GLMs: one pass per epoch.
+  */
+final case class DeepHit(
+    numDurations: Int = 10,
+    alpha: Double = 0.2, // model_deephit.py:28
+    sigma: Double = 0.1, // model_deephit.py:29
+    batchSize: Int = 128, // model_cox_ph.py:25 family default
+    epochs: Int = 50,
+    lr: Double = 0.05,
+    patience: Int = 5) extends SurvModel {
+
+  def name: String = "deephit"
+
+  def hyperparameterSpace: Seq[Param] = Seq(
+    FloatP("alpha", 0.0, 0.5),
+    FloatP("sigma", 0.01, 1.0),
+    IntegerP("batch_size", 64, 256, 64))
+
+  def fit(ds: SurvDataset): FittedDeepHit = {
+    val cuts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
+    val k = cuts.k
+    val p = ds.numFeatures
+    val spark = ds.df.sparkSession
+    import spark.implicits._
+
+    val train = ds.tensorized(ds.train)
+      .select(col("rn"),
+        transform(col("x"), _.cast("double")).as("x"),
+        cuts.indexCol(col("t")).as("ti"), col("e"))
+      .sortWithinPartitions("rn")
+      .as[(Long, Array[Double], Int, Int)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = train.count().toDouble
+
+    // θ layout: [c_0..c_{K-1}, W_00..W_0(p-1), ..., W_(K-1)(p-1)]
+    var theta = Array.fill(k * (p + 1))(0.0)
+    val mAdam = Array.fill(theta.length)(0.0)
+    val vAdam = Array.fill(theta.length)(0.0)
+    var best = Double.MaxValue
+    var bestTheta = theta.clone()
+    var badEpochs = 0
+    val (b1, b2, eps) = (0.9, 0.999, 1e-8)
+    var step = 0
+
+    var epoch = 0
+    while (epoch < epochs && badEpochs < patience) {
+      val th = theta
+      val bs = batchSize
+      val (lossSum, grad, cnt) = train.mapPartitions { it =>
+        val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma)
+        it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
+        Iterator.single((acc.loss, acc.grad, acc.count))
+      }.reduce { (a, b) =>
+        val g = a._2.clone()
+        var i = 0; while (i < g.length) { g(i) += b._2(i); i += 1 }
+        (a._1 + b._1, g, a._3 + b._3)
+      }
+
+      val loss = lossSum / math.max(cnt, 1L).toDouble
+      step += 1
+      val newTheta = theta.clone()
+      var i = 0
+      while (i < theta.length) {
+        val g = grad(i) / math.max(cnt, 1L).toDouble
+        mAdam(i) = b1 * mAdam(i) + (1 - b1) * g
+        vAdam(i) = b2 * vAdam(i) + (1 - b2) * g * g
+        val mh = mAdam(i) / (1 - math.pow(b1, step))
+        val vh = vAdam(i) / (1 - math.pow(b2, step))
+        newTheta(i) = theta(i) - lr * mh / (math.sqrt(vh) + eps)
+        i += 1
+      }
+      theta = newTheta
+      if (loss < best - 1e-6) { best = loss; bestTheta = theta.clone(); badEpochs = 0 }
+      else badEpochs += 1
+      epoch += 1
+    }
+    train.unpersist()
+
+    val c = bestTheta.take(k)
+    val w = Array.tabulate(k, p)((kk, pp) => bestTheta(k + kk * p + pp))
+    FittedDeepHit(this, cuts, c, w)
+  }
+}
+
+object DeepHit {
+
+  /** Per-partition exact loss+gradient accumulator (plain arrays, no
+    * torch): softmax forward, NLL backward, ranking term over the
+    * within-batch pair-rank matrix.
+    */
+  final case class PartitionAcc(k: Int, p: Int, theta: Array[Double],
+                                alpha: Double, sigma: Double) {
+    var loss = 0.0
+    var count = 0L
+    val grad = Array.fill(theta.length)(0.0)
+
+    def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {
+      val b = batch.length
+      if (b == 0) return
+      count += b
+      // forward: logits, pmf, cumsum F
+      val pmf = Array.ofDim[Double](b, k)
+      val cum = Array.ofDim[Double](b, k)
+      val dz = Array.ofDim[Double](b, k) // dLoss/dlogits accumulated
+      var i = 0
+      while (i < b) {
+        val x = batch(i)._2
+        var mx = Double.MinValue
+        val z = new Array[Double](k)
+        var kk = 0
+        while (kk < k) {
+          var s = theta(kk)
+          var j = 0
+          while (j < p) { s += theta(k + kk * p + j) * x(j); j += 1 }
+          z(kk) = s; if (s > mx) mx = s; kk += 1
+        }
+        var tot = 0.0
+        kk = 0
+        while (kk < k) { pmf(i)(kk) = math.exp(z(kk) - mx); tot += pmf(i)(kk); kk += 1 }
+        kk = 0
+        var run = 0.0
+        while (kk < k) {
+          pmf(i)(kk) /= tot; run += pmf(i)(kk); cum(i)(kk) = run; kk += 1
+        }
+        i += 1
+      }
+
+      // NLL + dNLL/dz
+      i = 0
+      while (i < b) {
+        val ti = batch(i)._3; val e = batch(i)._4
+        if (e == 1) {
+          val pk = math.max(pmf(i)(ti), 1e-12)
+          loss += -math.log(pk)
+          var kk = 0
+          while (kk < k) {
+            dz(i)(kk) += pmf(i)(kk) - (if (kk == ti) 1.0 else 0.0); kk += 1
+          }
+        } else {
+          // censored likelihood P(T >= t_idx): tail INCLUDING the own
+          // bin — the censoring happened during interval t_idx, so the
+          // event is at or after it. (Strict-tail 1−F(t_idx) is
+          // identically 0 for the last bin, which breaks the loss.)
+          val s = math.max(
+            (if (ti == 0) 1.0 else 1.0 - cum(i)(ti - 1)), 1e-12)
+          loss += -math.log(s)
+          var kk = 0
+          while (kk < k) {
+            val inTail = if (kk >= ti) 1.0 else 0.0
+            dz(i)(kk) += pmf(i)(kk) - pmf(i)(kk) * inTail / s; kk += 1
+          }
+        }
+        i += 1
+      }
+
+      // ranking term over within-batch pairs (E6 semantics)
+      if (alpha > 0.0) {
+        var rSum = 0.0
+        val pairLoss = Array.ofDim[Double](b, b)
+        i = 0
+        while (i < b) {
+          val (_, _, ki, ei) = batch(i)
+          if (ei == 1) {
+            var j = 0
+            while (j < b) {
+              val (_, _, kj, ej) = batch(j)
+              val r = if (ki < kj || (ki == kj && ej == 0 && j != i)) 1.0 else 0.0
+              if (r > 0) { rSum += 1.0; pairLoss(i)(j) = 1.0 }
+              j += 1
+            }
+          }
+          i += 1
+        }
+        if (rSum > 0) {
+          val scale = alpha * count2Weight(b) / rSum
+          i = 0
+          while (i < b) {
+            var j = 0
+            while (j < b) {
+              if (pairLoss(i)(j) > 0) {
+                val ki = batch(i)._3
+                val fi = cum(i)(ki); val fj = cum(j)(ki)
+                val term = math.exp((fj - fi) / sigma)
+                loss += scale * term
+                // ∂F_r(ki)/∂z_m = pmf_m · (1{m<=ki} − F_r(ki))
+                // (jacobian of cumsum∘softmax)
+                val gscale = scale * term / sigma
+                var mm = 0
+                while (mm < k) {
+                  val ind = if (mm <= ki) 1.0 else 0.0
+                  dz(i)(mm) += -gscale * pmf(i)(mm) * (ind - cum(i)(ki))
+                  dz(j)(mm) += gscale * pmf(j)(mm) * (ind - cum(j)(ki))
+                  mm += 1
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+
+      // backprop dz → grad(c, W)
+      i = 0
+      while (i < b) {
+        val x = batch(i)._2
+        var kk = 0
+        while (kk < k) {
+          val d = dz(i)(kk)
+          if (d != 0.0) {
+            grad(kk) += d
+            var j = 0
+            while (j < p) { grad(k + kk * p + j) += d * x(j); j += 1 }
+          }
+          kk += 1
+        }
+        i += 1
+      }
+    }
+
+    /** batch-mean weighting for the rank term: scale so the term is
+      * per-batch mean-comparable with the per-row NLL sum.
+      */
+    private def count2Weight(b: Int): Double = b.toDouble
+  }
+
+  /** E6 pair-rank semantics as a DataFrame op (used by the oracle
+    * query; the training loop computes the same thing locally):
+    * r_ij = 1 ⟺ e_i = 1 ∧ (k_i < k_j ∨ (k_i = k_j ∧ e_j = 0 ∧ i≠j)).
+    */
+  def pairRankDF(batch: DataFrame, idCol: String, kCol: String,
+                 eCol: String): DataFrame = {
+    val a = batch.select(col(idCol).as("i"), col(kCol).as("ki"),
+      col(eCol).as("ei"))
+    val bb = batch.select(col(idCol).as("j"), col(kCol).as("kj"),
+      col(eCol).as("ej"))
+    a.crossJoin(bb).select(col("i"), col("j"),
+      when(col("ei") === 1 &&
+        (col("ki") < col("kj") ||
+          (col("ki") === col("kj") && col("ej") === 0 && col("i") =!= col("j"))),
+        1).otherwise(0).as("r"))
+  }
+}
+
+/** Fitted linear DeepHit: per-bin intercepts c and weight matrix W. */
+final case class FittedDeepHit(
+    model: DeepHit,
+    cuts: DurationCuts,
+    c: Array[Double],
+    w: Array[Array[Double]]) extends FittedSurvModel {
+
+  /** PMF array softmax(z) with z_k = c_k + W_k·x (max-shifted). */
+  def pmf(x: Column): Column = {
+    val z = array((0 until cuts.k).map(kk =>
+      lit(c(kk)) + CoxPH.scoreCol(x, w(kk))): _*)
+    val mx = array_max(z)
+    val ex = transform(z, v => exp(v - mx))
+    val tot = aggregate(ex, lit(0.0), (a, v) => a + v)
+    transform(ex, v => v / tot)
+  }
+
+  /** Discrete survival array S_k = 1 − cumsum(pmf)_k. */
+  def discreteSurv(x: Column): Column = {
+    val p = pmf(x)
+    transform(sequence(lit(1), lit(cuts.k)), kk =>
+      lit(1.0) - aggregate(slice(p, lit(1), kk), lit(0.0), (a, v) => a + v))
+  }
+
+  def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
+    val spark = tensorized.sparkSession
+    import spark.implicits._
+    val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
+    val knots = 0.0 +: cuts.cuts.toSeq
+    val xd = transform(col("x"), _.cast("double"))
+    tensorized
+      .select(col("id"), concat(array(lit(1.0)), discreteSurv(xd)).as("sv"))
+      .crossJoin(broadcast(g))
+      .select(col("id"), col("tau_idx"), col("tau"),
+        Interpolation.linearAt(col("tau"), knots.toArray, col("sv")).as("s"))
+  }
+}

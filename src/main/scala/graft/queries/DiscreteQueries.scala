@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.automl.Hyperband
+import graft.model.{DeepHit, FittedDeepHit, FittedLogisticHazard, LogisticHazard}
+import graft.surv.{ChurnView, DurationCuts}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Discrete-time model operators (M4-M6), the DeepHit pair-rank
+  * matrix (E6), and the Hyperband schedule (H3) as oracle-checked
+  * queries — fixed-weight forward passes through the REAL fitted-model
+  * code paths (hazards/discreteSurv/pmf/Interpolation/pairRankDF)
+  * with hand-picked exact-double weights; only exp()/sigmoid ulps get
+  * rounded away.
+  */
+object DiscreteQueries {
+
+  private val C = ChurnView.sql
+  private val splitSql =
+    """tl AS (SELECT CAST(floor(count(*) * CAST(0.9 AS DOUBLE)) AS BIGINT)
+      |          AS train_len FROM churn)""".stripMargin
+  // engine tensorization narrows features to float32 (E5,
+  // dataset.py:223); the oracle mirrors it with CAST(... AS REAL).
+  private val lpSql =
+    """CAST(CAST(c_acctbal AS REAL) AS DOUBLE) * CAST(-0.0001 AS DOUBLE)
+      |       + CAST(CAST(n_orders AS REAL) AS DOUBLE) * CAST(0.01 AS DOUBLE)
+      |       + CAST(CAST(total_spent AS REAL) AS DOUBLE) * CAST(0.0000001 AS DOUBLE)""".stripMargin
+
+  private val K = 5
+
+  /** β over the 33-wide encoded feature vector: nonzero only at
+    * c_acctbal / n_orders / total_spent, same constants as lpSql.
+    */
+  private def betaBase(feats: Seq[String]): Array[Double] = {
+    val beta = Array.fill(feats.size)(0.0)
+    beta(feats.indexOf("c_acctbal")) = -0.0001
+    beta(feats.indexOf("n_orders")) = 0.01
+    beta(feats.indexOf("total_spent")) = 1.0e-7
+    beta
+  }
+
+  private def fixedB: Array[Double] = Array.tabulate(K)(k => -2.0 + 0.25 * k)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M4 input shape: person-period expansion with K=5 train cuts.
+    "q_pp_expand" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      ds.train
+        .select(col("id"), cuts.indexCol(col("t")).as("t_idx"), col("e"))
+        .select(col("id"), col("t_idx"), col("e"),
+          explode(sequence(lit(0), col("t_idx"))).as("j"))
+        .select(col("id"), col("j"),
+          when(col("j") === col("t_idx") && col("e") === 1, 1)
+            .otherwise(0).as("y"))
+        .orderBy("id", "j")
+    }),
+
+    // M4 forward: discrete hazards + survival with fixed weights.
+    "q_loghaz_forward" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      val fitted = FittedLogisticHazard(LogisticHazard(K), cuts,
+        fixedB, betaBase(ds.encodedFeatures))
+      val xd = transform(col("x"), _.cast("double"))
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .select(col("id"),
+          posexplode(arrays_zip(fitted.hazards(xd).as("h"),
+            fitted.discreteSurv(xd).as("sv"))))
+        .select(col("id"), col("pos").as("k"),
+          round(col("col.h"), 6).as("h"), round(col("col.sv"), 6).as("s"))
+        .orderBy("id", "k")
+    }),
+
+    // M6: linear interpolation of the discrete curve onto a 20-point
+    // test-range grid, through Interpolation.linearAt.
+    "q_interpolate" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      val fitted = FittedLogisticHazard(LogisticHazard(K), cuts,
+        fixedB, betaBase(ds.encodedFeatures))
+      val tst = ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+      val r = tst.agg(min(col("t")), max(col("t"))).head()
+      val grid = DurationCuts.linspace(r.getDouble(0), r.getDouble(1), 20)
+      fitted.predictSurv(tst, grid)
+        .select(col("id"), col("tau_idx"), col("tau"), round(col("s"), 6).as("s"))
+        .orderBy("id", "tau_idx")
+    }),
+
+    // M5 forward: softmax PMF + survival with fixed per-bin weights.
+    "q_deephit_forward" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      val base = betaBase(ds.encodedFeatures)
+      val cArr = Array.tabulate(K)(k => 0.1 * k - 0.2)
+      val wMat = Array.tabulate(K) { k =>
+        val frac = (k + 1) / 5.0
+        base.map(_ * frac)
+      }
+      val fitted = FittedDeepHit(DeepHit(K), cuts, cArr, wMat)
+      val xd = transform(col("x"), _.cast("double"))
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .select(col("id"),
+          posexplode(arrays_zip(fitted.pmf(xd).as("p"),
+            fitted.discreteSurv(xd).as("sv"))))
+        .select(col("id"), col("pos").as("k"),
+          (round(col("col.p"), 6) + lit(0.0)).as("pmf"),
+          (round(col("col.sv"), 6) + lit(0.0)).as("s"))
+        .orderBy("id", "k")
+    }),
+
+    // E6: pair-rank matrix of the first train batch [0, 128).
+    "q_pair_rank" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      val batch = ds.batch(ds.train, 0, 128)
+        .select(col("id"), cuts.indexCol(col("t")).as("k"), col("e"))
+      DeepHit.pairRankDF(batch, "id", "k", "e").orderBy("i", "j")
+    }),
+
+    // H3: the Hyperband bracket/rung schedule (default 81/3).
+    "q_hyperband_schedule" -> ((s, dir) => {
+      import s.implicits._
+      Hyperband.scheduleExact(81, 3).toDF("s", "i", "n_configs", "epochs")
+        .orderBy(col("s").desc, col("i"))
+    }))
+
+  private val trnSql =
+    s"""trn AS (SELECT id, CAST(t AS DOUBLE) AS t, e
+       |        FROM churn_rn CROSS JOIN tl WHERE rn < train_len),
+       |rng4 AS (SELECT CAST(min(t) AS DOUBLE) AS tmin, CAST(max(t) AS DOUBLE) AS tmax,
+       |                (max(t) - min(t)) / CAST(4 AS DOUBLE) AS step FROM trn)""".stripMargin
+
+  private val tstSql =
+    s"""tst AS (SELECT id, CAST(t AS DOUBLE) AS t, e, $lpSql AS lp
+       |        FROM churn_rn CROSS JOIN tl WHERE rn >= train_len)""".stripMargin
+
+  private val hazSql =
+    """hz AS (SELECT id, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(CAST(-2 AS DOUBLE) + CAST(0.25 AS DOUBLE) * 0 + lp))) AS h0, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(CAST(-2 AS DOUBLE) + CAST(0.25 AS DOUBLE) * 1 + lp))) AS h1, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(CAST(-2 AS DOUBLE) + CAST(0.25 AS DOUBLE) * 2 + lp))) AS h2, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(CAST(-2 AS DOUBLE) + CAST(0.25 AS DOUBLE) * 3 + lp))) AS h3, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(CAST(-2 AS DOUBLE) + CAST(0.25 AS DOUBLE) * 4 + lp))) AS h4 FROM tst),
+      |hzs AS (SELECT hz.*, ((CAST(1 AS DOUBLE) - h0)) AS s0, ((CAST(1 AS DOUBLE) - h0) * (CAST(1 AS DOUBLE) - h1)) AS s1, ((CAST(1 AS DOUBLE) - h0) * (CAST(1 AS DOUBLE) - h1) * (CAST(1 AS DOUBLE) - h2)) AS s2, ((CAST(1 AS DOUBLE) - h0) * (CAST(1 AS DOUBLE) - h1) * (CAST(1 AS DOUBLE) - h2) * (CAST(1 AS DOUBLE) - h3)) AS s3, ((CAST(1 AS DOUBLE) - h0) * (CAST(1 AS DOUBLE) - h1) * (CAST(1 AS DOUBLE) - h2) * (CAST(1 AS DOUBLE) - h3) * (CAST(1 AS DOUBLE) - h4)) AS s4 FROM hz),
+      |sv AS (SELECT id, CAST(k AS INT) AS k, h, s
+      |       FROM (SELECT id,
+      |                    unnest([0, 1, 2, 3, 4]) AS k,
+      |                    unnest([h0, h1, h2, h3, h4]) AS h,
+      |                    unnest([s0, s1, s2, s3, s4]) AS s
+      |             FROM hzs))""".stripMargin
+
+  /** DeepHit per-k fixed-weight expressions, generated to mirror the
+    * Scala constants exactly.
+    */
+  private val deephitSelect: String = {
+    def zk(k: Int) =
+      s"""(CAST(0.1 AS DOUBLE) * $k - CAST(0.2 AS DOUBLE)
+         | + (CAST(CAST(c_acctbal AS REAL) AS DOUBLE) * (CAST(-0.0001 AS DOUBLE) * frac$k)
+         |    + CAST(CAST(n_orders AS REAL) AS DOUBLE) * (CAST(0.01 AS DOUBLE) * frac$k)
+         |    + CAST(CAST(total_spent AS REAL) AS DOUBLE) * (CAST(0.0000001 AS DOUBLE) * frac$k)))"""
+        .stripMargin.replaceAll("\n", " ")
+    val fracs = (0 until K).map(k =>
+      s"CAST(${k + 1} AS DOUBLE) / CAST(5 AS DOUBLE) AS frac$k").mkString(", ")
+    val zs = (0 until K).map(k => s"${zk(k)} AS z$k").mkString(", ")
+    val mx = s"greatest(${(0 until K).map(k => s"z$k").mkString(", ")})"
+    val es = (0 until K).map(k => s"exp(z$k - mx) AS e$k").mkString(", ")
+    val tot = (0 until K).map(k => s"e$k").mkString(" + ")
+    val ps = (0 until K).map(k => s"e$k / tot AS p$k").mkString(", ")
+    val ss = (0 until K).map { k =>
+      val cum = (0 to k).map(j => s"p$j").mkString(" + ")
+      s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
+    }.mkString(", ")
+    s"""dh0 AS (SELECT id, $fracs FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),
+       |dh0b AS (SELECT dh0.id, $zs
+       |         FROM dh0 JOIN churn ON dh0.id = churn.id),
+       |dh1 AS (SELECT id, $mx AS mx FROM dh0b),
+       |dh2 AS (SELECT dh0b.id, $es FROM dh0b JOIN dh1 ON dh0b.id = dh1.id),
+       |dh3 AS (SELECT dh2.*, $tot AS tot FROM dh2),
+       |dh4 AS (SELECT id, $ps FROM dh3),
+       |dh5 AS (SELECT dh4.*, $ss FROM dh4)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_pp_expand" -> (C + s", $splitSql,\n$trnSql\n" +
+      """SELECT id, CAST(j AS INT) AS j,
+        |       CASE WHEN j = t_idx AND e = 1 THEN 1 ELSE 0 END AS y
+        |FROM (SELECT id, e, t_idx, unnest(generate_series(0, t_idx)) AS j
+        |      FROM (SELECT id, e,
+        |                   LEAST(GREATEST(CAST(FLOOR((t - tmin) / step) AS INT), 0), 4) AS t_idx
+        |            FROM trn CROSS JOIN rng4))
+        |ORDER BY id, j""".stripMargin),
+
+    "q_loghaz_forward" -> (C + s", $splitSql,\n$tstSql,\n$hazSql\n" +
+      "SELECT id, k, round(h, 6) AS h, round(s, 6) AS s FROM sv ORDER BY id, k"),
+
+    "q_interpolate" -> (C + s", $splitSql,\n$trnSql,\n$tstSql,\n$hazSql,\n" +
+      """cut AS (SELECT CAST(range AS INT) AS k,
+        |               CASE WHEN range = 4 THEN tmax ELSE tmin + range * step END AS ct
+        |        FROM range(5) CROSS JOIN rng4),
+        |tr2 AS (SELECT CAST(min(t) AS DOUBLE) AS gmin, CAST(max(t) AS DOUBLE) AS gmax,
+        |               (max(t) - min(t)) / CAST(19 AS DOUBLE) AS gstep FROM tst),
+        |grid AS (SELECT CAST(range AS INT) AS tau_idx,
+        |                CASE WHEN range = 19 THEN gmax ELSE gmin + range * gstep END AS tau
+        |         FROM range(20) CROSS JOIN tr2),
+        |kn AS (SELECT id, CAST(0 AS DOUBLE) AS kt, CAST(1 AS DOUBLE) AS v FROM tst
+        |       UNION ALL
+        |       SELECT sv.id, cut.ct AS kt, sv.s AS v FROM sv JOIN cut ON sv.k = cut.k),
+        |seg0 AS (SELECT kn.id, g.tau_idx, g.tau,
+        |                max_by(kn.v, kn.kt) AS v0, max(kn.kt) AS t0
+        |         FROM kn JOIN grid g ON kn.kt <= g.tau
+        |         GROUP BY kn.id, g.tau_idx, g.tau),
+        |seg1 AS (SELECT kn.id, g.tau_idx, g.tau,
+        |                min_by(kn.v, kn.kt) AS v1, min(kn.kt) AS t1
+        |         FROM kn JOIN grid g ON kn.kt > g.tau
+        |         GROUP BY kn.id, g.tau_idx, g.tau)
+        |SELECT s0.id, s0.tau_idx, s0.tau,
+        |       round(CASE WHEN s1.t1 IS NULL THEN s0.v0
+        |                  ELSE s0.v0 + (s1.v1 - s0.v0) * (s0.tau - s0.t0) / (s1.t1 - s0.t0)
+        |             END, 6) AS s
+        |FROM seg0 s0 LEFT JOIN seg1 s1
+        |  ON s0.id = s1.id AND s0.tau_idx = s1.tau_idx
+        |ORDER BY s0.id, s0.tau_idx""".stripMargin),
+
+    "q_deephit_forward" -> (C + s", $splitSql,\n$deephitSelect\n" +
+      s"""SELECT id, CAST(k AS INT) AS k,
+         |       round(pmf, 6) + CAST(0 AS DOUBLE) AS pmf,
+         |       round(s, 6) + CAST(0 AS DOUBLE) AS s
+         |FROM (SELECT id,
+         |             unnest([${(0 until K).mkString(", ")}]) AS k,
+         |             unnest([${(0 until K).map(k => s"p$k").mkString(", ")}]) AS pmf,
+         |             unnest([${(0 until K).map(k => s"s$k").mkString(", ")}]) AS s
+         |      FROM dh5)
+         |ORDER BY id, k""".stripMargin),
+
+    "q_pair_rank" -> (C + s", $splitSql,\n$trnSql,\n" +
+      """b AS (SELECT trn.id AS id,
+        |             LEAST(GREATEST(CAST(FLOOR((trn.t - tmin) / step) AS INT), 0), 4) AS k,
+        |             trn.e AS e
+        |      FROM trn CROSS JOIN rng4
+        |      JOIN churn_rn ON trn.id = churn_rn.id WHERE churn_rn.rn < 128)
+        |SELECT a.id AS i, c.id AS j,
+        |       CASE WHEN a.e = 1 AND (a.k < c.k OR (a.k = c.k AND c.e = 0 AND a.id != c.id))
+        |            THEN 1 ELSE 0 END AS r
+        |FROM b a CROSS JOIN b c ORDER BY i, j""".stripMargin),
+
+    "q_hyperband_schedule" ->
+      """WITH br AS (SELECT CAST(4 - range AS INT) AS s FROM range(5)),
+        |cfg AS (SELECT s,
+        |               CAST((5 * CAST(power(3, s) AS BIGINT) + s) // (s + 1) AS INT) AS n
+        |        FROM br),
+        |rungs AS (SELECT s, n, CAST(r2.range AS INT) AS i
+        |          FROM cfg CROSS JOIN range(5) r2 WHERE r2.range <= s)
+        |SELECT s, i,
+        |       CAST((n + CAST(power(3, i) AS BIGINT) - 1) // CAST(power(3, i) AS BIGINT) AS INT) AS n_configs,
+        |       CAST((81 // CAST(power(3, s) AS BIGINT)) * CAST(power(3, i) AS BIGINT) AS INT) AS epochs
+        |FROM rungs ORDER BY s DESC, i""".stripMargin)
+}

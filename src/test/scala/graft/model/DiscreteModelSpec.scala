@@ -1,0 +1,100 @@
+package graft.model
+
+import graft.SparkTestBase
+import graft.surv.SurvDataset
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class DiscreteModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fixture(n: Int) = {
+    import spark.implicits._
+    val rng = new Random(7)
+    val rows = (0 until n).map { i =>
+      val x1 = rng.nextDouble() * 2 - 1
+      val x2 = rng.nextDouble() * 2 - 1
+      val rate = math.exp(1.0 * x1 - 0.5 * x2)
+      val tEvent = -math.log(rng.nextDouble()) / rate
+      val cens = rng.nextDouble() * 3.0
+      (i.toLong, x1, x2, math.min(tEvent, cens), if (tEvent <= cens) 1 else 0)
+    }
+    rows.toDF("idx", "x1", "x2", "time", "event")
+  }
+
+  private def ds(n: Int) = SurvDataset.fromDataFrame(fixture(n),
+    Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
+
+  test("DeepHit loss gradient matches finite differences") {
+    val k = 3; val p = 2
+    val rng = new Random(1)
+    val batch = Array.tabulate(6)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        rng.nextInt(k), rng.nextInt(2)))
+    val theta = Array.fill(k * (p + 1))(rng.nextDouble() * 0.5 - 0.25)
+
+    def lossAt(th: Array[Double]): Double = {
+      val acc = DeepHit.PartitionAcc(k, p, th, alpha = 0.3, sigma = 0.2)
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = DeepHit.PartitionAcc(k, p, theta, alpha = 0.3, sigma = 0.2)
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("LogisticHazard learns signal: c_index > 0.6, monotone survival") {
+    val d = ds(1200)
+    val fitted = LogisticHazard(numDurations = 10, maxIter = 60).fit(d)
+    val scores = fitted.score(d)
+    assert(scores("c_index") > 0.6, s"c=${scores("c_index")}")
+    val test = d.tensorized(d.test).withColumnRenamed("rn", "id")
+    val sv = test.select(
+      fitted.discreteSurv(transform(col("x"), _.cast("double"))).as("sv"))
+      .head().getSeq[Double](0)
+    assert(sv.sliding(2).forall { case Seq(a, b) => b <= a + 1e-12; case _ => true })
+  }
+
+  test("DeepHit learns signal: c_index > 0.6, pmf sums to 1") {
+    val d = ds(1200)
+    val fitted = DeepHit(numDurations = 10, epochs = 40, lr = 0.1).fit(d)
+    val scores = fitted.score(d)
+    assert(scores("c_index") > 0.6, s"c=${scores("c_index")}")
+    val test = d.tensorized(d.test).withColumnRenamed("rn", "id")
+    val pmf = test.select(
+      fitted.pmf(transform(col("x"), _.cast("double"))).as("p"))
+      .head().getSeq[Double](0)
+    assert(math.abs(pmf.sum - 1.0) < 1e-9)
+  }
+
+  test("Hyperband end-to-end with tiny budget selects and refits a model") {
+    val d = ds(300)
+    val hb = new graft.automl.Hyperband(maxIter = 2, eta = 2, outputEpochs = 5)
+    val fitted = hb.selectModel(d)
+    assert(hb.bestScore > -1.0 && hb.bestModel.nonEmpty)
+    assert(hb.seeds.size <= 2) // truncated to 2 best names (H4)
+    val scores = fitted.score(d)
+    assert(scores.contains("c_index") && scores.contains("brier_score"))
+  }
+
+  test("Hyperband schedule matches the reference float formulas") {
+    // cross-check exact-integer schedule vs the float computation
+    val sched = graft.automl.Hyperband.scheduleExact(81, 3)
+    val expected = for {
+      s <- 4 to 0 by -1
+      n = math.ceil(405.0 / 81 / (s + 1) * math.pow(3, s)).toInt
+      i <- 0 to s
+    } yield (s, i, math.ceil(n * math.pow(3.0, -i)).toInt,
+      (81 * math.pow(3.0, -s) * math.pow(3.0, i)).toInt)
+    assert(sched == expected)
+  }
+}
