@@ -22,7 +22,11 @@ object SparkEntry {
       (SurvQueries.queries, SurvQueries.oracles),
       (EvalQueries.queries, EvalQueries.oracles),
       (ModelQueries.queries, ModelQueries.oracles),
-      (DiscreteQueries.queries, DiscreteQueries.oracles))
+      (DiscreteQueries.queries, DiscreteQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimQueries.queries, SimQueries.oracles),
+      (StreamQueries.queries, StreamQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

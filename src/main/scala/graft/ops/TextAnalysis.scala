@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting (whitespace + BPE-ish regex), quality scoring
+  * (length / punctuation / stopword ratios), n-gram-heuristic
+  * language ID, and document fingerprinting. All pure codegen'd
+  * column expressions — they fuse into the parquet scan stage, no
+  * UDFs, no shuffles; per-document cost is O(len).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation marks.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Language marker stopwords (classic n-gram/stopword heuristic).
+    * Deterministic scoring; argmax with alphabetical priority.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val m = markers.toMap.apply(lang)
+    size(filter(tokens(text), t =>
+      array_contains(array(m.map(lit(_)): _*), t)))
+  }
+
+  /** Argmax over marker scores, ties resolved alphabetically. */
+  def predictedLang(text: Column): Column = {
+    val langs = markers.map(_._1) // alphabetical already
+    val scores = langs.map(l => l -> langScore(text, l)).toMap
+    langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), elseCol) =>
+        val laterLangs = langs.drop(i + 1)
+        val cond = laterLangs.map(o => scores(l) >= scores(o))
+          .reduce(_ && _)
+        when(cond, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", "")))
+      .cast("double") / length(text).cast("double")
+
+  def stopwordRatio(text: Column): Column =
+    langScore(text, "en").cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length for single-space-joined text. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Bounded heuristic quality score: rewards stopword density and
+    * word lengths in a natural range, penalizes punctuation noise.
+    */
+  def qualityScore(text: Column): Column =
+    stopwordRatio(text) * lit(2.0) +
+      least(avgTokenLen(text) / lit(10.0), lit(1.0)) -
+      punctRatio(text)
+
+  /** Normalized-content MD5 fingerprint (lowercase, collapsed
+    * whitespace) — the exact-dedup key.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` as
+  * oracle-checked queries (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding cosine). All hash pipelines are md5-derived
+  * integer arithmetic — bit-identical across engines, so outputs
+  * except cosine need NO rounding.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("h")),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, minJac = 0.05)
+        .orderBy("i", "j")),
+
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", numHashes = 16, rowsPerBand = 4, n = 3)
+        .orderBy("i", "j")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text",
+          bits = 32)
+        .orderBy("id")),
+
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val fp = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id",
+        "text", bits = 32)
+      Dedup.simhashPairs(fp, maxDist = 6)
+        .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))
+        .orderBy("i", "j")
+    }),
+
+    "q_dedup_embed_cos" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", minCos = 0.4)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+        .orderBy("i", "j")))
+
+  /** Shared SQL: distinct 3-gram shingles (1-based indexing matches
+    * the Spark element_at windows).
+    */
+  private val shSql =
+    """sh AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(
+      |    list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |           || ' ' || string_split(text, ' ')[i+2]))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+
+  private val sigSql =
+    """sig AS (
+      |  SELECT id, i, min(h) AS mh FROM (
+      |    SELECT id,
+      |           unnest(generate_series(0, 15)) AS i,
+      |           unnest(list_transform(generate_series(0, 15),
+      |             i -> ((i * 2 + 3) * xp + (i * 5 + 7)) % 1000000007)) AS h
+      |    FROM (SELECT id,
+      |                 (('0x' || substr(md5(sh), 1, 15))::BIGINT) % 1000000007 AS xp
+      |          FROM sh))
+      |  GROUP BY id, i)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q_dedup_ngram_jaccard" -> (s"WITH $shSql,\n" +
+      """sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |it AS (SELECT a.id AS i, b.id AS j, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        |       GROUP BY a.id, b.id)
+        |SELECT i, j, inter, sa.sz + sb.sz - inter AS un,
+        |       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+        |FROM it JOIN sz sa ON it.i = sa.id JOIN sz sb ON it.j = sb.id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05
+        |ORDER BY i, j""".stripMargin),
+
+    "q_dedup_minhash_lsh" -> (s"WITH $shSql,\n$sigSql,\n" +
+      """bands AS (SELECT id, i // 4 AS band,
+        |                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+        |          FROM sig GROUP BY id, i // 4),
+        |cand AS (SELECT DISTINCT a.id AS i, b.id AS j
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |est AS (SELECT cand.i, cand.j,
+        |               CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+        |                 / CAST(16 AS DOUBLE) AS est
+        |        FROM cand JOIN sig sa ON sa.id = cand.i
+        |        JOIN sig sb ON sb.id = cand.j AND sb.i = sa.i
+        |        GROUP BY cand.i, cand.j),
+        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |it AS (SELECT cand.i, cand.j, count(*) AS inter
+        |       FROM cand JOIN sh a ON a.id = cand.i
+        |       JOIN sh b ON b.id = cand.j AND b.sh = a.sh
+        |       GROUP BY cand.i, cand.j)
+        |SELECT est.i, est.j, est.est,
+        |       CAST(coalesce(it.inter, 0) AS DOUBLE)
+        |         / CAST(sa.sz + sb.sz - coalesce(it.inter, 0) AS DOUBLE) AS jac
+        |FROM est LEFT JOIN it ON est.i = it.i AND est.j = it.j
+        |JOIN sz sa ON est.i = sa.id JOIN sz sb ON est.j = sb.id
+        |ORDER BY est.i, est.j""".stripMargin),
+
+    "q_dedup_simhash" ->
+      """WITH tokh AS (
+        |  SELECT doc_id AS id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |bits AS (
+        |  SELECT id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+        |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+        |  GROUP BY id, b)
+        |SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dedup_simhash_pairs" ->
+      """WITH tokh AS (
+        |  SELECT doc_id AS id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |bits AS (
+        |  SELECT id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+        |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+        |  GROUP BY id, b),
+        |fp AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY id)
+        |SELECT a.id AS i, b.id AS j,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.id < b.id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY i, j""".stripMargin,
+
+    "q_dedup_embed_cos" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |d AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |             list_reduce(list_transform(list_zip(a.x, b.x),
+        |               z -> z[1] * z[2]), (p, q) -> p + q) AS dot,
+        |             list_reduce(list_transform(a.x, e -> e * e), (p, q) -> p + q) AS na,
+        |             list_reduce(list_transform(b.x, e -> e * e), (p, q) -> p + q) AS nb
+        |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT i, j, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+        |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        |ORDER BY i, j""".stripMargin)
+}

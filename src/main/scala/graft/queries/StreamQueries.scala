@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics in batch form, oracle-checked: tumbling-window
+  * aggregation and gap sessionization over `events`. Timestamps are
+  * compared as epoch micros (BIGINT) for engine-neutral hashing;
+  * value sums go through DECIMAL(30,12) so they are exact.
+  */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> ((s, dir) =>
+      StreamingOps.tumblingHourly(Tables.events(s, dir))
+        .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+          col("n"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("hour_us", "event_type")),
+
+    "q_stream_sessions" -> ((s, dir) =>
+      StreamingOps.sessionize(Tables.events(s, dir), 30)
+        .orderBy("user_id", "session_id")))
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |       event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+    "q_stream_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us,
+        |       max(us) - min(us) AS duration_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}

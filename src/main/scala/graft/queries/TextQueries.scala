@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.RollingHash.rolling_hash
+import graft.ops.{Multimodal, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + multimodal-plumbing operators over `documents` as
+  * oracle-checked queries. Everything is codegen'd expressions fused
+  * into the scan; scores/ratios are integer-derived doubles (exact
+  * across engines), so only formatting rounding appears.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"),
+          TA.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          round(TA.avgTokenLen(col("text")), 6).as("avg_tok_len"),
+          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TA.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_text_langid" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id") +:
+          TA.markers.map { case (l, _) =>
+            TA.langScore(col("text"), l).as(s"s_$l") } :+
+          TA.predictedLang(col("text")).as("predicted") :+
+          col("lang"): _*)
+        .withColumn("correct",
+          when(col("predicted") === col("lang"), 1).otherwise(0))
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.fingerprintMd5(col("text")).as("fp"),
+          rolling_hash(col("text")).as("rh"))
+        .orderBy("doc_id")),
+
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.features(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"),
+          col("head_hash"), col("frames_hash"))
+        .orderBy("id")))
+
+  private def scoreSql(lang: String): String = {
+    val m = TA.markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$m], t))) AS INT)"
+  }
+
+  private val predictedSql: String = {
+    val langs = TA.markers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val cond = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TA.BpePattern}')) AS INT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> list_contains(['the', 'a', 'of', 'and', 'is'], t))) AS INT) AS n_stop,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, n_tokens,
+        |    CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tok_len,
+        |    CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+        |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  round(avg_tok_len, 6) AS avg_tok_len,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(stop_ratio * CAST(2 AS DOUBLE)
+        |        + LEAST(avg_tok_len / CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+        |        - punct_ratio, 6) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> {
+      val scores = TA.markers.map { case (l, _) =>
+        s"${scoreSql(l)} AS s_$l" }.mkString(",\n  ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+         |p AS (SELECT *, $predictedSql AS predicted FROM sc)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, predicted, lang,
+         |       CASE WHEN predicted = lang THEN 1 ELSE 0 END AS correct
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  list_reduce([CAST(ord(c) AS BIGINT) FOR c IN string_split(text, '')],
+        |              (a, b) -> (a * 31 + b) % 1000000007) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+        |  'fake/' || CAST(octet_length(encode(text)) % 3 AS VARCHAR) AS format,
+        |  md5(substr(text, 1, 64)) AS head_hash,
+        |  md5(array_to_string(list_transform(generate_series(1, length(text), 8),
+        |      i -> substr(text, i, 1)), '')) AS frames_hash
+        |FROM documents ORDER BY id""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface (north-star §7.5: the reference has
+  * no streaming — its "stream" is a cursor-paged batch iterator,
+  * dataset.py:189-225). The engine declares real stream semantics
+  * over the `events` table:
+  *
+  *  - tumbling-window aggregation (the same logical plan serves batch
+  *    and `readStream` — verified equal in StreamingSpec);
+  *  - 30-minute-gap sessionization, expressed in batch form with
+  *    windowed lag/cumsum (the streaming form maps to
+  *    session_window / flatMapGroupsWithState).
+  *
+  * Scale shape: both group by (window/user) keys — shuffle-keyed,
+  * watermark-bounded state in the streaming case.
+  */
+object StreamingOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos (legacy parquet read)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def withTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour aggregation; identical plan for batch input and
+    * readStream input.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 12))).cast("double").as("sum_value"))
+
+  /** Streaming flavor: explicit window() + watermark (append-ready). */
+  def tumblingHourlyStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 12))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** 30-minute-gap sessions per user (batch form): session boundaries
+    * by lag, ids by running sum, then per-session aggregates.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val marked = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+  }
+}

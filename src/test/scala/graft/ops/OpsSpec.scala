@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.RollingHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("rolling hash: known value, codegen path") {
+    import spark.implicits._
+    // h("ab") = (0*31+97)*31 + 98 = 3105
+    val got = Seq("ab").toDF("t")
+      .select(RollingHash.rolling_hash(col("t"))).head().getLong(0)
+    assert(got == 97L * 31 + 98)
+  }
+
+  test("shingles: 3-gram windows, distinct, short-doc guard") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d"))) // doc 2 too short
+  }
+
+  test("exact dedup groups duplicates under normalization") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("n") > 1).head()
+    assert(g.getLong(1) == 2 && g.getLong(2) == 1 && g.getLong(3) == 2)
+  }
+
+  test("minhash LSH finds a true near-duplicate pair") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.8))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extraword"
+    val other = (200 to 260).map(i => s"qq$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(fp, maxDist = 32).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) < pairs((1L, 3L)))
+    assert(pairs((1L, 2L)) <= 4)
+  }
+
+  test("brute-force topk: identical vector ranks first with cos 1") {
+    import spark.implicits._
+    val v1 = Array(1.0f, 0.0f, 0.0f)
+    val emb = Seq((0L, v1), (1L, v1), (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2).orderBy("rank").collect()
+    assert(top(0).getLong(2) == 1L && math.abs(top(0).getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("langid picks the language with most markers") {
+    import spark.implicits._
+    val df = Seq("le chat et le chien est la", "the cat and the dog is a")
+      .toDF("text")
+    val got = df.select(TextAnalysis.predictedLang(col("text"))).collect()
+      .map(_.getString(0))
+    assert(got.toSeq == Seq("fr", "en"))
+  }
+}

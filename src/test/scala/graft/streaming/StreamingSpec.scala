@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming surface is REAL: the tumbling aggregation runs as a
+  * Structured Streaming query (parquet source → memory sink) and must
+  * produce exactly the batch result.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg equals batch result") {
+    val batch = StreamingOps.tumblingHourlyStream(Tables.events(spark, dir))
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+
+    // streaming parquet source wants a directory
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsSchema)
+      .parquet(tmp.toString)
+    val agg = StreamingOps.tumblingHourlyStream(StreamingOps.withTs(stream))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("tumbling_out").orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+    assert(got.nonEmpty && got.toSeq == batch.toSeq)
+  }
+
+  test("sessionization: session count and event conservation") {
+    val sess = StreamingOps.sessionize(Tables.events(spark, dir), 30)
+    val events = Tables.events(spark, dir)
+    val totalEvents = events.count()
+    val row = sess.agg(sum(col("n_events")), count(lit(1))).head()
+    assert(row.getLong(0) == totalEvents) // every event in exactly one session
+    assert(row.getLong(1) >= events.select(col("user_id")).distinct().count())
+    // all durations non-negative, sessions internally gap-bounded
+    assert(sess.filter(col("duration_us") < 0).count() == 0)
+  }
+}
