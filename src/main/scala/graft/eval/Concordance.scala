@@ -39,20 +39,28 @@ object Concordance {
   }
 
   /** Antolini time-dependent C-index. `surv` is long-form
-    * (idCol, tau, s) per subject over a grid; S(t_i|x) is the step
-    * value at the last tau <= t_i (grid covers test times).
+    * (idCol, tau, s) per subject over `grid`; S(t_i|x) is the step
+    * value at the last tau <= t_i.
+    *
+    * The step lookup resolves each event time to its grid point with
+    * a literal-array expression, so the surv join is an EQUI-join on
+    * tau (hash join) — not a nested-loop range join; events with
+    * t_i below the grid are excluded (no step value), matching the
+    * range-join semantics.
     */
   def antolini(df: DataFrame, idCol: String, tCol: String, eCol: String,
-               surv: DataFrame): DataFrame = {
-    // S evaluated at subject i's own event time, for every subject k:
-    // join surv on tau step-below t_i via max_by group.
+               surv: DataFrame, grid: Array[Double]): DataFrame = {
     val base = df.select(col(idCol).as("i"), col(tCol).cast("double").as("ti"),
       col(eCol).cast("int").as("ei"))
+    val gridArr = array(grid.map(lit(_)): _*)
+    val eligible = filter(gridArr, g => g <= col("ti"))
+    val tauStep = when(size(eligible) > 0, element_at(eligible, -1))
     val sAt = base.filter(col("ei") === 1)
+      .withColumn("tau_i", tauStep)
+      .filter(col("tau_i").isNotNull)
       .join(surv.select(col(idCol).as("k"), col("tau"), col("s")),
-        col("tau") <= col("ti"))
-      .groupBy(col("i"), col("ti"), col("k"))
-      .agg(max_by(col("s"), col("tau")).as("s_at_ti"))
+        col("tau") === col("tau_i"))
+      .select(col("i"), col("ti"), col("k"), col("s").as("s_at_ti"))
     // self: k = i; other: k = j with t_j > t_i
     val self = sAt.filter(col("k") === col("i"))
       .select(col("i"), col("ti"), col("s_at_ti").as("si"))

@@ -135,10 +135,11 @@ final case class CoxPH(
 
 object CoxPH {
 
-  /** βᵀx as a codegen'd array expression (no UDF). */
+  /** βᵀx through the codegen'd VecDot kernel (sequential double
+    * accumulation — same value as the aggregate/zip_with form).
+    */
   def scoreCol(x: Column, beta: Array[Double]): Column =
-    aggregate(zip_with(x, array(beta.map(lit(_)): _*), (a, b) => a * b),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecDot.vec_dot(x, array(beta.map(lit(_)): _*))
 
   /** Breslow cumulative baseline hazard from rows with a linear score
     * column: per distinct event time, h0 = d / S0 (S0 = Σ_{T>=t} e^sc)

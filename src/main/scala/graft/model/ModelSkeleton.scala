@@ -39,7 +39,7 @@ trait FittedSurvModel {
       val surv = predictSurv(test, grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val c = Concordance.antolini(test, "id", "t", "e", surv)
+        val c = Concordance.antolini(test, "id", "t", "e", surv, grid)
           .head().getAs[Double]("cindex")
         val ibs = BrierScore
           .integrated(BrierScore.grid(test, "id", "t", "e", surv, grid))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VecDot.vec_dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -25,20 +26,14 @@ object Dedup {
         max(col(idCol)).as("max_id"))
 
   /** Distinct word n-gram shingles per document, exploded to
-    * (id, shingle) rows. Shingles are 1-based element_at windows so
-    * the DuckDB mirror (1-based lists) lines up.
+    * (id, shingle) rows — derived from [[shingleSets]] so the
+    * tokenize+distinct plan is shared (and cache-deduped) with the
+    * signature pipeline.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-               n: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // guard: Spark sequence(1, k) DESCENDS for k < 1 — short docs
-    // must produce an empty shingle set instead
-    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
-    docs.select(col(idCol).as("id"), explode(array_distinct(sh)).as("sh"))
-  }
+               n: Int = 3): DataFrame =
+    shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("shset")).as("sh"))
 
   /** Candidate pairs sharing ≥1 shingle with exact Jaccard ≥ minJac.
     * The shingle self-join is an equi-join on the shingle (shuffle on
@@ -68,16 +63,36 @@ object Dedup {
   def shingleInt(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signatures: numHashes universal-hash minima per doc.
-    * Returns (id, i, mh).
+  /** MinHash signature as ONE array column per doc: shingle ints are
+    * hashed ONCE (explode), then a single groupBy(id) runs all
+    * numHashes `min` aggregates as codegen'd map-side-combined
+    * columns. (A nested transform/array_min formulation looks
+    * shuffle-free but Catalyst inlines the md5 hash into every
+    * array_min lambda — numHashes× recomputation; this shape is the
+    * fast AND scalable one.) Returns (id, sig: array<long>).
     */
-  def minhashSignature(sh: DataFrame, numHashes: Int = 16): DataFrame = {
-    val xp = (shingleInt(col("sh")) % P).as("xp")
-    val hashes = transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      ((i.cast("long") * 2L + 3L) * col("xp") + (i.cast("long") * 5L + 7L)) % P)
-    sh.select(col("id"), xp)
-      .select(col("id"), posexplode(hashes).as(Seq("i", "h")))
-      .groupBy(col("id"), col("i")).agg(min(col("h")).as("mh"))
+  def minhashSignatureArr(docsSh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val xp = docsSh.select(col("id"), explode(col("shset")).as("sh"))
+      .select(col("id"), (shingleInt(col("sh")) % P).as("xp"))
+    val mins = (0 until numHashes).map { i =>
+      min((col("xp") * (2L * i + 3L) + (5L * i + 7L)) % P).as(s"mh$i")
+    }
+    xp.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** Distinct shingle SET per doc (array form; empty for short docs —
+    * Spark sequence(1, k) DESCENDS for k < 1, hence the guard).
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    docs.select(col(idCol).as("id"), array_distinct(sh).as("shset"))
   }
 
   /** LSH band-bucket candidate pairs + estimated (minhash-agreement)
@@ -88,28 +103,30 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, rowsPerBand: Int = 4,
                       n: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    val sets = shingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignature(sh, numHashes)
+    val sh = sets.select(col("id"), explode(col("shset")).as("sh"))
+    val sig = minhashSignatureArr(sets.filter(size(col("shset")) > 0), numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col("id"), col("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh").cast("string"))).as("key"))
+    val nBands = numHashes / rowsPerBand
+    val bands = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+          concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+            _.cast("string"))))).as(Seq("band", "key")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
-    // estimated similarity: fraction of agreeing minhashes
+    // estimated similarity: fraction of agreeing minhashes (array zip)
     val est = cand
-      .join(sig.select(col("id").as("i"), col("i").as("hi"), col("mh").as("ma")), Seq("i"))
-      .join(sig.select(col("id").as("j"), col("i").as("hj"), col("mh").as("mb")), Seq("j"))
-      .filter(col("hi") === col("hj"))
-      .groupBy(col("i"), col("j"))
-      .agg((sum(when(col("ma") === col("mb"), 1).otherwise(0)).cast("double") /
-        lit(numHashes.toDouble)).as("est"))
+      .join(sig.select(col("id").as("i"), col("sig").as("sa")), Seq("i"))
+      .join(sig.select(col("id").as("j"), col("sig").as("sb")), Seq("j"))
+      .select(col("i"), col("j"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+          lit(numHashes.toDouble)).as("est"))
     // exact jaccard for verification
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
@@ -157,25 +174,26 @@ object Dedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
 
-  /** Cosine over float-narrowed embeddings, computed in double with
-    * fixed sequential order (oracle-parity).
+  /** Cosine over embeddings: sequential-double dot products through
+    * the codegen'd VecDot kernel (bit-equal to the DuckDB
+    * list_reduce oracle).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) =>
-        p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
 
   /** Embedding near-dup pairs with cosine ≥ minCos (brute-force at
     * parity scale; the scale path is LSH/IVF bucketing — see
-    * Similarity).
+    * Similarity). Norms are computed once per vector, not per pair.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     minCos: Double): DataFrame =
-    emb.select(col(idCol).as("i"), col(vecCol).as("va"))
-      .join(emb.select(col(idCol).as("j"), col(vecCol).as("vb")),
+                     minCos: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
+    v.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+      .join(v.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")),
         col("i") < col("j"))
-      .select(col("i"), col("j"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("i"), col("j"),
+        (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCos)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VecDot.vec_dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,17 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic integer hyperplane component: plane b, dim j. */
-  private def planeComponent(b: Int, j: Column): Column =
-    (lit(b) * 37 + j * 101) % 19 - lit(9)
+  /** Deterministic integer hyperplane component: plane b, dim j
+    * (same values the DuckDB oracle computes inline).
+    */
+  def planeComponent(b: Int, j: Int): Double =
+    ((b * 37 + j * 101) % 19 - 9).toDouble
 
-  /** Bucket id from sign bits of `numPlanes` integer hyperplanes. */
+  /** Bucket id from sign bits of `numPlanes` integer hyperplanes.
+    * Planes are literal double arrays → each dot is one codegen'd
+    * VecDot pass over the vector.
+    */
   def lshBucket(vec: Column, dims: Int, numPlanes: Int): Column = {
     val dots = (0 until numPlanes).map { b =>
-      aggregate(
-        zip_with(vec, sequence(lit(0), lit(dims - 1)),
-          (v, j) => v.cast("double") * planeComponent(b, j).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      val plane = array((0 until dims).map(j => lit(planeComponent(b, j))): _*)
+      vec_dot(vec, plane)
     }
     dots.zipWithIndex.map { case (d, b) =>
       when(d > 0.0, lit(1L << b)).otherwise(lit(0L))
@@ -43,12 +47,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("qn")))
+    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("cn"))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+        (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -60,13 +66,13 @@ object Similarity {
               vecCol: String, dims: Int, numPlanes: Int, k: Int): DataFrame = {
     val bucket = lshBucket(col(vecCol), dims, numPlanes)
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-      bucket.as("bucket"))
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("cn"), bucket.as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      bucket.as("bucket")))
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("qn"), bucket.as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("bucket"), col("vec_id"),
-        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+        (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

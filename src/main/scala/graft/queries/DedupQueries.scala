@@ -25,7 +25,7 @@ object DedupQueries {
 
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", numHashes = 16, rowsPerBand = 4, n = 3)
+          "doc_id", "text", numHashes = 16, rowsPerBand = 8, n = 3)
         .orderBy("i", "j")),
 
     "q_dedup_simhash" -> ((s, dir) =>
@@ -88,9 +88,9 @@ object DedupQueries {
         |ORDER BY i, j""".stripMargin),
 
     "q_dedup_minhash_lsh" -> (s"WITH $shSql,\n$sigSql,\n" +
-      """bands AS (SELECT id, i // 4 AS band,
+      """bands AS (SELECT id, i // 8 AS band,
         |                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
-        |          FROM sig GROUP BY id, i // 4),
+        |          FROM sig GROUP BY id, i // 8),
         |cand AS (SELECT DISTINCT a.id AS i, b.id AS j
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.key = b.key AND a.id < b.id),

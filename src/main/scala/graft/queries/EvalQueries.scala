@@ -70,7 +70,7 @@ object EvalQueries {
       val test = testWithRisk(s, dir)
       val grid = BrierScore.defaultGrid(test, "t")
       Concordance.antolini(test, "id", "t", "e",
-        parametricSurv(test, grid))
+        parametricSurv(test, grid), grid)
     }),
 
     // §2.7 per-τ IPCW Brier over the reference's 100-point grid.
