@@ -12,9 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    ChurnView.build(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The churn survival view (orders⋈customer⋈nation with
+    * exact money sums) scored with a fixed-weight Cox risk — the
+    * minimum §7.2 slice without iterative training.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val churn = ChurnView.build(spark, "/root/testdata/sf0.001")
+    val lp = col("c_acctbal") * lit(-0.0001) +
+      col("n_orders").cast("double") * lit(0.01) +
+      col("total_spent") * lit(1.0e-7)
+    churn.withColumn("risk", exp(lp))
+  }
 
   private val providers: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(

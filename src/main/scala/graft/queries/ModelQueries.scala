@@ -69,6 +69,26 @@ object ModelQueries {
           round(exp(-CoxPH.h0At(col("tau"), baseline) * exp(col("lp"))), 6)
             .as("s"))
         .orderBy("id", "tau_idx")
+    }),
+
+    // A5: mean survival curve across subjects (np.mean(pred, axis=1),
+    // tutorial_2 cell 12) — explode + groupBy(tau) + avg.
+    "q_avg_surv_curve" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val train = trainWithLp(s, dir)
+      val baseline = CoxPH.breslow(train, col("lp"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+      val grid = DurationCuts.fit(ds.train, "t", 10)
+      import s.implicits._
+      val g = grid.cuts.zipWithIndex.map(p => (p._2, p._1)).toSeq
+        .toDF("tau_idx", "tau")
+      ds.test.select(col("id"), lpCol.as("lp"))
+        .crossJoin(broadcast(g))
+        .select(col("tau_idx"), col("tau"),
+          exp(-CoxPH.h0At(col("tau"), baseline) * exp(col("lp"))).as("s"))
+        .groupBy(col("tau_idx"), col("tau"))
+        .agg(round(avg(col("s")), 6).as("avg_s"))
+        .orderBy("tau_idx")
     }))
 
   private val trainSql =
@@ -109,5 +129,22 @@ object ModelQueries {
          |        FROM grid LEFT JOIN bres ON bres.t <= grid.tau
          |        GROUP BY tau_idx, tau)
          |SELECT id, tau_idx, tau, round(exp(-h0 * exp(lp)), 6) AS s
-         |FROM tst CROSS JOIN h0g ORDER BY id, tau_idx""".stripMargin))
+         |FROM tst CROSS JOIN h0g ORDER BY id, tau_idx""".stripMargin),
+
+    "q_avg_surv_curve" -> (C + s", $splitSql,\n$trainSql,\n$breslowSql,\n" +
+      s"""rng AS (SELECT min(t) AS tmin, max(t) AS tmax,
+         |               (max(t) - min(t)) / CAST(9 AS DOUBLE) AS step FROM trn),
+         |grid AS (SELECT CAST(range AS INT) AS tau_idx,
+         |                CASE WHEN range = 9 THEN tmax
+         |                     ELSE tmin + range * step END AS tau
+         |         FROM range(10) CROSS JOIN rng),
+         |tst AS (SELECT id, $lpSql AS lp
+         |        FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),
+         |h0g AS (SELECT tau_idx, tau, coalesce(max_by(bres.h0cum, bres.t),
+         |               CAST(0 AS DOUBLE)) AS h0
+         |        FROM grid LEFT JOIN bres ON bres.t <= grid.tau
+         |        GROUP BY tau_idx, tau)
+         |SELECT tau_idx, tau, round(avg(exp(-h0 * exp(lp))), 6) AS avg_s
+         |FROM tst CROSS JOIN h0g GROUP BY tau_idx, tau
+         |ORDER BY tau_idx""".stripMargin))
 }
