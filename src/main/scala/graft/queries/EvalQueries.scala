@@ -64,6 +64,12 @@ object EvalQueries {
     "q_cindex" -> ((s, dir) =>
       Concordance.harrell(testWithRisk(s, dir), "t", "e", "r")),
 
+    // §2.7/§7.5 the 100-TB path: sort-based counting C-index (no
+    // pair join) — must produce the identical row as q_cindex.
+    "q_cindex_sorted" -> ((s, dir) =>
+      graft.eval.ScalableConcordance.harrell(
+        testWithRisk(s, dir), "t", "e", "r", numBuckets = 16)),
+
     // §2.7 Antolini time-dependent C-index over the step-function
     // survival grid.
     "q_cindex_td" -> ((s, dir) => {
@@ -140,7 +146,19 @@ object EvalQueries {
       |bsg AS (SELECT tau_idx, tau, sum(c) / n AS bs
       |        FROM contrib CROSS JOIN nrows GROUP BY tau_idx, tau, n)""".stripMargin
 
+  /** q_cindex_sorted is algebraically identical to q_cindex. */
+  private def cindexSql: String = (C + s", $splitSql,\n$testSql\n" +
+    """SELECT count(*) AS comparable,
+      |       sum(CASE WHEN i.r > j.r THEN CAST(1 AS DOUBLE)
+      |                WHEN i.r = j.r THEN CAST(0.5 AS DOUBLE)
+      |                ELSE CAST(0 AS DOUBLE) END) AS concordant,
+      |       sum(CASE WHEN i.r > j.r THEN CAST(1 AS DOUBLE)
+      |                WHEN i.r = j.r THEN CAST(0.5 AS DOUBLE)
+      |                ELSE CAST(0 AS DOUBLE) END) / count(*) AS cindex
+      |FROM test i JOIN test j ON i.t < j.t AND i.e = 1""".stripMargin)
+
   val oracles: Map[String, String] = Map(
+    "q_cindex_sorted" -> cindexSql,
     "q_km" -> (C +
       """,
         |km0 AS (SELECT CAST(t AS DOUBLE) AS t, CAST(sum(e) AS BIGINT) AS d,
@@ -155,15 +173,7 @@ object EvalQueries {
     "q_km_censoring" -> (C + s", $splitSql,\n$testSql,\n$censSql\n" +
       "SELECT t, d, n, round(s, 6) AS s FROM ckm ORDER BY t"),
 
-    "q_cindex" -> (C + s", $splitSql,\n$testSql\n" +
-      """SELECT count(*) AS comparable,
-        |       sum(CASE WHEN i.r > j.r THEN CAST(1 AS DOUBLE)
-        |                WHEN i.r = j.r THEN CAST(0.5 AS DOUBLE)
-        |                ELSE CAST(0 AS DOUBLE) END) AS concordant,
-        |       sum(CASE WHEN i.r > j.r THEN CAST(1 AS DOUBLE)
-        |                WHEN i.r = j.r THEN CAST(0.5 AS DOUBLE)
-        |                ELSE CAST(0 AS DOUBLE) END) / count(*) AS cindex
-        |FROM test i JOIN test j ON i.t < j.t AND i.e = 1""".stripMargin),
+    "q_cindex" -> cindexSql,
 
     "q_cindex_td" -> (C + s", $splitSql,\n$testSql,\n$gridSql,\n" +
       """si AS (SELECT i.id, i.t,
