@@ -61,6 +61,63 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer —
+    * centroids are per-dimension means of hash-partitioned groups
+    * (rounded to 6dp so both engines see identical coordinates; a
+    * learned k-means quantizer slots into the same dataflow), every
+    * vector is assigned to its nearest centroid cell (squared-L2 via
+    * the VecDot identity ‖x−c‖² = x·x − 2x·c + c·c, ties to the
+    * lowest cell), and search ranks only within the query's cell.
+    * Returns (qid, cell, rank, vec_id, cos).
+    *
+    * Scale shape: the centroid table is tiny (cells × dims) and
+    * broadcast; assignment is a scan-fused projection; the search
+    * join is an equi-join on the cell id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, numCells: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // deterministic coarse "training": per-dim means of id%cells groups
+    val cent = corpus
+      .select((col(idCol) % numCells).cast("int").as("cell"),
+        posexplode(col(vecCol)).as(Seq("j", "xv")))
+      .groupBy(col("cell"), col("j"))
+      .agg(round(avg(col("xv").cast("double")), 6).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
+      .toMap
+    val centDf = broadcast(
+      (0 until numCells).map(b => (b, cent(b).toSeq)).toDF("cell", "carr"))
+
+    def assigned(df: DataFrame, id: String): DataFrame = {
+      val vv = vec_dot(col(vecCol), col(vecCol))
+      val scored = df.select(col(id), col(vecCol), vv.as("vv"))
+        .crossJoin(centDf)
+        .select(col(id), col(vecCol), col("cell"),
+          (col("vv") - lit(2.0) * vec_dot(col(vecCol), col("carr"))
+            + vec_dot(col("carr"), col("carr"))).as("dist"))
+      val w = Window.partitionBy(col(id)).orderBy(col("dist"), col("cell"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col(id), col(vecCol), col("cell"))
+    }
+
+    val c = assigned(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("cn"), col("cell"))
+    val q = broadcast(assigned(queries, idCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("qn"), col("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vec_id"),
+        (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cell"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** LSH-bucketed top-k: rank only within the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dims: Int, numPlanes: Int, k: Int): DataFrame = {

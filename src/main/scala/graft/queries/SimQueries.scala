@@ -36,6 +36,15 @@ object SimQueries {
         .orderBy("qid", "rank")
     }),
 
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", numCells = 8, k = 3)
+        .select(col("qid"), col("cell"), col("rank"), col("vec_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     "q_sim_buckets" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       emb.select(col("vec_id"),
@@ -93,5 +102,33 @@ object SimQueries {
 
     "q_sim_buckets" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
-         |SELECT vec_id, $bucketSql AS bucket FROM v ORDER BY vec_id""".stripMargin)
+         |SELECT vec_id, $bucketSql AS bucket FROM v ORDER BY vec_id""".stripMargin,
+
+    "q_sim_ivf_topk" -> {
+      val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+      val dot = dotSql
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
+         |                round(avg(x[j + 1]), 6) AS c
+         |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |         GROUP BY 1, 2),
+         |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
+         |asgn AS (SELECT vec_id, x, cell FROM (
+         |  SELECT v.vec_id, v.x, ca.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |           (${vv.format("v.x")}
+         |            - 2 * ${dot.format("v.x", "ca.carr")}
+         |            + ${vv.format("ca.carr")}), ca.cell) AS rk
+         |  FROM v CROSS JOIN ca) WHERE rk = 1),
+         |sc AS (SELECT q.vec_id AS qid, q.cell AS cell, c.vec_id AS vec_id,
+         |              ${dot.format("q.x", "c.x")}
+         |              / (sqrt(${vv.format("q.x")}) * sqrt(${vv.format("c.x")})) AS cos
+         |       FROM asgn q JOIN asgn c ON c.cell = q.cell AND c.vec_id != q.vec_id
+         |       WHERE q.vec_id < 10),
+         |rk AS (SELECT qid, cell, vec_id, cos,
+         |              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |       FROM sc)
+         |SELECT qid, cell, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
+         |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    })
 }

@@ -43,6 +43,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == batch.toSeq)
   }
 
+  test("streaming session_window sessionization equals batch gap sessions") {
+    // real stateful streaming: session_window with 30-min gap
+    val tmp = java.nio.file.Files.createTempDirectory("events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val stream = StreamingOps.withTs(spark.readStream
+      .schema(StreamingOps.eventsSchema).parquet(tmp.toString))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_ev"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = StreamingOps.sessionize(Tables.events(spark, dir), 30)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_ev"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.toSeq == batch.toSeq)
+  }
+
   test("sessionization: session count and event conservation") {
     val sess = StreamingOps.sessionize(Tables.events(spark, dir), 30)
     val events = Tables.events(spark, dir)
