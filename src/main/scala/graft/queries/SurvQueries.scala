@@ -107,6 +107,21 @@ object SurvQueries {
       C + s"SELECT id,\n       $cases\nFROM churn ORDER BY id"
     },
 
+    "q_tensorize" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        .map(v => s"CAST(CASE WHEN c_mktsegment = '$v' THEN 1 ELSE 0 END AS REAL)")
+      val nations = (0 until 25).map(i => s"NATION_$i").sorted
+        .map(v => s"CAST(CASE WHEN n_name = '$v' THEN 1 ELSE 0 END AS REAL)")
+      val entries = (Seq("CAST(c_acctbal AS REAL)") ++ segs ++ nations ++
+        Seq("CAST(n_orders AS REAL)", "CAST(total_spent AS REAL)"))
+        .mkString(",\n    ")
+      C + s", $splitSql\n" +
+        s"""SELECT rn, list_value(
+           |    $entries) AS x,
+           |  CAST(t AS DOUBLE) AS t, e
+           |FROM churn_rn CROSS JOIN tl WHERE rn < train_len ORDER BY rn""".stripMargin
+    },
+
     "q_label_discretize" -> (C + s", $splitSql," +
       """
         |tr AS (SELECT churn_rn.* FROM churn_rn CROSS JOIN tl WHERE rn < train_len),
