@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlViewsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("spark.sql over registered views + custom SQL functions") {
+    SqlViews.register(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT count(*) FROM lineitem").head().getLong(0)
+    assert(n > 1000)
+    val churn = spark.sql(
+      "SELECT count(*) FROM churn WHERE e = 1").head().getLong(0)
+    assert(churn > 0)
+    val rh = spark.sql(
+      "SELECT rolling_hash('ab')").head().getLong(0)
+    assert(rh == 97L * 31 + 98)
+    val dot = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE)), " +
+        "array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)))").head().getDouble(0)
+    assert(dot == 9.0)
+    val ev = spark.sql(
+      "SELECT count(*) FROM events WHERE event_type IS NOT NULL").head().getLong(0)
+    assert(ev > 0)
+  }
+}
