@@ -14,19 +14,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // shared-input setup (stable-order churn dataset build + encoder
     // fits), memoized across queries — timed once, reported as _setup
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val tSetup = System.nanoTime()
     try graft.surv.ChurnView.dataset(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        failed += "_setup"
+        System.err.println(s"[bench] _setup FAILED: $e")
+    }
     val setupSec = (System.nanoTime() - tSetup) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     } ++ Map("_setup" -> setupSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

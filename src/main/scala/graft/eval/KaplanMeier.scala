@@ -51,6 +51,10 @@ object KaplanMeier {
   /** Step-function lookup value of `curve` at each `at` time:
     * s(max curve.t <= at), 1.0 before the first time. `curve` is
     * expected to be small (distinct times) and is broadcast.
+    *
+    * NOTE: the result is grouped by ALL columns of `points`, so rows
+    * of `points` must be unique (e.g. carry a unique id) — fully
+    * duplicate input rows would be collapsed into one output row.
     */
   def lookup(points: DataFrame, atCol: String, curve: DataFrame,
              strict: Boolean, out: String): DataFrame = {

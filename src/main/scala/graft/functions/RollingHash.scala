@@ -33,14 +33,15 @@ case class RollingHash(child: Expression, base: Long, mod: Long)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val p = ctx.freshName("rh")
       s"""
-         |String $$str = $c.toString();
-         |long $$h = 0L;
-         |for (int $$i = 0; $$i < $$str.length(); $$i++) {
-         |  $$h = ($$h * ${base}L + (long) $$str.charAt($$i)) % ${mod}L;
+         |String ${p}str = $c.toString();
+         |long ${p}h = 0L;
+         |for (int ${p}i = 0; ${p}i < ${p}str.length(); ${p}i++) {
+         |  ${p}h = (${p}h * ${base}L + (long) ${p}str.charAt(${p}i)) % ${mod}L;
          |}
-         |${ev.value} = $$h;
-       """.stripMargin.replace("$$", ctx.freshName("rh"))
+         |${ev.value} = ${p}h;
+       """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   * embedding similarity/dedup operators: at 100 TB the dot product
   * runs billions of times per scan, so it must live inside codegen.
   *
-  * Null-free arrays assumed (embedding columns are).
+  * Null-free arrays assumed (embedding columns are). Mismatched
+  * lengths throw (a silent min-length truncation would turn an
+  * upstream dimension bug into a plausible-but-wrong product).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,7 +36,11 @@ case class VecDot(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch (${a.numElements()} vs ${b.numElements()})")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -54,7 +60,11 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.$getL($i)) * ((double) $b.$getR($i));

@@ -23,6 +23,11 @@ final case class DurationCuts(cuts: Array[Double]) {
   def tmax: Double = cuts.last
   def step: Double = (tmax - tmin) / (k - 1).toDouble
 
+  require(tmax > tmin,
+    s"DurationCuts: degenerate time range [$tmin, $tmax] — need >= 2 " +
+      "distinct train times (step would be 0 and indexCol would yield " +
+      "NaN -> null indices downstream)")
+
   def indexCol(t: Column): Column = {
     val raw = floor((t.cast("double") - lit(tmin)) / lit(step)).cast("int")
     least(greatest(raw, lit(0)), lit(k - 1))
