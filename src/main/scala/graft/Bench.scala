@@ -23,18 +23,28 @@ object Bench {
         System.err.println(s"[bench] _setup FAILED: $e")
     }
     val setupSec = (System.nanoTime() - tSetup) / 1e9
+    // Each query runs twice and reports the SECOND (warm) time: the
+    // single-shot numbers moved 3-16x between identical-code rounds
+    // purely from JIT/codegen warmup order. A failed query reports -1
+    // and is excluded from the total so the headline can't improve
+    // when queries crash.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val warm = try { once(); once() } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: $e")
+          -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> warm
     } ++ Map("_setup" -> setupSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -76,10 +76,16 @@ object SurvQueries {
         .orderBy("id")
     }),
 
-    // E5: tensorized batch (rows-only check: float32 array column).
+    // E5: tensorized batch, exploded to long form (rn, idx, xval, t, e)
+    // — the raw array<float> column is hash-equivalent but the driver's
+    // pandas sort can't order ndarray cells, so the oracle check needs
+    // one scalar row per vector entry.
     "q_tensorize" -> ((s, dir) => {
       val ds = ChurnView.dataset(s, dir)
-      ds.tensorized(ds.train).orderBy("rn")
+      ds.tensorized(ds.train)
+        .select(col("rn"), posexplode(col("x")).as(Seq("idx", "xval")),
+          col("t"), col("e"))
+        .orderBy("rn", "idx")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -112,14 +118,18 @@ object SurvQueries {
         .map(v => s"CAST(CASE WHEN c_mktsegment = '$v' THEN 1 ELSE 0 END AS REAL)")
       val nations = (0 until 25).map(i => s"NATION_$i").sorted
         .map(v => s"CAST(CASE WHEN n_name = '$v' THEN 1 ELSE 0 END AS REAL)")
-      val entries = (Seq("CAST(c_acctbal AS REAL)") ++ segs ++ nations ++
-        Seq("CAST(n_orders AS REAL)", "CAST(total_spent AS REAL)"))
-        .mkString(",\n    ")
-      C + s", $splitSql\n" +
-        s"""SELECT rn, list_value(
+      val entrySeq = Seq("CAST(c_acctbal AS REAL)") ++ segs ++ nations ++
+        Seq("CAST(n_orders AS REAL)", "CAST(total_spent AS REAL)")
+      val entries = entrySeq.mkString(",\n    ")
+      val k = entrySeq.length
+      C + s", $splitSql,\n" +
+        s"""xs AS (SELECT rn, list_value(
            |    $entries) AS x,
            |  CAST(t AS DOUBLE) AS t, e
-           |FROM churn_rn CROSS JOIN tl WHERE rn < train_len ORDER BY rn""".stripMargin
+           |FROM churn_rn CROSS JOIN tl WHERE rn < train_len)
+           |SELECT rn, CAST(r.range AS INT) AS idx,
+           |  x[CAST(r.range AS INT) + 1] AS xval, t, e
+           |FROM xs CROSS JOIN range($k) r ORDER BY rn, idx""".stripMargin
     },
 
     "q_label_discretize" -> (C + s", $splitSql," +
