@@ -34,12 +34,21 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // Operators persist intermediates (shingle sets, signatures, …)
+      // and those blocks outlive the query: by late bench the block
+      // manager was full of dead cache (round-2's 138 s minhash outlier
+      // was this — 13 s in a fresh JVM). Release each query's OWN
+      // persists after measuring it; setup-level caches survive.
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val warm = try { once(); once() } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: $e")
           -1.0
       }
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => persistedBefore(id) }
+        .values.foreach(_.unpersist(blocking = true))
       name -> warm
     } ++ Map("_setup" -> setupSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -84,8 +84,11 @@ final case class CoxPH(
 
     // ---- Breslow baseline on the FULL train split at final β ----
     // (deviation from the reference's last-batch artifact, SURVEY §4.2.1)
+    // Kept DISTRIBUTED (one row per distinct event time): materialized
+    // via persist so the train cache can be released, never collected.
     val baseline = CoxPH.breslow(train, CoxPH.scoreCol(col("x"), beta.toArray))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    baseline.count()
 
     train.unpersist()
     FittedCoxPH(this, beta.toArray, mu, sd, baseline)
@@ -160,32 +163,32 @@ object CoxPH {
       .select(col("t"), col("H0"))
   }
 
-  /** Step lookup of a collected baseline as a codegen'd expression:
-    * H0(τ) = value at the last event time <= τ (0 before the first).
-    * The baseline has one entry per distinct event time — small by
-    * construction — so inlining it as a literal when-chain keeps the
-    * lookup broadcast-free AND shuffle-free.
+  /** Step lookup of the baseline on a τ-grid, fully distributed:
+    * H0(τ) = H0 at the last event time <= τ (0 before the first).
+    * The grid (a prediction-horizon list, small by construction) is
+    * broadcast against the baseline; since H0 is nondecreasing in t,
+    * max(H0) over eligible times IS the step value. The result — one
+    * row per grid point — is what callers broadcast to the scoring
+    * scan. With continuous event times the baseline is ~|train| rows;
+    * it never visits the driver and never becomes an expression tree
+    * (the round-2 literal-array form did both).
     */
-  def h0At(tau: Column, baseline: Array[(Double, Double)]): Column = {
-    // binary-search semantics via filter+max over a literal map array
-    val entries = array(baseline.map { case (t, h) =>
-      struct(lit(t).as("t"), lit(h).as("h")) }: _*)
-    val eligible = filter(entries, s => s.getField("t") <= tau)
-    // guarded: element_at on an empty array throws under ANSI mode
-    when(size(eligible) > 0, element_at(eligible, -1).getField("h"))
-      .otherwise(lit(0.0))
-  }
+  def baselineAtGrid(baseline: DataFrame, grid: DataFrame): DataFrame =
+    broadcast(grid).join(baseline, baseline("t") <= grid("tau"), "left")
+      .groupBy(col("tau_idx"), col("tau"))
+      .agg(coalesce(max(col("H0")), lit(0.0)).as("h0"))
 }
 
 /** Fitted linear CoxPH: β (standardized space), the scaler, and the
-  * collected Breslow baseline (distinct event times only).
+  * Breslow baseline as a persisted DataFrame (t, H0) with one row per
+  * distinct event time — distributed, never driver-collected.
   */
 final case class FittedCoxPH(
     model: CoxPH,
     beta: Array[Double],
     mu: Array[Double],
     sd: Array[Double],
-    baseline: Array[(Double, Double)]) extends FittedSurvModel {
+    baseline: DataFrame) extends FittedSurvModel {
 
   /** Linear risk score on the ORIGINAL feature space. */
   def riskScore(x: Column): Column = {
@@ -199,10 +202,11 @@ final case class FittedCoxPH(
     val spark = tensorized.sparkSession
     import spark.implicits._
     val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
+    val h0g = CoxPH.baselineAtGrid(baseline, g)
     val xd = transform(col("x"), _.cast("double"))
     tensorized.select(col("id"), riskScore(xd).as("sc"))
-      .crossJoin(broadcast(g))
+      .crossJoin(broadcast(h0g))
       .select(col("id"), col("tau_idx"), col("tau"),
-        exp(-CoxPH.h0At(col("tau"), baseline) * exp(col("sc"))).as("s"))
+        exp(-col("h0") * exp(col("sc"))).as("s"))
   }
 }

@@ -114,10 +114,13 @@ object Dedup {
           concat_ws(",", transform(
             slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
             _.cast("string"))))).as(Seq("band", "key")))
+    // persisted: both the est and exact-Jaccard branches consume cand,
+    // and without the pin the band self-join runs once per branch
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // estimated similarity: fraction of agreeing minhashes (array zip)
     val est = cand
       .join(sig.select(col("id").as("i"), col("sig").as("sa")), Seq("i"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * covering M1 (risk score), M2 (Breslow baseline on the full train
   * split), M3 (survival matrix) through the SAME code paths the
-  * trained model uses (CoxPH.breslow / CoxPH.h0At).
+  * trained model uses (CoxPH.breslow / CoxPH.baselineAtGrid).
   */
 object ModelQueries {
 
@@ -53,43 +53,47 @@ object ModelQueries {
         .orderBy("t")),
 
     // M3: survival matrix S(τ|x) = exp(−H₀(τ)·e^{lp}) for the test
-    // split over a 10-point train-fitted grid (long form).
+    // split over a 10-point train-fitted grid (long form). The
+    // baseline stays a DataFrame: step values per grid point come from
+    // a broadcast range join (CoxPH.baselineAtGrid), then the
+    // |grid|-row result broadcasts to the test scan — no driver
+    // collect, no literal expression tree.
     "q_cox_surv" -> ((s, dir) => {
+      val h0g = gridH0(s, dir)
       val ds = ChurnView.dataset(s, dir)
-      val train = trainWithLp(s, dir)
-      val baseline = CoxPH.breslow(train, col("lp"))
-        .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
-      val grid = DurationCuts.fit(ds.train, "t", 10)
-      import s.implicits._
-      val g = grid.cuts.zipWithIndex.map(p => (p._2, p._1)).toSeq
-        .toDF("tau_idx", "tau")
       ds.test.select(col("id"), lpCol.as("lp"))
-        .crossJoin(broadcast(g))
+        .crossJoin(broadcast(h0g))
         .select(col("id"), col("tau_idx"), col("tau"),
-          round(exp(-CoxPH.h0At(col("tau"), baseline) * exp(col("lp"))), 6)
-            .as("s"))
+          round(exp(-col("h0") * exp(col("lp"))), 6).as("s"))
         .orderBy("id", "tau_idx")
     }),
 
     // A5: mean survival curve across subjects (np.mean(pred, axis=1),
-    // tutorial_2 cell 12) — explode + groupBy(tau) + avg.
+    // tutorial_2 cell 12) — same broadcast step join + groupBy(tau).
     "q_avg_surv_curve" -> ((s, dir) => {
+      val h0g = gridH0(s, dir)
       val ds = ChurnView.dataset(s, dir)
-      val train = trainWithLp(s, dir)
-      val baseline = CoxPH.breslow(train, col("lp"))
-        .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
-      val grid = DurationCuts.fit(ds.train, "t", 10)
-      import s.implicits._
-      val g = grid.cuts.zipWithIndex.map(p => (p._2, p._1)).toSeq
-        .toDF("tau_idx", "tau")
       ds.test.select(col("id"), lpCol.as("lp"))
-        .crossJoin(broadcast(g))
+        .crossJoin(broadcast(h0g))
         .select(col("tau_idx"), col("tau"),
-          exp(-CoxPH.h0At(col("tau"), baseline) * exp(col("lp"))).as("s"))
+          exp(-col("h0") * exp(col("lp"))).as("s"))
         .groupBy(col("tau_idx"), col("tau"))
         .agg(round(avg(col("s")), 6).as("avg_s"))
         .orderBy("tau_idx")
     }))
+
+  /** H0 step values on the 10-point train-fitted grid: Breslow
+    * baseline (distributed) ⋈ broadcast grid.
+    */
+  private def gridH0(s: SparkSession, dir: String): DataFrame = {
+    val ds = ChurnView.dataset(s, dir)
+    val baseline = CoxPH.breslow(trainWithLp(s, dir), col("lp"))
+    val grid = DurationCuts.fit(ds.train, "t", 10)
+    import s.implicits._
+    val g = grid.cuts.zipWithIndex.map(p => (p._2, p._1)).toSeq
+      .toDF("tau_idx", "tau")
+    CoxPH.baselineAtGrid(baseline, g)
+  }
 
   private val trainSql =
     s"""trn AS (
