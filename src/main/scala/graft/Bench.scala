@@ -23,11 +23,18 @@ object Bench {
         System.err.println(s"[bench] _setup FAILED: $e")
     }
     val setupSec = (System.nanoTime() - tSetup) / 1e9
-    // Each query runs twice and reports the SECOND (warm) time: the
+    // Setup-level cache blocks (the stable-order churn dataset) are
+    // load-bearing across queries: an RDD-level unpersist would disable
+    // them for the rest of the run (storageLevel can't be re-enabled on
+    // a live cached plan), so they are exempted from every sweep.
+    val setupIds = spark.sparkContext.getPersistentRDDs.keySet
+    // Each query runs twice and reports the SECOND (warm) time — the
     // single-shot numbers moved 3-16x between identical-code rounds
-    // purely from JIT/codegen warmup order. A failed query reports -1
-    // and is excluded from the total so the headline can't improve
-    // when queries crash.
+    // purely from JIT/codegen warmup order — with the cold (first-run)
+    // time reported alongside in `queries_cold` so rounds measured
+    // under different methodologies stay comparable. A failed query
+    // reports -1 and is excluded from the total so the headline can't
+    // improve when queries crash.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -39,23 +46,25 @@ object Bench {
       // manager was full of dead cache (round-2's 138 s minhash outlier
       // was this — 13 s in a fresh JVM). Release each query's OWN
       // persists after measuring it; setup-level caches survive.
-      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-      val warm = try { once(); once() } catch {
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet ++ setupIds
+      val (cold, warm) = try { (once(), once()) } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: $e")
-          -1.0
+          (-1.0, -1.0)
       }
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => persistedBefore(id) }
         .values.foreach(_.unpersist(blocking = true))
-      name -> warm
-    } ++ Map("_setup" -> setupSec)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+      name -> (cold, warm)
+    } ++ Map("_setup" -> (setupSec, setupSec))
+    def jsonMap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val warmQs = results.map { case (k, (_, w)) => k -> w }
+    val coldQs = results.map { case (k, (c, _)) => k -> c }
+    val total = warmQs.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"warm","queries":${jsonMap(warmQs)},"queries_cold":${jsonMap(coldQs)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

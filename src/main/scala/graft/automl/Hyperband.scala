@@ -135,7 +135,11 @@ final class Hyperband(
 
   private def evalParams(m: ModelFactory, ds: SurvDataset,
                          params: Map[String, Any], epochs: Int): Double = {
-    val scores = m.build(params, epochs).fit(ds).score(ds)
+    val fitted = m.build(params, epochs).fit(ds)
+    // Rung evaluations discard the fitted artifact (survivors re-fit
+    // at the next rung's epoch budget): release its pinned caches or
+    // every evaluated config leaks persisted blocks for the session.
+    val scores = try fitted.score(ds) finally fitted.release()
     val score = scores("c_index") - scores("brier_score")
     if (score > bestScore) {
       bestScore = score

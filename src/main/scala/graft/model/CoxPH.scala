@@ -165,18 +165,28 @@ object CoxPH {
 
   /** Step lookup of the baseline on a τ-grid, fully distributed:
     * H0(τ) = H0 at the last event time <= τ (0 before the first).
-    * The grid (a prediction-horizon list, small by construction) is
-    * broadcast against the baseline; since H0 is nondecreasing in t,
-    * max(H0) over eligible times IS the step value. The result — one
-    * row per grid point — is what callers broadcast to the scoring
-    * scan. With continuous event times the baseline is ~|train| rows;
-    * it never visits the driver and never becomes an expression tree
-    * (the round-2 literal-array form did both).
+    * Since H0 is nondecreasing in t, max(H0) over eligible times IS
+    * the step value. The result — one row per grid point — is what
+    * callers broadcast to the scoring scan.
+    *
+    * Join direction matters: Spark can only BUILD (broadcast) the
+    * inner side of a join, so a left-outer join with the grid on the
+    * left would ignore the broadcast hint and build the BASELINE
+    * (~|train| rows with continuous event times) instead. The inner
+    * join here streams the baseline against the broadcast |grid|-row
+    * build side; grid points before the first event time (dropped by
+    * the inner join) are restored by the final |grid|×|grid| left
+    * join with H0 = 0.
     */
-  def baselineAtGrid(baseline: DataFrame, grid: DataFrame): DataFrame =
-    broadcast(grid).join(baseline, baseline("t") <= grid("tau"), "left")
-      .groupBy(col("tau_idx"), col("tau"))
-      .agg(coalesce(max(col("H0")), lit(0.0)).as("h0"))
+  def baselineAtGrid(baseline: DataFrame, grid: DataFrame): DataFrame = {
+    val stepped = baseline
+      .join(broadcast(grid), baseline("t") <= grid("tau"))
+      .groupBy(col("tau_idx"))
+      .agg(max(col("H0")).as("h0"))
+    grid.join(broadcast(stepped), Seq("tau_idx"), "left")
+      .select(col("tau_idx"), col("tau"),
+        coalesce(col("h0"), lit(0.0)).as("h0"))
+  }
 }
 
 /** Fitted linear CoxPH: β (standardized space), the scaler, and the
@@ -189,6 +199,11 @@ final case class FittedCoxPH(
     mu: Array[Double],
     sd: Array[Double],
     baseline: DataFrame) extends FittedSurvModel {
+
+  /** Unpin the persisted Breslow baseline (it recomputes if used
+    * again). Discarded fits (Hyperband losers) must call this.
+    */
+  override def release(): Unit = baseline.unpersist()
 
   /** Linear risk score on the ORIGINAL feature space. */
   def riskScore(x: Column): Column = {

@@ -19,6 +19,14 @@ trait SurvModel {
 
 trait FittedSurvModel {
 
+  /** Release any cluster state (persisted DataFrames) pinned by the
+    * fitted artifact. Idempotent; the model remains usable afterwards
+    * (recomputing instead of reading cache). Callers that fit many
+    * models (Hyperband) MUST release the losers or cached blocks
+    * accumulate for the session lifetime.
+    */
+  def release(): Unit = ()
+
   /** Long-form survival matrix (id, tau_idx, tau, s) for rows in
     * tensorized form (id, x). The reference's predict returns the
     * same matrix with time horizons as the index
