@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * map-side partial agg); the ordered windows then run over |distinct
   * t| rows only — bounded and small relative to subjects — so the
   * single-partition window is not the bottleneck it would be over raw
-  * rows. The cumulative product multiplies factors in ascending-t
-  * order left-to-right (exact frame order), which keeps it
-  * bit-comparable with DuckDB's windowed product().
+  * rows. The cumulative product is the [[graft.functions.ProductAgg]]
+  * running window aggregate: O(1) per row (the collect_list form it
+  * replaced copied the O(|frame|) buffer per row), multiplying factors
+  * in ascending-t order left-to-right (exact frame order), which keeps
+  * it bit-comparable with DuckDB's windowed product().
   */
 object KaplanMeier {
 
@@ -41,10 +43,8 @@ object KaplanMeier {
       .withColumn("factor",
         lit(1.0) - col("d").cast("double") / col("n").cast("double"))
       .withColumn("s",
-        aggregate(
-          collect_list(col("factor"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-          lit(1.0), (acc, x) => acc * x))
+        graft.functions.ProductAgg.product(col("factor"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("t"), col("d"), col("n"), col("s"))
   }
 

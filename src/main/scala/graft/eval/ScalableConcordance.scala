@@ -107,6 +107,113 @@ object ScalableConcordance {
       .toDF("comparable", "concordant", "cindex")
   }
 
+  /** Antolini time-dependent C-index WITHOUT the quadratic pair join —
+    * same counting scheme as [[harrell]], with one extra leading key.
+    *
+    * Antolini compares S(t_i|x_i) vs S(t_i|x_j), so the compared score
+    * depends on the pair only through τ(t_i) — the step grid point of
+    * the event subject's time — and τ takes ≤ |grid| distinct values.
+    * Slicing the long-form `surv` matrix (id, tau, s) by ACTIVE τ
+    * (grid points hit by ≥1 event) gives, per slice, a plain Harrell
+    * problem with risk r = −S(τ|x): comparable/ties/cross/within are
+    * the identical suffix-sum + bucket-grid + Fenwick algebra with τ
+    * prepended to every grouping key, window partition, and shuffle
+    * key. Total work is O(|surv|) = O(n·|grid|) — the size of the
+    * prediction matrix the caller already materialized — vs the
+    * O(n_events·n) pair space of [[Concordance.antolini]].
+    *
+    * Buckets are equal-width on s ∈ [0, 1] (survival probabilities),
+    * a monotone map, so the counts are exact regardless of balance;
+    * B and spark.sql.shuffle.partitions bound per-task memory of the
+    * within-bucket sweep.
+    */
+  def antolini(df: DataFrame, idCol: String, tCol: String, eCol: String,
+               surv: DataFrame, grid: Array[Double],
+               numBuckets: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // Step lookup τ(t): last grid point <= t (null below the grid) —
+    // same literal-array expression as Concordance.antolini, so the
+    // two agree on which events are scoreable.
+    val gridArr = array(grid.map(lit(_)): _*)
+    val eligible = filter(gridArr, g => g <= col("t"))
+    val tauStep = when(size(eligible) > 0, element_at(eligible, -1))
+    val base = df.select(col(idCol).as("k"), col(tCol).cast("double").as("t"),
+        col(eCol).cast("int").as("e"))
+      .withColumn("tau_i", tauStep)
+
+    val activeTau = base.filter(col("e") === 1 && col("tau_i").isNotNull)
+      .select(col("tau_i").as("tau")).distinct()
+
+    // One Harrell slice per active τ: every subject once, as risk
+    // r = −s(τ|x); the event flag is LOCAL to the subject's own slice.
+    val x = surv.select(col(idCol).as("k"), col("tau"), col("s"))
+      .join(broadcast(activeTau), Seq("tau"), "left_semi")
+      .join(base, Seq("k"))
+      .select(col("tau"), col("t"), negate(col("s").cast("double")).as("r"),
+        when(col("e") === 1 && col("tau_i") === col("tau"), 1)
+          .otherwise(0).as("ei"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val wTauT = Window.partitionBy(col("tau")).orderBy(col("t"))
+    val comparable = x.groupBy(col("tau"), col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev"))
+      .withColumn("after",
+        coalesce(sum(col("m")).over(wTauT.rowsBetween(1, Window.unboundedFollowing)),
+          lit(0L)))
+      .agg(coalesce(sum(col("ev") * col("after")), lit(0L))).head().getLong(0)
+
+    val wTauRT = Window.partitionBy(col("tau"), col("r")).orderBy(col("t"))
+    val ties = x.groupBy(col("tau"), col("r"), col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev"))
+      .withColumn("after",
+        coalesce(sum(col("m")).over(wTauRT.rowsBetween(1, Window.unboundedFollowing)),
+          lit(0L)))
+      .agg(coalesce(sum(col("ev") * col("after")), lit(0L))).head().getLong(0)
+
+    // b monotone in r: r = −s ∈ [−1, 0] → equal-width cells, clamped.
+    val b = greatest(lit(0), least(lit(numBuckets - 1),
+      floor((col("r") + 1.0) * numBuckets).cast("int")))
+    val xb = x.withColumn("b", b)
+
+    val perBT = xb.groupBy(col("tau"), col("b"), col("t")).agg(count(lit(1)).as("m"))
+    val allTauT = x.select(col("tau"), col("t")).distinct()
+    val allB = spark.range(0, numBuckets.toLong).select(col("id").cast("int").as("b"))
+    val cells = allTauT.crossJoin(allB)
+      .join(perBT, Seq("tau", "b", "t"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+      .withColumn("f", // # in (τ, b) with t_j > t
+        coalesce(sum(col("m")).over(Window.partitionBy(col("tau"), col("b"))
+          .orderBy(col("t")).rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .withColumn("g", // Σ_{b' <= b} f(τ, b', t)
+        sum(col("f")).over(Window.partitionBy(col("tau"), col("t")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val evTB = xb.filter(col("ei") === 1)
+      .groupBy(col("tau"), col("t"), col("b")).agg(count(lit(1)).as("ev"))
+    val cross = evTB
+      .join(cells.select(col("tau"), col("t"), (col("b") + 1).as("b"), col("g")),
+        Seq("tau", "t", "b"), "left")
+      .agg(coalesce(sum(col("ev") * coalesce(col("g"), lit(0L))), lit(0L)))
+      .head().getLong(0)
+
+    val within = xb.select(col("tau"), col("b"), col("t"), col("ei"), col("r"))
+      .repartition(col("tau"), col("b"))
+      .as[(Double, Int, Double, Int, Double)]
+      .mapPartitions { it =>
+        var total = 0L
+        it.toSeq.groupBy(p => (p._1, p._2)).valuesIterator.foreach { rows =>
+          total += countWithin(rows.map(p => (p._3, p._4, p._5)))
+        }
+        Iterator.single(total)
+      }.reduce(_ + _)
+    x.unpersist()
+
+    val concordant = cross + within + 0.5 * ties
+    Seq((comparable, concordant, concordant / comparable.toDouble))
+      .toDF("comparable", "concordant", "cindex")
+  }
+
   /** Strict pairs {(i,j): e_i=1, t_j > t_i, r_j < r_i} in one bucket:
     * descending-time sweep with a Fenwick tree over local risk ranks
     * (equal-t groups query before inserting → strict t).

@@ -285,12 +285,21 @@ final case class FittedDeepHit(
     transform(ex, v => v / tot)
   }
 
-  /** Discrete survival array S_k = 1 − cumsum(pmf)_k. */
-  def discreteSurv(x: Column): Column = {
-    val p = pmf(x)
-    transform(sequence(lit(1), lit(cuts.k)), kk =>
-      lit(1.0) - aggregate(slice(p, lit(1), kk), lit(0.0), (a, v) => a + v))
-  }
+  /** Discrete survival array S_k = 1 − cumsum(pmf)_k as ONE running
+    * fold (K elements, not K aggregate(slice) passes): the struct
+    * accumulator carries (running sum, output array). The running sum
+    * associates identically to the per-k slice sums, so values are
+    * bit-equal to the old form.
+    */
+  def discreteSurv(x: Column): Column =
+    aggregate(pmf(x),
+      struct(lit(0.0).as("s"), array().cast("array<double>").as("out")),
+      (acc, v) => {
+        val s = acc.getField("s") + v
+        struct(s.as("s"),
+          concat(acc.getField("out"), array(lit(1.0) - s)).as("out"))
+      },
+      acc => acc.getField("out"))
 
   def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
     val spark = tensorized.sparkSession

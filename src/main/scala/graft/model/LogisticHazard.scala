@@ -84,12 +84,20 @@ final case class FittedLogisticHazard(
     transform(array(b.map(lit(_)): _*), bk => sigmoid(bk + bx))
   }
 
-  /** Per-row array of discrete survival values S_k = Π_{j<=k}(1−h_j). */
-  def discreteSurv(x: Column): Column = {
-    val h = hazards(x)
-    transform(sequence(lit(1), lit(cuts.k)), kk =>
-      aggregate(slice(h, lit(1), kk), lit(1.0), (acc, hj) => acc * (lit(1.0) - hj)))
-  }
+  /** Per-row array of discrete survival values S_k = Π_{j<=k}(1−h_j)
+    * as ONE running fold (K elements, not K aggregate(slice) passes);
+    * the running product associates identically to the per-k slice
+    * products, so values are bit-equal to the old form.
+    */
+  def discreteSurv(x: Column): Column =
+    aggregate(hazards(x),
+      struct(lit(1.0).as("q"), array().cast("array<double>").as("out")),
+      (acc, hj) => {
+        val q = acc.getField("q") * (lit(1.0) - hj)
+        struct(q.as("q"),
+          concat(acc.getField("out"), array(q)).as("out"))
+      },
+      acc => acc.getField("out"))
 
   def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
     val spark = tensorized.sparkSession

@@ -1,6 +1,6 @@
 package graft.model
 
-import graft.eval.{BrierScore, Concordance}
+import graft.eval.BrierScore
 import graft.surv.SurvDataset
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -47,7 +47,11 @@ trait FittedSurvModel {
       val surv = predictSurv(test, grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val c = Concordance.antolini(test, "id", "t", "e", surv, grid)
+        // concordance_td via the counting aggregator (O(n·|grid|)), not
+        // the quadratic pair join — identical value (q_cindex_td vs
+        // q_cindex_td_sorted hash-match), but survives a 100× test set.
+        val c = graft.eval.ScalableConcordance
+          .antolini(test, "id", "t", "e", surv, grid)
           .head().getAs[Double]("cindex")
         val ibs = BrierScore
           .integrated(BrierScore.grid(test, "id", "t", "e", surv, grid))

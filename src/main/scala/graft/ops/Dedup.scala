@@ -40,9 +40,22 @@ object Dedup {
     * content, not all-pairs); pair aggregation is one group-by.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minJac: Double = 0.05): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                        n: Int = 3, minJac: Double = 0.05,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // Zipfian corpora have stop-shingles ("of the and" class) whose
+    // document frequency df makes the self-join below O(df²) on that
+    // one key — skewed AND quadratic. The standard production guard:
+    // drop shingles with df > maxDocFreq from the shingle space
+    // entirely (intersection AND union stay consistent); a shingle
+    // present in that many documents carries no dedup signal. One
+    // extra groupBy on the shingle key the join shuffles on anyway.
+    val shAll = shingles(docs, idCol, textCol, n)
+    val sh = (if (maxDocFreq == Int.MaxValue) shAll
+      else {
+        val freq = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq)
+        shAll.join(freq.select(col("sh")), Seq("sh"))
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -166,8 +179,9 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. (All-pairs
-    * at parity scale; the scale path buckets by simhash prefix first.)
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist — the
+    * all-pairs parity formulation ([[simhashPairsBucketed]] is the
+    * identical-result 100-TB path).
     */
   def simhashPairs(sims: DataFrame, maxDist: Int): DataFrame =
     sims.select(col("id").as("i"), col("simhash").as("ha"))
@@ -176,6 +190,35 @@ object Dedup {
       .select(col("i"), col("j"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+
+  /** [[simhashPairs]] without the all-pairs join, by pigeonhole: split
+    * the `bits`-bit fingerprint into maxDist+1 contiguous blocks — two
+    * fingerprints within Hamming distance maxDist differ in ≤ maxDist
+    * blocks, so at least ONE block is bit-identical. Candidates come
+    * from an equi-join on (block index, block value) — shuffle keyed
+    * on fingerprint content, never n² — then the exact Hamming filter
+    * keeps true pairs and `distinct` collapses multi-block matches.
+    * Same rows as [[simhashPairs]] for any input.
+    */
+  def simhashPairsBucketed(sims: DataFrame, maxDist: Int,
+                           bits: Int = 32): DataFrame = {
+    val nBlocks = maxDist + 1
+    val starts = (0 to nBlocks).map(k => k * bits / nBlocks)
+    val blockCols = (0 until nBlocks).map { k =>
+      val len = starts(k + 1) - starts(k)
+      shiftright(col("simhash"), starts(k))
+        .bitwiseAND(lit((1L << len) - 1L))
+    }
+    val blocks = sims.select(col("id"), col("simhash"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "key")))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
 
   /** Cosine over embeddings: sequential-double dot products through
     * the codegen'd VecDot kernel (bit-equal to the DuckDB

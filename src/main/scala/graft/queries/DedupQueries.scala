@@ -20,7 +20,7 @@ object DedupQueries {
 
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", n = 3, minJac = 0.05)
+          "doc_id", "text", n = 3, minJac = 0.05, maxDocFreq = 100)
         .orderBy("i", "j")),
 
     "q_dedup_minhash_lsh" -> ((s, dir) =>
@@ -37,6 +37,16 @@ object DedupQueries {
       val fp = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id",
         "text", bits = 32)
       Dedup.simhashPairs(fp, maxDist = 6)
+        .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))
+        .orderBy("i", "j")
+    }),
+
+    // pigeonhole-bucketed scale path — identical rows to
+    // q_dedup_simhash_pairs (same oracle)
+    "q_dedup_simhash_pairs_bucketed" -> ((s, dir) => {
+      val fp = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id",
+        "text", bits = 32)
+      Dedup.simhashPairsBucketed(fp, maxDist = 6, bits = 32)
         .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))
         .orderBy("i", "j")
     }),
@@ -70,16 +80,37 @@ object DedupQueries {
       |          FROM sh))
       |  GROUP BY id, i)""".stripMargin
 
+  private val simhashPairsSql =
+    """WITH tokh AS (
+      |  SELECT doc_id AS id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |bits AS (
+      |  SELECT id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+      |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      |  GROUP BY id, b),
+      |fp AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+      |                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |       FROM bits GROUP BY id)
+      |SELECT a.id AS i, b.id AS j,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM fp a JOIN fp b ON a.id < b.id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      |ORDER BY i, j""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
         |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
 
+    // mirrors the engine's maxDocFreq=100 stop-shingle cap: shingles
+    // in >100 documents leave the shingle space before sizes/pairs
     "q_dedup_ngram_jaccard" -> (s"WITH $shSql,\n" +
-      """sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      """shf AS (SELECT id, sh FROM sh
+        |        WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100)),
+        |sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
         |it AS (SELECT a.id AS i, b.id AS j, count(*) AS inter
-        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        |       FROM shf a JOIN shf b ON a.sh = b.sh AND a.id < b.id
         |       GROUP BY a.id, b.id)
         |SELECT i, j, inter, sa.sz + sb.sz - inter AS un,
         |       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
@@ -124,22 +155,10 @@ object DedupQueries {
         |                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         |FROM bits GROUP BY id ORDER BY id""".stripMargin,
 
-    "q_dedup_simhash_pairs" ->
-      """WITH tokh AS (
-        |  SELECT doc_id AS id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-        |bits AS (
-        |  SELECT id, b, sum(((h >> b) & 1) * 2 - 1) AS s
-        |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
-        |  GROUP BY id, b),
-        |fp AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
-        |                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-        |       FROM bits GROUP BY id)
-        |SELECT a.id AS i, b.id AS j,
-        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM fp a JOIN fp b ON a.id < b.id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-        |ORDER BY i, j""".stripMargin,
+    "q_dedup_simhash_pairs" -> simhashPairsSql,
+
+    // bucketed variant must be row-identical to the all-pairs answer
+    "q_dedup_simhash_pairs_bucketed" -> simhashPairsSql,
 
     "q_dedup_embed_cos" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

@@ -79,6 +79,16 @@ object EvalQueries {
         parametricSurv(test, grid), grid)
     }),
 
+    // §2.7/§7.5 the 100-TB path for Antolini: counting aggregation
+    // sliced per survival-grid step — must produce the identical row
+    // as q_cindex_td (same algebra as q_cindex_sorted vs q_cindex).
+    "q_cindex_td_sorted" -> ((s, dir) => {
+      val test = testWithRisk(s, dir)
+      val grid = BrierScore.defaultGrid(test, "t")
+      graft.eval.ScalableConcordance.antolini(test, "id", "t", "e",
+        parametricSurv(test, grid), grid, numBuckets = 16)
+    }),
+
     // §2.7 per-τ IPCW Brier over the reference's 100-point grid.
     "q_brier" -> ((s, dir) => {
       val test = testWithRisk(s, dir)
@@ -175,7 +185,24 @@ object EvalQueries {
 
     "q_cindex" -> cindexSql,
 
-    "q_cindex_td" -> (C + s", $splitSql,\n$testSql,\n$gridSql,\n" +
+    "q_cindex_td" -> cindexTdSql,
+
+    // identical algebra, identical oracle (see q_cindex/q_cindex_sorted)
+    "q_cindex_td_sorted" -> cindexTdSql,
+
+    "q_brier" -> (C + s", $splitSql,\n$testSql,\n$gridSql,\n$censSql,\n$survSql,\n$brierCore\n" +
+      "SELECT tau_idx, tau, round(bs, 6) AS bs FROM bsg ORDER BY tau_idx"),
+
+    "q_ibs" -> (C + s", $splitSql,\n$testSql,\n$gridSql,\n$censSql,\n$survSql,\n$brierCore,\n" +
+      """tz AS (SELECT tau_idx, tau, bs,
+        |              lag(bs) OVER (ORDER BY tau_idx) AS pbs,
+        |              lag(tau) OVER (ORDER BY tau_idx) AS ptau
+        |       FROM bsg)
+        |SELECT round(sum((bs + pbs) / 2.0 * (tau - ptau))
+        |             / (max(tau) - min(ptau)), 6) AS ibs
+        |FROM tz WHERE pbs IS NOT NULL""".stripMargin))
+
+  private def cindexTdSql: String = (C + s", $splitSql,\n$testSql,\n$gridSql,\n" +
       """si AS (SELECT i.id, i.t,
         |              CASE WHEN LEAST(CAST(FLOOR((i.t - tmin) / step) AS INT), 99) = 99
         |                   THEN tmax
@@ -198,17 +225,5 @@ object EvalQueries {
         |                  THEN CAST(0.5 AS DOUBLE)
         |                ELSE CAST(0 AS DOUBLE) END) / count(*) AS cindex
         |FROM si JOIN test i ON si.id = i.id
-        |JOIN test j ON si.t < j.t""".stripMargin),
-
-    "q_brier" -> (C + s", $splitSql,\n$testSql,\n$gridSql,\n$censSql,\n$survSql,\n$brierCore\n" +
-      "SELECT tau_idx, tau, round(bs, 6) AS bs FROM bsg ORDER BY tau_idx"),
-
-    "q_ibs" -> (C + s", $splitSql,\n$testSql,\n$gridSql,\n$censSql,\n$survSql,\n$brierCore,\n" +
-      """tz AS (SELECT tau_idx, tau, bs,
-        |              lag(bs) OVER (ORDER BY tau_idx) AS pbs,
-        |              lag(tau) OVER (ORDER BY tau_idx) AS ptau
-        |       FROM bsg)
-        |SELECT round(sum((bs + pbs) / 2.0 * (tau - ptau))
-        |             / (max(tau) - min(ptau)), 6) AS ibs
-        |FROM tz WHERE pbs IS NOT NULL""".stripMargin))
+        |JOIN test j ON si.t < j.t""".stripMargin)
 }

@@ -34,6 +34,29 @@ class ScalableConcordanceSpec extends AnyFunSuite {
     }
   }
 
+  test("matches pair-join antolini exactly on tie-heavy data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for ((n, seed, buckets) <- Seq((150, 4L, 4), (250, 5L, 16))) {
+      val rng = new Random(seed)
+      val df = (0 until n).map { i =>
+        (i.toLong, 1.0 + rng.nextInt(15).toDouble, rng.nextInt(2),
+          rng.nextInt(8).toDouble / 4.0)
+      }.toDF("id", "t", "e", "r")
+      val grid = Array(1.0, 4.0, 8.0, 12.0)
+      // coarse survival values → plenty of score ties at each τ
+      val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
+      val surv = df.crossJoin(g).select(col("id"), col("tau"),
+        round(exp(-col("r") * col("tau") / 10.0), 1).as("s"))
+      val slow = Concordance.antolini(df, "id", "t", "e", surv, grid).head()
+      val fast = ScalableConcordance.antolini(df, "id", "t", "e", surv, grid, buckets).head()
+      assert(fast.getLong(0) == slow.getLong(0),
+        s"comparable n=$n b=$buckets: ${fast.getLong(0)} != ${slow.getLong(0)}")
+      assert(fast.getDouble(1) == slow.getDouble(1),
+        s"concordant n=$n b=$buckets: ${fast.getDouble(1)} != ${slow.getDouble(1)}")
+    }
+  }
+
   test("local Fenwick sweep counts strict inversions correctly") {
     // hand case: rows (t, e, r)
     val rows = Seq((1.0, 1, 2.0), (2.0, 0, 1.0), (2.0, 1, 3.0), (3.0, 0, 2.5))
