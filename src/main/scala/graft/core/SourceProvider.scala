@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pluggable table source — the engine-side seam for the reference's
+  * live ElasticSearch scan (reference: src/elastic_surv/dataset.py:260,
+  * the eland-backed `ESDataset`). Everything downstream consumes plain
+  * DataFrames, so a connector only has to produce the named table as a
+  * DataFrame; filters/projections written against the result push down
+  * through whatever DataSource V2 relation the provider returns.
+  *
+  * Implementations:
+  *   - [[ParquetSource]] (default): one parquet file per table under a
+  *     scale-factor directory (`TESTDATA.md` layout), `dir` = the
+  *     directory path.
+  *   - an ElasticSearch connector would wrap
+  *     `spark.read.format("org.elasticsearch.spark.sql")` with `dir` =
+  *     the index name — untestable in this zero-egress sandbox, which
+  *     is why only the seam ships, not the connector.
+  */
+trait SourceProvider {
+  /** Load table `name` scoped by `dir` (directory, index prefix, …). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame
+}
+
+/** Default provider over the driver testdata parquet layout. */
+object ParquetSource extends SourceProvider {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

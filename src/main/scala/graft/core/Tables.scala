@@ -2,20 +2,23 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Parquet table loaders over the driver testdata layout
-  * (`TESTDATA.md`): one parquet file per table under a scale-factor
-  * directory. This is the stand-in for the reference's ElasticSearch
-  * index scan (reference: src/elastic_surv/dataset.py:260) — the
-  * architectural slot where an `org.elasticsearch.spark.sql` source
-  * would plug in on a connected cluster.
+/** Table loaders over the driver testdata layout (`TESTDATA.md`),
+  * routed through the [[SourceProvider]] seam: swap `provider` to read
+  * the same logical tables from a different backend (the reference's
+  * ElasticSearch scan, src/elastic_surv/dataset.py:260, would be an
+  * `org.elasticsearch.spark.sql`-backed provider on a connected
+  * cluster).
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Process-wide source; tests/connectors may swap it. */
+  @volatile var provider: SourceProvider = ParquetSource
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    provider.table(spark, dir, name)
 
   /** `events` with its nanosecond timestamp surfaced as a proper
     * TimestampType column `ts` (microsecond truncation). Requires

@@ -12,8 +12,14 @@ import org.apache.spark.storage.StorageLevel
   * model_deephit.py:28-29); the ranking term needs the within-batch
   * pair-rank matrix (E6, dataset.py:218-221).
   *
-  * Linear parity model: logits_k(x) = c_k + W_k·x, pmf = softmax,
-  * F = cumsum(pmf), S = 1 − F.
+  * Risk head: logits_k(x) = c_k + W_k·f(x), pmf = softmax,
+  * F = cumsum(pmf), S = 1 − F, where f is identity (`hidden = 0`,
+  * the linear parity flavor, default) or a 1-hidden-layer ReLU MLP
+  * f(x) = relu(A·x + a) with `hidden` units — the `tt.practical.
+  * MLPVanilla` shape the reference wraps (model_deephit.py:57-64;
+  * the reference defaults to hidden [32, 32] — one layer here keeps
+  * the per-partition algebra dense-BLAS-free while removing the
+  * linear-only restriction, M9).
   *
   *   L = −mean_i [ e_i·ln pmf_{k_i} + (1−e_i)·ln S(k_i) ]
   *     + alpha · (Σ_{ij} r_ij · exp((F_j(k_i) − F_i(k_i)) / sigma)) / Σ_{ij} r_ij
@@ -33,7 +39,9 @@ final case class DeepHit(
     batchSize: Int = 128, // model_cox_ph.py:25 family default
     epochs: Int = 50,
     lr: Double = 0.05,
-    patience: Int = 5) extends SurvModel {
+    patience: Int = 5,
+    hidden: Int = 0, // 0 = linear head; >0 = ReLU MLP width (M9)
+    seed: Long = 7L) extends SurvModel {
 
   def name: String = "deephit"
 
@@ -58,8 +66,26 @@ final case class DeepHit(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = train.count().toDouble
 
-    // θ layout: [c_0..c_{K-1}, W_00..W_0(p-1), ..., W_(K-1)(p-1)]
-    var theta = Array.fill(k * (p + 1))(0.0)
+    // θ layout: [c (K), W (K×q row-major), A (hidden×p row-major),
+    // a (hidden)], q = max(hidden, p applies only when hidden=0) —
+    // the linear case (hidden=0) keeps the original [c, W] layout.
+    // Zero init is correct for the linear head; the MLP needs the
+    // usual symmetry-breaking U(±1/√fan_in) (torch Linear default),
+    // seeded for reproducible fits.
+    val q = if (hidden > 0) hidden else p
+    var theta = {
+      val len = k + k * q + (if (hidden > 0) hidden * p + hidden else 0)
+      val t = Array.fill(len)(0.0)
+      if (hidden > 0) {
+        val rng = new scala.util.Random(seed)
+        val limW = 1.0 / math.sqrt(hidden.toDouble)
+        val limA = 1.0 / math.sqrt(p.toDouble)
+        var i = k
+        while (i < k + k * q) { t(i) = (2 * rng.nextDouble() - 1) * limW; i += 1 }
+        while (i < len) { t(i) = (2 * rng.nextDouble() - 1) * limA; i += 1 }
+      }
+      t
+    }
     val mAdam = Array.fill(theta.length)(0.0)
     val vAdam = Array.fill(theta.length)(0.0)
     var best = Double.MaxValue
@@ -72,8 +98,9 @@ final case class DeepHit(
     while (epoch < epochs && badEpochs < patience) {
       val th = theta
       val bs = batchSize
+      val hid = hidden
       val (lossSum, grad, cnt) = train.mapPartitions { it =>
-        val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma)
+        val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma, hid)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.count))
       }.reduce { (a, b) =>
@@ -103,41 +130,65 @@ final case class DeepHit(
     train.unpersist()
 
     val c = bestTheta.take(k)
-    val w = Array.tabulate(k, p)((kk, pp) => bestTheta(k + kk * p + pp))
-    FittedDeepHit(this, cuts, c, w)
+    val w = Array.tabulate(k, q)((kk, j) => bestTheta(k + kk * q + j))
+    val hw = if (hidden == 0) None else {
+      val offA = k + k * q
+      Some((Array.tabulate(hidden, p)((j, l) => bestTheta(offA + j * p + l)),
+        Array.tabulate(hidden)(j => bestTheta(offA + hidden * p + j))))
+    }
+    FittedDeepHit(this, cuts, c, w, hw)
   }
 }
 
 object DeepHit {
 
   /** Per-partition exact loss+gradient accumulator (plain arrays, no
-    * torch): softmax forward, NLL backward, ranking term over the
-    * within-batch pair-rank matrix.
+    * torch): (optional ReLU hidden layer +) softmax forward, NLL
+    * backward, ranking term over the within-batch pair-rank matrix.
+    * `hidden = 0` is the linear head (θ = [c, W(K×p)]); `hidden > 0`
+    * inserts f = relu(A·x + a) (θ = [c, W(K×H), A(H×p), a(H)]).
     */
   final case class PartitionAcc(k: Int, p: Int, theta: Array[Double],
-                                alpha: Double, sigma: Double) {
+                                alpha: Double, sigma: Double,
+                                hidden: Int = 0) {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
+    private val q = if (hidden > 0) hidden else p // logit input width
+    private val offA = k + k * q
+    private val offB = offA + hidden * p
 
     def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {
       val b = batch.length
       if (b == 0) return
       count += b
-      // forward: logits, pmf, cumsum F
+      // forward: (hidden layer), logits, pmf, cumsum F
+      val feat = Array.ofDim[Double](b, q)
       val pmf = Array.ofDim[Double](b, k)
       val cum = Array.ofDim[Double](b, k)
       val dz = Array.ofDim[Double](b, k) // dLoss/dlogits accumulated
       var i = 0
       while (i < b) {
         val x = batch(i)._2
+        if (hidden == 0) feat(i) = x
+        else {
+          var j = 0
+          while (j < hidden) {
+            var s = theta(offB + j)
+            var l = 0
+            while (l < p) { s += theta(offA + j * p + l) * x(l); l += 1 }
+            if (s > 0.0) feat(i)(j) = s // relu; zeros stay zero
+            j += 1
+          }
+        }
+        val f = feat(i)
         var mx = Double.MinValue
         val z = new Array[Double](k)
         var kk = 0
         while (kk < k) {
           var s = theta(kk)
           var j = 0
-          while (j < p) { s += theta(k + kk * p + j) * x(j); j += 1 }
+          while (j < q) { s += theta(k + kk * q + j) * f(j); j += 1 }
           z(kk) = s; if (s > mx) mx = s; kk += 1
         }
         var tot = 0.0
@@ -226,19 +277,37 @@ object DeepHit {
         }
       }
 
-      // backprop dz → grad(c, W)
+      // backprop dz → grad(c, W) (+ through relu → grad(A, a))
       i = 0
       while (i < b) {
-        val x = batch(i)._2
+        val f = feat(i)
+        val dh = if (hidden > 0) new Array[Double](hidden) else null
         var kk = 0
         while (kk < k) {
           val d = dz(i)(kk)
           if (d != 0.0) {
             grad(kk) += d
             var j = 0
-            while (j < p) { grad(k + kk * p + j) += d * x(j); j += 1 }
+            while (j < q) {
+              grad(k + kk * q + j) += d * f(j)
+              if (hidden > 0) dh(j) += d * theta(k + kk * q + j)
+              j += 1
+            }
           }
           kk += 1
+        }
+        if (hidden > 0) {
+          val x = batch(i)._2
+          var j = 0
+          while (j < hidden) {
+            // relu'(pre) = 1{pre > 0} ⟺ f(j) > 0 (exact zeros inactive)
+            if (f(j) > 0.0 && dh(j) != 0.0) {
+              grad(offB + j) += dh(j)
+              var l = 0
+              while (l < p) { grad(offA + j * p + l) += dh(j) * x(l); l += 1 }
+            }
+            j += 1
+          }
         }
         i += 1
       }
@@ -268,17 +337,33 @@ object DeepHit {
   }
 }
 
-/** Fitted linear DeepHit: per-bin intercepts c and weight matrix W. */
+/** Fitted DeepHit: per-bin intercepts c and weight matrix W over the
+  * head input — the raw features (linear flavor) or the ReLU hidden
+  * activations `relu(A·x + a)` when `hiddenW = Some((A, a))` (M9).
+  * The forward pass stays pure codegen'd column algebra either way
+  * (VecDot dot products + array exprs; no UDF).
+  */
 final case class FittedDeepHit(
     model: DeepHit,
     cuts: DurationCuts,
     c: Array[Double],
-    w: Array[Array[Double]]) extends FittedSurvModel {
+    w: Array[Array[Double]],
+    hiddenW: Option[(Array[Array[Double]], Array[Double])] = None)
+    extends FittedSurvModel {
 
-  /** PMF array softmax(z) with z_k = c_k + W_k·x (max-shifted). */
+  /** Head input f(x): identity or the ReLU hidden layer. */
+  private def featCol(x: Column): Column = hiddenW match {
+    case None => x
+    case Some((a, b)) =>
+      array(a.indices.map(j =>
+        greatest(lit(0.0), lit(b(j)) + CoxPH.scoreCol(x, a(j)))): _*)
+  }
+
+  /** PMF array softmax(z) with z_k = c_k + W_k·f(x) (max-shifted). */
   def pmf(x: Column): Column = {
+    val f = featCol(x)
     val z = array((0 until cuts.k).map(kk =>
-      lit(c(kk)) + CoxPH.scoreCol(x, w(kk))): _*)
+      lit(c(kk)) + CoxPH.scoreCol(f, w(kk))): _*)
     val mx = array_max(z)
     val ex = transform(z, v => exp(v - mx))
     val tot = aggregate(ex, lit(0.0), (a, v) => a + v)

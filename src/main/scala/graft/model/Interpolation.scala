@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
   * model_logistic_hazard.py:113-117). Piecewise-linear through the
   * knot points, constant extrapolation past the last knot — expressed
   * as pure array expressions (codegen, no UDF).
+  *
+  * DOCUMENTED DEVIATION: pycox's `interpolate()` defaults to
+  * CONSTANT-DENSITY interpolation (`scheme='const_pdf'`,
+  * pycox.models.interpolation.InterpolateDiscrete) — the pmf mass of
+  * each interval is spread uniformly over `sub` subdivision points,
+  * which yields a piecewise-linear SURVIVAL curve evaluated on the
+  * subdivided grid rather than a curve defined for arbitrary τ. This
+  * engine interpolates S linearly between the original knots and
+  * evaluates at ANY τ: the two agree exactly at subdivision points of
+  * the const-pdf scheme (uniform pmf spread ⟺ linear S within an
+  * interval), but pycox's step-then-index lookup between its
+  * subdivision points is a staircase while this curve is continuous.
+  * Values on the shared grid match; between subdivision points they
+  * can differ by up to one sub-step of pmf mass.
   */
 object Interpolation {
 

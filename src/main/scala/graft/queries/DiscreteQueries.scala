@@ -109,6 +109,28 @@ object DiscreteQueries {
         .orderBy("id", "k")
     }),
 
+    // M9 forward: fixed-weight 2-unit ReLU MLP head through the REAL
+    // FittedDeepHit column path (featCol → pmf → discreteSurv).
+    "q_deephit_mlp_forward" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      val base = betaBase(ds.encodedFeatures)
+      val cArr = Array.tabulate(K)(k => 0.1 * k - 0.2)
+      val wMat = Array.tabulate(K)(k =>
+        Array(0.3 * ((k + 1) / 5.0), -0.2 * ((k + 1) / 5.0)))
+      val fitted = FittedDeepHit(DeepHit(K, hidden = 2), cuts, cArr, wMat,
+        Some((Array(base, base.map(-_)), Array(0.01, 0.02))))
+      val xd = transform(col("x"), _.cast("double"))
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .select(col("id"),
+          posexplode(arrays_zip(fitted.pmf(xd).as("p"),
+            fitted.discreteSurv(xd).as("sv"))))
+        .select(col("id"), col("pos").as("k"),
+          (round(col("col.p"), 6) + lit(0.0)).as("pmf"),
+          (round(col("col.sv"), 6) + lit(0.0)).as("s"))
+        .orderBy("id", "k")
+    }),
+
     // E6: pair-rank matrix of the first train batch [0, 128).
     "q_pair_rank" -> ((s, dir) => {
       val ds = ChurnView.dataset(s, dir)
@@ -176,6 +198,39 @@ object DiscreteQueries {
        |dh5 AS (SELECT dh4.*, $ss FROM dh4)""".stripMargin
   }
 
+  /** MLP-head fixed-weight expressions: ReLU hidden pair over ±lp,
+    * then the same softmax/cumsum pipeline as [[deephitSelect]]. The
+    * weight literals are COMPUTED here with the exact Scala arithmetic
+    * the query uses, then interpolated (Double.toString round-trips).
+    */
+  private val mlpSelect: String = {
+    val w0 = (0 until K).map(k => 0.3 * ((k + 1) / 5.0))
+    val w1 = (0 until K).map(k => -0.2 * ((k + 1) / 5.0))
+    val cs = (0 until K).map(k => 0.1 * k - 0.2)
+    val zs = (0 until K).map(k =>
+      s"(CAST(${cs(k)} AS DOUBLE) + (CAST(${w0(k)} AS DOUBLE) * h0" +
+        s" + CAST(${w1(k)} AS DOUBLE) * h1)) AS z$k").mkString(", ")
+    val mx = s"greatest(${(0 until K).map(k => s"z$k").mkString(", ")})"
+    val es = (0 until K).map(k => s"exp(z$k - mx) AS e$k").mkString(", ")
+    val tot = (0 until K).map(k => s"e$k").mkString(" + ")
+    val ps = (0 until K).map(k => s"e$k / tot AS p$k").mkString(", ")
+    val ss = (0 until K).map { k =>
+      val cum = (0 to k).map(j => s"p$j").mkString(" + ")
+      s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
+    }.mkString(", ")
+    val lp = lpSql.replaceAll("\n", " ")
+    s"""mh AS (SELECT id,
+       |             greatest(CAST(0 AS DOUBLE), CAST(0.01 AS DOUBLE) + ($lp)) AS h0,
+       |             greatest(CAST(0 AS DOUBLE), CAST(0.02 AS DOUBLE) - ($lp)) AS h1
+       |       FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),
+       |mz AS (SELECT id, $zs FROM mh),
+       |mz1 AS (SELECT id, $mx AS mx FROM mz),
+       |mz2 AS (SELECT mz.id, $es FROM mz JOIN mz1 ON mz.id = mz1.id),
+       |mz3 AS (SELECT mz2.*, $tot AS tot FROM mz2),
+       |mz4 AS (SELECT id, $ps FROM mz3),
+       |mz5 AS (SELECT mz4.*, $ss FROM mz4)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pp_expand" -> (C + s", $splitSql,\n$trnSql\n" +
       """SELECT id, CAST(j AS INT) AS j,
@@ -226,6 +281,17 @@ object DiscreteQueries {
          |             unnest([${(0 until K).map(k => s"p$k").mkString(", ")}]) AS pmf,
          |             unnest([${(0 until K).map(k => s"s$k").mkString(", ")}]) AS s
          |      FROM dh5)
+         |ORDER BY id, k""".stripMargin),
+
+    "q_deephit_mlp_forward" -> (C + s", $splitSql,\n$mlpSelect\n" +
+      s"""SELECT id, CAST(k AS INT) AS k,
+         |       round(pmf, 6) + CAST(0 AS DOUBLE) AS pmf,
+         |       round(s, 6) + CAST(0 AS DOUBLE) AS s
+         |FROM (SELECT id,
+         |             unnest([${(0 until K).mkString(", ")}]) AS k,
+         |             unnest([${(0 until K).map(k => s"p$k").mkString(", ")}]) AS pmf,
+         |             unnest([${(0 until K).map(k => s"s$k").mkString(", ")}]) AS s
+         |      FROM mz5)
          |ORDER BY id, k""".stripMargin),
 
     "q_pair_rank" -> (C + s", $splitSql,\n$trnSql,\n" +

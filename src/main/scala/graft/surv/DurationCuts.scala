@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   *   step = (tmax - tmin) / (k - 1)
   * i.e. the index of the highest cut ≤ t for on-grid values. Pure
   * +,-,*,/ double arithmetic → bit-identical across engines.
+  *
+  * DOCUMENTED DEVIATION: pycox's `LabTransDiscreteTime.transform`
+  * additionally REWRITES THE EVENT INDICATOR for rows beyond the
+  * fitted grid (pycox.preprocessing.label_transforms: durations past
+  * the last cut are clamped and the event flag is set to 0 —
+  * "administrative censoring at the end of the grid"). Because the
+  * cuts here are fitted on the train min/max and test times can
+  * exceed tmax, the engine clamps the INDEX for all models but keeps
+  * the original event flag: a beyond-grid event stays an event in the
+  * last bin. This changes the discrete-time label of at most the
+  * beyond-grid rows; both conventions appear in the literature, and
+  * the clamp-only form keeps the label a pure column expression with
+  * no train/test asymmetry.
   */
 final case class DurationCuts(cuts: Array[Double]) {
   def k: Int = cuts.length

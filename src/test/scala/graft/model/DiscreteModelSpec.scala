@@ -76,6 +76,57 @@ class DiscreteModelSpec extends AnyFunSuite {
     assert(math.abs(pmf.sum - 1.0) < 1e-9)
   }
 
+  test("MLP gradient matches finite differences (hidden layer, M9)") {
+    val k = 3; val p = 2; val h = 4
+    val rng = new Random(3)
+    val batch = Array.tabulate(6)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        rng.nextInt(k), rng.nextInt(2)))
+    // θ = [c (k), W (k×h), A (h×p), a (h)]
+    val theta = Array.fill(k + k * h + h * p + h)(rng.nextDouble() * 0.5 - 0.25)
+
+    def lossAt(th: Array[Double]): Double = {
+      val acc = DeepHit.PartitionAcc(k, p, th, alpha = 0.3, sigma = 0.2, hidden = h)
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = DeepHit.PartitionAcc(k, p, theta, alpha = 0.3, sigma = 0.2, hidden = h)
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("MLP head captures a nonlinear signal the linear head cannot (M9)") {
+    import spark.implicits._
+    // V-shaped risk: lp = 3·|x1| has ZERO linear correlation with x1,
+    // so the linear head scores ~0.5 while one ReLU layer represents
+    // |x1| exactly (relu(x1) + relu(-x1)).
+    val rng = new Random(11)
+    val rows = (0 until 600).map { i =>
+      val x1 = 2 * rng.nextDouble() - 1
+      val x2 = 2 * rng.nextDouble() - 1
+      val rate = math.exp(3.0 * math.abs(x1) - 1.5) / 50.0
+      val tEvent = -math.log(rng.nextDouble()) / rate
+      val cens = 20 + rng.nextDouble() * 200
+      (i.toLong, x1, x2, math.max(math.min(tEvent, cens), 0.5),
+        if (tEvent <= cens) 1 else 0)
+    }
+    val d = SurvDataset.fromDataFrame(
+      rows.toDF("idx", "x1", "x2", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
+    val cLin = DeepHit(numDurations = 5, epochs = 40, lr = 0.1).fit(d).score(d)("c_index")
+    val cMlp = DeepHit(numDurations = 5, epochs = 40, lr = 0.1, hidden = 8)
+      .fit(d).score(d)("c_index")
+    assert(cMlp > cLin + 0.05, s"cMlp=$cMlp cLin=$cLin")
+    assert(cMlp > 0.6, s"cMlp=$cMlp")
+  }
+
   test("Hyperband end-to-end with tiny budget selects and refits a model") {
     val d = ds(300)
     val hb = new graft.automl.Hyperband(maxIter = 2, eta = 2, outputEpochs = 5)
