@@ -36,27 +36,14 @@ object ScalableConcordance {
     import spark.implicits._
 
     val s = df.select(col(tCol).cast("double").as("t"),
-      col(eCol).cast("int").as("e"), col(riskCol).cast("double").as("r"))
-
-    // ---- comparable: events at t × subjects with larger t ----
-    val wT = Window.orderBy(col("t"))
-    val grpT = s.groupBy(col("t"))
-      .agg(count(lit(1)).as("m"), sum(col("e")).as("ev"))
-      .withColumn("after",
-        coalesce(sum(col("m")).over(wT.rowsBetween(1, Window.unboundedFollowing)),
-          lit(0L)))
-    val comparable = grpT.agg(sum(col("ev") * col("after"))).head().getLong(0)
-
-    // ---- ties: same risk, larger t ----
-    val wRT = Window.partitionBy(col("r")).orderBy(col("t"))
-    val ties = s.groupBy(col("r"), col("t"))
-      .agg(count(lit(1)).as("m"), sum(col("e")).as("ev"))
-      .withColumn("after",
-        coalesce(sum(col("m")).over(wRT.rowsBetween(1, Window.unboundedFollowing)),
-          lit(0L)))
-      .agg(coalesce(sum(col("ev") * col("after")), lit(0L))).head().getLong(0)
+        col(eCol).cast("int").as("e"), col(riskCol).cast("double").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- bucket assignment: monotone value→bucket map ----
+    // (approxQuantile is the one unavoidable pre-pass — it defines the
+    // bucket bounds the counting branches below are built from; it also
+    // materializes the persisted base so the single counting job reads
+    // cache instead of racing to recompute it per branch.)
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
@@ -65,31 +52,53 @@ object ScalableConcordance {
     val bucketCol =
       if (bounds.isEmpty) lit(0) else size(filter(bArr, bd => bd < col("r")))
     val sb = s.withColumn("b", bucketCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ---- cross-bucket: (bucket × distinct t) grid ----
+    // ---- comparable: events at t × subjects with larger t ----
+    val wT = Window.orderBy(col("t"))
+    val comparableDf = s.groupBy(col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("e")).as("ev"))
+      .withColumn("after",
+        coalesce(sum(col("m")).over(wT.rowsBetween(1, Window.unboundedFollowing)),
+          lit(0L)))
+      .agg(coalesce(sum(col("ev") * col("after")), lit(0L)).as("v"))
+
+    // ---- ties: same risk, larger t ----
+    val wRT = Window.partitionBy(col("r")).orderBy(col("t"))
+    val tiesDf = s.groupBy(col("r"), col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("e")).as("ev"))
+      .withColumn("after",
+        coalesce(sum(col("m")).over(wRT.rowsBetween(1, Window.unboundedFollowing)),
+          lit(0L)))
+      .agg(coalesce(sum(col("ev") * col("after")), lit(0L)).as("v"))
+
+    // ---- cross-bucket at EVENT points only (no dense t × bucket
+    // grid — see the antolini() comment for the union/prefix trick) ----
     val perBT = sb.groupBy(col("b"), col("t")).agg(count(lit(1)).as("m"))
-    val allT = sb.select(col("t")).distinct()
+    val evT = sb.filter(col("e") === 1).select(col("t")).distinct()
     val allB = spark.range(0, bounds.length + 1L).select(col("id").cast("int").as("b"))
-    val grid = allT.crossJoin(allB)
-      .join(perBT, Seq("b", "t"), "left")
-      .withColumn("m", coalesce(col("m"), lit(0L)))
-      .withColumn("f", // # in bucket b with t_j > t
-        coalesce(sum(col("m")).over(Window.partitionBy(col("b")).orderBy(col("t"))
-          .rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+    val u = perBT.select(col("b"), col("t"), col("m"), lit(0).as("q"))
+      .unionAll(evT.crossJoin(allB)
+        .select(col("b"), col("t"), lit(0L).as("m"), lit(1).as("q")))
+    val wB = Window.partitionBy(col("b"))
+    val grid = u
+      .withColumn("pref", // Σ m with t' <= t (data rows sort before queries)
+        sum(col("m")).over(wB.orderBy(col("t"), col("q"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("m")).over(wB))
+      .filter(col("q") === 1)
+      .withColumn("f", col("tot") - col("pref")) // # in bucket b with t_j > t
       .withColumn("g", // Σ_{b' <= b} f(b', t)
         sum(col("f")).over(Window.partitionBy(col("t")).orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val evTB = sb.filter(col("e") === 1)
       .groupBy(col("t"), col("b")).agg(count(lit(1)).as("ev"))
-    val cross = evTB
+    val crossDf = evTB
       .join(grid.select(col("t"), (col("b") + 1).as("b"), col("g")),
         Seq("t", "b"), "left")
-      .agg(coalesce(sum(col("ev") * coalesce(col("g"), lit(0L))), lit(0L)))
-      .head().getLong(0)
+      .agg(coalesce(sum(col("ev") * coalesce(col("g"), lit(0L))), lit(0L)).as("v"))
 
     // ---- within-bucket: exact local Fenwick sweep per bucket ----
-    val within = sb.select(col("t"), col("e"), col("r"), col("b"))
+    val withinDf = sb.select(col("t"), col("e"), col("r"), col("b"))
       .repartition(col("b"))
       .as[(Double, Int, Double, Int)]
       .mapPartitions { it =>
@@ -98,11 +107,16 @@ object ScalableConcordance {
           total += countWithin(rows.map(x => (x._1, x._2, x._3)))
         }
         Iterator.single(total)
-      }.reduce(_ + _)
-    sb.unpersist()
+      }.toDF("v").agg(coalesce(sum(col("v")), lit(0L)).as("v"))
+
+    // ONE action for all four counts: the branches are independent, so
+    // Spark schedules their stages concurrently instead of paying four
+    // sequential job round-trips over the same cached base.
+    val Seq(comparable, ties, cross, within) =
+      collectCounts(Seq(comparableDf, tiesDf, crossDf, withinDf))
+    s.unpersist()
 
     val concordant = cross + within + 0.5 * ties
-    import spark.implicits._
     Seq((comparable, concordant, concordant / comparable.toDouble))
       .toDF("comparable", "concordant", "cindex")
   }
@@ -156,48 +170,62 @@ object ScalableConcordance {
           .otherwise(0).as("ei"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Materialize the slice table once; the single counting job below
+    // then reads cache instead of racing to recompute it per branch.
+    x.count()
+
     val wTauT = Window.partitionBy(col("tau")).orderBy(col("t"))
-    val comparable = x.groupBy(col("tau"), col("t"))
+    val comparableDf = x.groupBy(col("tau"), col("t"))
       .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev"))
       .withColumn("after",
         coalesce(sum(col("m")).over(wTauT.rowsBetween(1, Window.unboundedFollowing)),
           lit(0L)))
-      .agg(coalesce(sum(col("ev") * col("after")), lit(0L))).head().getLong(0)
+      .agg(coalesce(sum(col("ev") * col("after")), lit(0L)).as("v"))
 
     val wTauRT = Window.partitionBy(col("tau"), col("r")).orderBy(col("t"))
-    val ties = x.groupBy(col("tau"), col("r"), col("t"))
+    val tiesDf = x.groupBy(col("tau"), col("r"), col("t"))
       .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev"))
       .withColumn("after",
         coalesce(sum(col("m")).over(wTauRT.rowsBetween(1, Window.unboundedFollowing)),
           lit(0L)))
-      .agg(coalesce(sum(col("ev") * col("after")), lit(0L))).head().getLong(0)
+      .agg(coalesce(sum(col("ev") * col("after")), lit(0L)).as("v"))
 
     // b monotone in r: r = −s ∈ [−1, 0] → equal-width cells, clamped.
     val b = greatest(lit(0), least(lit(numBuckets - 1),
       floor((col("r") + 1.0) * numBuckets).cast("int")))
     val xb = x.withColumn("b", b)
 
+    // Cross-bucket counts at EVENT points only, without completing the
+    // (τ × t × bucket) grid (that crossJoin is O(|τ|·|t|·B) rows — a
+    // scale blowup): union the per-(τ,b,t) data counts with one query
+    // row per (event (τ,t)) × bucket, running-prefix-sum m ordered by
+    // (t, data-before-query), and read f = tot − prefix at the query
+    // rows. One window pass over O(|x|) rows instead of the dense grid.
     val perBT = xb.groupBy(col("tau"), col("b"), col("t")).agg(count(lit(1)).as("m"))
-    val allTauT = x.select(col("tau"), col("t")).distinct()
+    val evT = xb.filter(col("ei") === 1).select(col("tau"), col("t")).distinct()
     val allB = spark.range(0, numBuckets.toLong).select(col("id").cast("int").as("b"))
-    val cells = allTauT.crossJoin(allB)
-      .join(perBT, Seq("tau", "b", "t"), "left")
-      .withColumn("m", coalesce(col("m"), lit(0L)))
-      .withColumn("f", // # in (τ, b) with t_j > t
-        coalesce(sum(col("m")).over(Window.partitionBy(col("tau"), col("b"))
-          .orderBy(col("t")).rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+    val u = perBT.select(col("tau"), col("b"), col("t"), col("m"), lit(0).as("q"))
+      .unionAll(evT.crossJoin(allB)
+        .select(col("tau"), col("b"), col("t"), lit(0L).as("m"), lit(1).as("q")))
+    val wBT = Window.partitionBy(col("tau"), col("b"))
+    val cells = u
+      .withColumn("pref", // Σ m with t' <= t (data rows sort before queries)
+        sum(col("m")).over(wBT.orderBy(col("t"), col("q"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("m")).over(wBT))
+      .filter(col("q") === 1)
+      .withColumn("f", col("tot") - col("pref")) // # in (τ,b) with t_j > t
       .withColumn("g", // Σ_{b' <= b} f(τ, b', t)
         sum(col("f")).over(Window.partitionBy(col("tau"), col("t")).orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val evTB = xb.filter(col("ei") === 1)
       .groupBy(col("tau"), col("t"), col("b")).agg(count(lit(1)).as("ev"))
-    val cross = evTB
+    val crossDf = evTB
       .join(cells.select(col("tau"), col("t"), (col("b") + 1).as("b"), col("g")),
         Seq("tau", "t", "b"), "left")
-      .agg(coalesce(sum(col("ev") * coalesce(col("g"), lit(0L))), lit(0L)))
-      .head().getLong(0)
+      .agg(coalesce(sum(col("ev") * coalesce(col("g"), lit(0L))), lit(0L)).as("v"))
 
-    val within = xb.select(col("tau"), col("b"), col("t"), col("ei"), col("r"))
+    val withinDf = xb.select(col("tau"), col("b"), col("t"), col("ei"), col("r"))
       .repartition(col("tau"), col("b"))
       .as[(Double, Int, Double, Int, Double)]
       .mapPartitions { it =>
@@ -206,12 +234,29 @@ object ScalableConcordance {
           total += countWithin(rows.map(p => (p._3, p._4, p._5)))
         }
         Iterator.single(total)
-      }.reduce(_ + _)
+      }.toDF("v").agg(coalesce(sum(col("v")), lit(0L)).as("v"))
+
+    // ONE action for comparable/ties/cross/within (branches independent
+    // over the cached slice table → concurrently scheduled stages).
+    val Seq(comparable, ties, cross, within) =
+      collectCounts(Seq(comparableDf, tiesDf, crossDf, withinDf))
     x.unpersist()
 
     val concordant = cross + within + 0.5 * ties
     Seq((comparable, concordant, concordant / comparable.toDouble))
       .toDF("comparable", "concordant", "cindex")
+  }
+
+  /** Collect N independent single-scalar aggregates in ONE job: tag
+    * each branch, union, collect, read back in branch order.
+    */
+  private def collectCounts(branches: Seq[DataFrame]): Seq[Long] = {
+    val tagged = branches.zipWithIndex.map { case (b, i) =>
+      b.select(lit(i).as("k"), col("v"))
+    }
+    val rows = tagged.reduce(_.unionAll(_)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    branches.indices.map(rows)
   }
 
   /** Strict pairs {(i,j): e_i=1, t_j > t_i, r_j < r_i} in one bucket:
