@@ -168,15 +168,18 @@ object Dedup {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("id"), shingleInt(col("tok")).as("h"))
-    val contrib = tok
-      .select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .select(col("id"), col("b"),
-        (expr("shiftright(h, b)").bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as("c"))
-    contrib.groupBy(col("id"), col("b")).agg(sum(col("c")).as("s"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(0L)).as("simhash"))
+    // One row per token, all `bits` majority sums as map-side-combined
+    // aggregate columns (NOT a per-(token,bit) explode — that is a
+    // bits× row blowup into the shuffle for no information gain).
+    val sums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"s$b")
+    }
+    tok.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist — the
@@ -196,28 +199,34 @@ object Dedup {
     * fingerprints within Hamming distance maxDist differ in ≤ maxDist
     * blocks, so at least ONE block is bit-identical. Candidates come
     * from an equi-join on (block index, block value) — shuffle keyed
-    * on fingerprint content, never n² — then the exact Hamming filter
-    * keeps true pairs and `distinct` collapses multi-block matches.
+    * on fingerprint content, never n². A pair matching in SEVERAL
+    * blocks is emitted only from its FIRST equal block (the block
+    * index of the first zero block of ha⊕hb), a pure filter — no
+    * distinct() shuffle over the multiply-matched candidate set.
     * Same rows as [[simhashPairs]] for any input.
     */
   def simhashPairsBucketed(sims: DataFrame, maxDist: Int,
                            bits: Int = 32): DataFrame = {
     val nBlocks = maxDist + 1
     val starts = (0 to nBlocks).map(k => k * bits / nBlocks)
-    val blockCols = (0 until nBlocks).map { k =>
+    def blockOf(v: Column, k: Int): Column = {
       val len = starts(k + 1) - starts(k)
-      shiftright(col("simhash"), starts(k))
-        .bitwiseAND(lit((1L << len) - 1L))
+      shiftright(v, starts(k)).bitwiseAND(lit((1L << len) - 1L))
     }
     val blocks = sims.select(col("id"), col("simhash"),
-      posexplode(array(blockCols: _*)).as(Seq("blk", "key")))
+      posexplode(array((0 until nBlocks).map(blockOf(col("simhash"), _)): _*))
+        .as(Seq("blk", "key")))
+    val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    // 1-based index of the first bit-identical block of the pair
+    val firstEq = array_position(
+      array((0 until nBlocks).map(blockOf(x, _)): _*), 0L)
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
+      .filter(firstEq === col("a.blk") + 1)
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(x).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 
   /** Cosine over embeddings: sequential-double dot products through

@@ -42,11 +42,25 @@ object DedupQueries {
     }),
 
     // pigeonhole-bucketed scale path — identical rows to
-    // q_dedup_simhash_pairs (same oracle)
+    // q_dedup_simhash_pairs (same oracle). NOTE: 32 bits / maxDist 6
+    // is the parity config and the WORST case for bucketing (4-5-bit
+    // blocks → dense buckets); q_dedup_simhash60_pairs_bucketed below
+    // is the production-shaped config.
     "q_dedup_simhash_pairs_bucketed" -> ((s, dir) => {
       val fp = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id",
         "text", bits = 32)
       Dedup.simhashPairsBucketed(fp, maxDist = 6, bits = 32)
+        .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))
+        .orderBy("i", "j")
+    }),
+
+    // the config that survives 100 TB: 60-bit fingerprint, maxDist 3
+    // → four 15-bit blocks, near-singleton buckets, candidate count
+    // ~linear in n instead of quadratic-in-bucket-size
+    "q_dedup_simhash60_pairs_bucketed" -> ((s, dir) => {
+      val fp = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id",
+        "text", bits = 60)
+      Dedup.simhashPairsBucketed(fp, maxDist = 3, bits = 60)
         .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))
         .orderBy("i", "j")
     }),
@@ -80,13 +94,17 @@ object DedupQueries {
       |          FROM sh))
       |  GROUP BY id, i)""".stripMargin
 
-  private val simhashPairsSql =
-    """WITH tokh AS (
+  /** All-pairs simhash SQL (DuckDB) parameterized on fingerprint width
+    * and Hamming threshold — the bucketed engine variants must be
+    * row-identical to this answer.
+    */
+  private def simhashPairsSqlFor(bits: Int, maxDist: Int): String =
+    s"""WITH tokh AS (
       |  SELECT doc_id AS id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
       |bits AS (
       |  SELECT id, b, sum(((h >> b) & 1) * 2 - 1) AS s
-      |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0, ${bits - 1})) AS b)
       |  GROUP BY id, b),
       |fp AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
       |                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
@@ -94,8 +112,10 @@ object DedupQueries {
       |SELECT a.id AS i, b.id AS j,
       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       |FROM fp a JOIN fp b ON a.id < b.id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
       |ORDER BY i, j""".stripMargin
+
+  private val simhashPairsSql = simhashPairsSqlFor(bits = 32, maxDist = 6)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -157,8 +177,10 @@ object DedupQueries {
 
     "q_dedup_simhash_pairs" -> simhashPairsSql,
 
-    // bucketed variant must be row-identical to the all-pairs answer
+    // bucketed variants must be row-identical to the all-pairs answer
     "q_dedup_simhash_pairs_bucketed" -> simhashPairsSql,
+    "q_dedup_simhash60_pairs_bucketed" ->
+      simhashPairsSqlFor(bits = 60, maxDist = 3),
 
     "q_dedup_embed_cos" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
