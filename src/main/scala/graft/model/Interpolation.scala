@@ -10,19 +10,19 @@ import org.apache.spark.sql.functions._
   * knot points, constant extrapolation past the last knot — expressed
   * as pure array expressions (codegen, no UDF).
   *
-  * DOCUMENTED DEVIATION: pycox's `interpolate()` defaults to
-  * CONSTANT-DENSITY interpolation (`scheme='const_pdf'`,
-  * pycox.models.interpolation.InterpolateDiscrete) — the pmf mass of
-  * each interval is spread uniformly over `sub` subdivision points,
-  * which yields a piecewise-linear SURVIVAL curve evaluated on the
-  * subdivided grid rather than a curve defined for arbitrary τ. This
-  * engine interpolates S linearly between the original knots and
-  * evaluates at ANY τ: the two agree exactly at subdivision points of
-  * the const-pdf scheme (uniform pmf spread ⟺ linear S within an
-  * interval), but pycox's step-then-index lookup between its
-  * subdivision points is a staircase while this curve is continuous.
-  * Values on the shared grid match; between subdivision points they
-  * can differ by up to one sub-step of pmf mass.
+  * Two flavors ship:
+  *   - [[linearAt]]: S interpolated linearly between the original
+  *     knots, evaluated at ANY τ (continuous curve);
+  *   - [[constPdf]]/[[constPdfTimes]]: pycox's default
+  *     `interpolate(sub)` scheme (`scheme='const_pdf'`,
+  *     pycox.models.interpolation.InterpolateDiscrete) — the pmf mass
+  *     of each interval is spread uniformly over `sub` subdivision
+  *     points, producing the subdivided DISCRETE grid pycox returns.
+  * The two agree exactly at the subdivision points (uniform pmf
+  * spread ⟺ linear S within an interval); between subdivision points
+  * pycox's downstream step lookup is a staircase while [[linearAt]]
+  * is continuous — that residual difference is inherent to returning
+  * a grid vs a curve.
   */
 object Interpolation {
 
@@ -46,4 +46,33 @@ object Interpolation {
       .when(i === n, element_at(values, n))
       .otherwise(v0 + (v1 - v0) * (tau - t0) / (t1 - t0))
   }
+
+  /** Time points of the pycox `interpolate(sub)` subdivided grid:
+    * (k−1)·sub + 1 points, each interval split into `sub` equal
+    * steps (endpoints are the original knots, bit-exactly).
+    */
+  def constPdfTimes(knotTimes: Array[Double], sub: Int): Array[Double] =
+    Array.tabulate((knotTimes.length - 1) * sub + 1) { m =>
+      val q = m / sub
+      val r = m % sub
+      if (r == 0) knotTimes(q)
+      else knotTimes(q) +
+        (knotTimes(q + 1) - knotTimes(q)) * (r.toDouble / sub.toDouble)
+    }
+
+  /** Survival values on the pycox const-pdf subdivided grid: spreading
+    * each interval's pmf mass uniformly over `sub` steps is exactly
+    * linear interpolation of S within the interval, so
+    *   out[m] = v_q + (v_{q+1} − v_q) · (r / sub),  q = m / sub, r = m % sub
+    * for a length-k `values` array. Pure array expression (codegen).
+    */
+  def constPdf(values: Column, k: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit((k - 1) * sub)), m => {
+      val q = floor(m / lit(sub)).cast("int")
+      val r = m - q * lit(sub)
+      val v0 = element_at(values, q + 1)
+      when(r === 0, v0).otherwise(
+        v0 + (element_at(values, q + 2) - v0) *
+          (r.cast("double") / lit(sub.toDouble)))
+    })
 }

@@ -87,6 +87,26 @@ object DiscreteQueries {
         .orderBy("id", "tau_idx")
     }),
 
+    // M6 pycox flavor: const-pdf `interpolate(sub=4)` subdivided grid
+    // of the same fixed-weight discrete curve (InterpolateDiscrete).
+    "q_interpolate_cdi" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      val fitted = FittedLogisticHazard(LogisticHazard(K), cuts,
+        fixedB, betaBase(ds.encodedFeatures))
+      val xd = transform(col("x"), _.cast("double"))
+      val sub = 4
+      val times = graft.model.Interpolation.constPdfTimes(cuts.cuts, sub)
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .select(col("id"), posexplode(arrays_zip(
+          array(times.map(lit(_)): _*).as("tau"),
+          graft.model.Interpolation.constPdf(fitted.discreteSurv(xd), K, sub)
+            .as("sv"))))
+        .select(col("id"), col("pos").as("m"), col("col.tau").as("tau"),
+          round(col("col.sv"), 6).as("s"))
+        .orderBy("id", "m")
+    }),
+
     // M5 forward: softmax PMF + survival with fixed per-bin weights.
     "q_deephit_forward" -> ((s, dir) => {
       val ds = ChurnView.dataset(s, dir)
@@ -243,6 +263,32 @@ object DiscreteQueries {
 
     "q_loghaz_forward" -> (C + s", $splitSql,\n$tstSql,\n$hazSql\n" +
       "SELECT id, k, round(h, 6) AS h, round(s, 6) AS s FROM sv ORDER BY id, k"),
+
+    // const-pdf subdivision (sub=4): q = m // 4, r = m % 4,
+    //   tau = ct_q + (ct_{q+1} − ct_q)·r/4, s = v_q + (v_{q+1} − v_q)·r/4
+    // — exactly the engine's Interpolation.constPdf arithmetic.
+    "q_interpolate_cdi" -> (C + s", $splitSql,\n$trnSql,\n$tstSql,\n$hazSql,\n" +
+      """cut AS (SELECT CAST(range AS INT) AS k,
+        |               CASE WHEN range = 4 THEN tmax ELSE tmin + range * step END AS ct
+        |        FROM range(5) CROSS JOIN rng4),
+        |pieces AS (SELECT CAST(range AS INT) AS m,
+        |                  CAST(range // 4 AS INT) AS q,
+        |                  CAST(range % 4 AS INT) AS r
+        |           FROM range(17)),
+        |j AS (SELECT sv.id, p.m, p.r, sv.s AS v0, sv1.s AS v1,
+        |             c0.ct AS t0, c1.ct AS t1
+        |      FROM pieces p
+        |      JOIN sv ON sv.k = p.q
+        |      JOIN cut c0 ON c0.k = p.q
+        |      LEFT JOIN cut c1 ON c1.k = p.q + 1
+        |      LEFT JOIN sv sv1 ON sv1.id = sv.id AND sv1.k = p.q + 1)
+        |SELECT id, m,
+        |       CASE WHEN r = 0 THEN t0
+        |            ELSE t0 + (t1 - t0) * (CAST(r AS DOUBLE) / CAST(4 AS DOUBLE)) END AS tau,
+        |       round(CASE WHEN r = 0 THEN v0
+        |                  ELSE v0 + (v1 - v0) * (CAST(r AS DOUBLE) / CAST(4 AS DOUBLE)) END,
+        |             6) AS s
+        |FROM j ORDER BY id, m""".stripMargin),
 
     "q_interpolate" -> (C + s", $splitSql,\n$trnSql,\n$tstSql,\n$hazSql,\n" +
       """cut AS (SELECT CAST(range AS INT) AS k,

@@ -76,6 +76,16 @@ object SurvQueries {
         .orderBy("id")
     }),
 
+    // E4 pycox flavor: same cuts, event flag administratively censored
+    // for rows beyond the fitted grid (LabTransDiscreteTime semantics).
+    "q_label_discretize_pycox" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", 10)
+      ds.df.select(col("id"), col("t"), cuts.indexCol(col("t")).as("t_idx"),
+          cuts.eventColPycox(col("t"), col("e")).as("e_adm"))
+        .orderBy("id")
+    }),
+
     // E5: tensorized batch, exploded to long form (rn, idx, xval, t, e)
     // — the raw array<float> column is hash-equivalent but the driver's
     // pandas sort can't order ndarray cells, so the oracle check needs
@@ -139,5 +149,15 @@ object SurvQueries {
         |SELECT id, t,
         |  LEAST(GREATEST(CAST(FLOOR((CAST(t AS DOUBLE) - tmin)
         |    / ((tmax - tmin) / CAST(9 AS DOUBLE))) AS INT), 0), 9) AS t_idx
+        |FROM churn_rn CROSS JOIN cut ORDER BY id""".stripMargin),
+
+    "q_label_discretize_pycox" -> (C + s", $splitSql," +
+      """
+        |tr AS (SELECT churn_rn.* FROM churn_rn CROSS JOIN tl WHERE rn < train_len),
+        |cut AS (SELECT CAST(min(t) AS DOUBLE) AS tmin, CAST(max(t) AS DOUBLE) AS tmax FROM tr)
+        |SELECT id, t,
+        |  LEAST(GREATEST(CAST(FLOOR((CAST(t AS DOUBLE) - tmin)
+        |    / ((tmax - tmin) / CAST(9 AS DOUBLE))) AS INT), 0), 9) AS t_idx,
+        |  CASE WHEN CAST(t AS DOUBLE) > tmax THEN 0 ELSE e END AS e_adm
         |FROM churn_rn CROSS JOIN cut ORDER BY id""".stripMargin))
 }

@@ -17,18 +17,16 @@ import org.apache.spark.sql.functions._
   * i.e. the index of the highest cut ≤ t for on-grid values. Pure
   * +,-,*,/ double arithmetic → bit-identical across engines.
   *
-  * DOCUMENTED DEVIATION: pycox's `LabTransDiscreteTime.transform`
+  * Event-flag flavors: pycox's `LabTransDiscreteTime.transform`
   * additionally REWRITES THE EVENT INDICATOR for rows beyond the
   * fitted grid (pycox.preprocessing.label_transforms: durations past
   * the last cut are clamped and the event flag is set to 0 —
-  * "administrative censoring at the end of the grid"). Because the
-  * cuts here are fitted on the train min/max and test times can
-  * exceed tmax, the engine clamps the INDEX for all models but keeps
-  * the original event flag: a beyond-grid event stays an event in the
-  * last bin. This changes the discrete-time label of at most the
-  * beyond-grid rows; both conventions appear in the literature, and
-  * the clamp-only form keeps the label a pure column expression with
-  * no train/test asymmetry.
+  * "administrative censoring at the end of the grid").
+  * [[eventColPycox]] reproduces that flavor; the engine DEFAULT keeps
+  * the original flag (a beyond-grid event stays an event in the last
+  * bin — the other convention in the literature, and the one with no
+  * train/test asymmetry). The flavors differ on at most the
+  * beyond-grid rows.
   */
 final case class DurationCuts(cuts: Array[Double]) {
   def k: Int = cuts.length
@@ -45,6 +43,13 @@ final case class DurationCuts(cuts: Array[Double]) {
     val raw = floor((t.cast("double") - lit(tmin)) / lit(step)).cast("int")
     least(greatest(raw, lit(0)), lit(k - 1))
   }
+
+  /** pycox `LabTransDiscreteTime` event flavor: administrative
+    * censoring at the end of the fitted grid — beyond-grid rows keep
+    * the clamped last-bin index but the event flag becomes 0.
+    */
+  def eventColPycox(t: Column, e: Column): Column =
+    when(t.cast("double") > lit(tmax), lit(0)).otherwise(e)
 
   /** The grid as a Column literal (for survival-matrix expressions). */
   def gridCol: Column = array(cuts.map(lit(_)): _*)
