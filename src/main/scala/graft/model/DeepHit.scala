@@ -359,25 +359,39 @@ final case class FittedDeepHit(
         greatest(lit(0.0), lit(b(j)) + CoxPH.scoreCol(x, a(j)))): _*)
   }
 
-  /** PMF array softmax(z) with z_k = c_k + W_k·f(x) (max-shifted). */
-  def pmf(x: Column): Column = {
-    val f = featCol(x)
-    val z = array((0 until cuts.k).map(kk =>
-      lit(c(kk)) + CoxPH.scoreCol(f, w(kk))): _*)
-    val mx = array_max(z)
-    val ex = transform(z, v => exp(v - mx))
-    val tot = aggregate(ex, lit(0.0), (a, v) => a + v)
-    transform(ex, v => v / tot)
-  }
+  /** PMF array softmax(z) with z_k = c_k + W_k·f(x) (max-shifted).
+    * Every stage is let-bound ([[graft.functions.Let.bind]]) so f, z,
+    * the max shift, and the exp array are each evaluated ONCE per row
+    * — composed naively the tree re-embeds each stage per element and
+    * the (interpreted) higher-order functions pay it per row.
+    */
+  def pmf(x: Column): Column =
+    graft.functions.Let.bind(featCol(x)) { f =>
+      graft.functions.Let.bind(array((0 until cuts.k).map(kk =>
+        lit(c(kk)) + CoxPH.scoreCol(f, w(kk))): _*)) { z =>
+        graft.functions.Let.bind(array_max(z)) { mx =>
+          graft.functions.Let.bind(transform(z, v => exp(v - mx))) { ex =>
+            graft.functions.Let.bind(
+              aggregate(ex, lit(0.0), (a, v) => a + v)) { tot =>
+              transform(ex, v => v / tot)
+            }
+          }
+        }
+      }
+    }
 
   /** Discrete survival array S_k = 1 − cumsum(pmf)_k as ONE running
     * fold (K elements, not K aggregate(slice) passes): the struct
     * accumulator carries (running sum, output array). The running sum
     * associates identically to the per-k slice sums, so values are
-    * bit-equal to the old form.
+    * bit-equal to the old form. Callers that also need the pmf should
+    * compute it into a column and pass it to [[survFromPmf]].
     */
-  def discreteSurv(x: Column): Column =
-    aggregate(pmf(x),
+  def discreteSurv(x: Column): Column = survFromPmf(pmf(x))
+
+  /** [[discreteSurv]] over an already-computed pmf array column. */
+  def survFromPmf(p: Column): Column =
+    aggregate(p,
       struct(lit(0.0).as("s"), array().cast("array<double>").as("out")),
       (acc, v) => {
         val s = acc.getField("s") + v

@@ -32,19 +32,22 @@ object Interpolation {
     */
   def linearAt(tau: Column, knotTimes: Array[Double], values: Column): Column = {
     val kt = array(knotTimes.map(lit(_)): _*)
-    // i = count of knots <= tau  (1-based index of the segment end)
-    val i = size(filter(kt, k => k <= tau))
     val n = knotTimes.length
-    val t0 = element_at(kt, i)
-    val t1 = element_at(kt, i + 1)
-    val v0 = element_at(values, i)
-    val v1 = element_at(values, i + 1)
-    // CaseWhen evaluates branches lazily, so the out-of-bounds
-    // element_at in the interpolating branch is never reached when
-    // i == 0 or i == n.
-    when(i === 0, element_at(values, 1))
-      .when(i === n, element_at(values, n))
-      .otherwise(v0 + (v1 - v0) * (tau - t0) / (t1 - t0))
+    // i = count of knots <= tau (1-based index of the segment end);
+    // let-bound — it is referenced from six places below and contains
+    // an O(K) filter that would otherwise run per reference.
+    graft.functions.Let.bind(size(filter(kt, k => k <= tau))) { i =>
+      val t0 = element_at(kt, i)
+      val t1 = element_at(kt, i + 1)
+      val v0 = element_at(values, i)
+      val v1 = element_at(values, i + 1)
+      // CaseWhen evaluates branches lazily, so the out-of-bounds
+      // element_at in the interpolating branch is never reached when
+      // i == 0 or i == n.
+      when(i === 0, element_at(values, 1))
+        .when(i === n, element_at(values, n))
+        .otherwise(v0 + (v1 - v0) * (tau - t0) / (t1 - t0))
+    }
   }
 
   /** Time points of the pycox `interpolate(sub)` subdivided grid:
@@ -67,12 +70,16 @@ object Interpolation {
     * for a length-k `values` array. Pure array expression (codegen).
     */
   def constPdf(values: Column, k: Int, sub: Int): Column =
-    transform(sequence(lit(0), lit((k - 1) * sub)), m => {
-      val q = floor(m / lit(sub)).cast("int")
-      val r = m - q * lit(sub)
-      val v0 = element_at(values, q + 1)
-      when(r === 0, v0).otherwise(
-        v0 + (element_at(values, q + 2) - v0) *
-          (r.cast("double") / lit(sub.toDouble)))
-    })
+    // values (often a whole curve expression) is let-bound: it is
+    // referenced twice per subdivision point otherwise.
+    graft.functions.Let.bind(values) { vs =>
+      transform(sequence(lit(0), lit((k - 1) * sub)), m => {
+        val q = floor(m / lit(sub)).cast("int")
+        val r = m - q * lit(sub)
+        val v0 = element_at(vs, q + 1)
+        when(r === 0, v0).otherwise(
+          v0 + (element_at(vs, q + 2) - v0) *
+            (r.cast("double") / lit(sub.toDouble)))
+      })
+    }
 }

@@ -78,19 +78,26 @@ final case class FittedLogisticHazard(
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
-  /** Per-row array of hazards h_k = sigmoid(b_k + βᵀx). */
-  def hazards(x: Column): Column = {
-    val bx = CoxPH.scoreCol(x, beta)
-    transform(array(b.map(lit(_)): _*), bk => sigmoid(bk + bx))
-  }
+  /** Per-row array of hazards h_k = sigmoid(b_k + βᵀx); βᵀx let-bound
+    * so the dot product runs once per row, not once per interval.
+    */
+  def hazards(x: Column): Column =
+    graft.functions.Let.bind(CoxPH.scoreCol(x, beta)) { bx =>
+      transform(array(b.map(lit(_)): _*), bk => sigmoid(bk + bx))
+    }
 
   /** Per-row array of discrete survival values S_k = Π_{j<=k}(1−h_j)
     * as ONE running fold (K elements, not K aggregate(slice) passes);
     * the running product associates identically to the per-k slice
-    * products, so values are bit-equal to the old form.
+    * products, so values are bit-equal to the old form. Callers that
+    * also need the hazards should compute them into a column and pass
+    * it to [[survFromHazards]].
     */
-  def discreteSurv(x: Column): Column =
-    aggregate(hazards(x),
+  def discreteSurv(x: Column): Column = survFromHazards(hazards(x))
+
+  /** [[discreteSurv]] over an already-computed hazards array column. */
+  def survFromHazards(h: Column): Column =
+    aggregate(h,
       struct(lit(1.0).as("q"), array().cast("array<double>").as("out")),
       (acc, hj) => {
         val q = acc.getField("q") * (lit(1.0) - hj)

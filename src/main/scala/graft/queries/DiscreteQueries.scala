@@ -64,9 +64,10 @@ object DiscreteQueries {
         fixedB, betaBase(ds.encodedFeatures))
       val xd = transform(col("x"), _.cast("double"))
       ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .withColumn("hz", fitted.hazards(xd))
         .select(col("id"),
-          posexplode(arrays_zip(fitted.hazards(xd).as("h"),
-            fitted.discreteSurv(xd).as("sv"))))
+          posexplode(arrays_zip(col("hz").as("h"),
+            fitted.survFromHazards(col("hz")).as("sv"))))
         .select(col("id"), col("pos").as("k"),
           round(col("col.h"), 6).as("h"), round(col("col.sv"), 6).as("s"))
         .orderBy("id", "k")
@@ -120,9 +121,10 @@ object DiscreteQueries {
       val fitted = FittedDeepHit(DeepHit(K), cuts, cArr, wMat)
       val xd = transform(col("x"), _.cast("double"))
       ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .withColumn("pm", fitted.pmf(xd))
         .select(col("id"),
-          posexplode(arrays_zip(fitted.pmf(xd).as("p"),
-            fitted.discreteSurv(xd).as("sv"))))
+          posexplode(arrays_zip(col("pm").as("p"),
+            fitted.survFromPmf(col("pm")).as("sv"))))
         .select(col("id"), col("pos").as("k"),
           (round(col("col.p"), 6) + lit(0.0)).as("pmf"),
           (round(col("col.sv"), 6) + lit(0.0)).as("s"))
@@ -142,9 +144,10 @@ object DiscreteQueries {
         Some((Array(base, base.map(-_)), Array(0.01, 0.02))))
       val xd = transform(col("x"), _.cast("double"))
       ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .withColumn("pm", fitted.pmf(xd))
         .select(col("id"),
-          posexplode(arrays_zip(fitted.pmf(xd).as("p"),
-            fitted.discreteSurv(xd).as("sv"))))
+          posexplode(arrays_zip(col("pm").as("p"),
+            fitted.survFromPmf(col("pm")).as("sv"))))
         .select(col("id"), col("pos").as("k"),
           (round(col("col.p"), 6) + lit(0.0)).as("pmf"),
           (round(col("col.sv"), 6) + lit(0.0)).as("s"))

@@ -123,8 +123,12 @@ object SurvDataset {
 
     val (withRn, n) = StableOrder.withRowNumber(df, orderKeys)
 
+    // Fit encoders on the PERSISTED row-numbered frame (same rows):
+    // fitting on `df` would re-execute the whole upstream pipeline
+    // once per string feature instead of reading the cache the
+    // stable-order pass just populated.
     val specs = feats.filter(f => schema(f).dataType == StringType)
-      .map(f => OneHotSpec.fit(df, f))
+      .map(f => OneHotSpec.fit(withRn, f))
 
     SurvDataset(withRn, timeCol, eventCol, feats, specs, trainRatio, n)
   }
