@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * with T >= t), s = Π_{t' <= t} (1 - d/n).
   *
   * Scale shape: the row-level work is ONE shuffle (groupBy t with
-  * map-side partial agg); the ordered windows then run over |distinct
-  * t| rows only — bounded and small relative to subjects — so the
-  * single-partition window is not the bottleneck it would be over raw
-  * rows. The cumulative product is the [[graft.functions.ProductAgg]]
-  * running window aggregate: O(1) per row (the collect_list form it
-  * replaced copied the O(|frame|) buffer per row), multiplying factors
-  * in ascending-t order left-to-right (exact frame order), which keeps
-  * it bit-comparable with DuckDB's windowed product().
+  * map-side partial agg); the cumulative statistics over the grouped
+  * distinct-time table then use the distributed three-pass range scan
+  * (range-partition by t + per-partition summaries + driver carry +
+  * seeded per-partition scan) instead of a single-partition ordered
+  * window, so the curve survives continuous-time data where
+  * |distinct t| ≈ n. The at-risk counts are integer sums (exact, any
+  * association); the survival product's carry combines per-partition
+  * partials, so the final ulps can differ from a single-sequence
+  * windowed product — absorbed by the round(…, 6) every consumer
+  * applies.
   */
 object KaplanMeier {
 
@@ -35,17 +37,69 @@ object KaplanMeier {
     curveExpr(df, col(tCol), lit(1) - col(eCol))
 
   def curveExpr(df: DataFrame, t: Column, e: Column): DataFrame = {
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    // One shuffle to the grouped distinct-time table, range-ordered:
+    // partition p holds strictly smaller t than p+1, rows sorted
+    // within.
     val g = df.groupBy(t.cast("double").as("t"))
       .agg(sum(e.cast("long")).as("d"), count(lit(1)).as("m"))
-    val w = Window.orderBy(col("t"))
-    g.withColumn("n",
-        sum(col("m")).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .withColumn("factor",
-        lit(1.0) - col("d").cast("double") / col("n").cast("double"))
-      .withColumn("s",
-        graft.functions.ProductAgg.product(col("factor"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("t"), col("d"), col("n"), col("s"))
+      .repartitionByRange(np, col("t"))
+      .sortWithinPartitions(col("t"))
+      .select(col("t"), col("d"), col("m"))
+
+    // RDD-level persist, shared BY OBJECT across the three passes: the
+    // partitioning (RangePartitioner's sampled bounds) is computed once
+    // for this one RDD, so the per-partition carries below can never
+    // disagree with the emit pass; and the ContextCleaner auto-
+    // unpersists it once the returned DataFrame is unreachable — no
+    // leak into long-lived sessions (a DataFrame-level persist is
+    // CacheManager-pinned until an explicit unpersist).
+    val rows = g.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Pass 1: per-partition subject counts → suffix carries for n
+    // (n_t = Σ_{t' >= t} m; integer sums — association-free).
+    val mSums = rows.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_.getLong(2)).sum)
+    }.collect().sortBy(_._1).map(_._2)
+    // at-risk seed for partition p: Σ m over partitions >= p (the scan
+    // then decrements row by row, so n at each row is the full
+    // suffix count including that row's subjects)
+    val mFrom = mSums.scanRight(0L)(_ + _).init
+
+    // Pass 2: per-partition KM factor products (ascending-t,
+    // left-to-right) → driver-side carry C_p = Π over partitions < p,
+    // also combined left-to-right.
+    val fProds = rows.mapPartitionsWithIndex { (pid, it) =>
+      var atRisk = mFrom(pid)
+      var prod = 1.0
+      it.foreach { r =>
+        val d = r.getLong(1); val m = r.getLong(2)
+        prod = prod * (1.0 - d.toDouble / atRisk.toDouble)
+        atRisk -= m
+      }
+      Iterator.single(pid -> prod)
+    }.collect().sortBy(_._1).map(_._2)
+    val carry = fProds.scanLeft(1.0)(_ * _).init
+
+    // Pass 3: emit — re-run the identical factor sequence seeded with
+    // the carry; the multiply order equals the global window's.
+    val out = rows.mapPartitionsWithIndex { (pid, it) =>
+      var atRisk = mFrom(pid)
+      var s = carry(pid)
+      it.map { r =>
+        val tv = r.getDouble(0); val d = r.getLong(1); val m = r.getLong(2)
+        val n = atRisk
+        s = s * (1.0 - d.toDouble / n.toDouble)
+        atRisk -= m
+        org.apache.spark.sql.Row(tv, d, n, s)
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.DoubleType))))
   }
 
   /** Step-function lookup value of `curve` at each `at` time:

@@ -27,7 +27,11 @@ import org.apache.spark.storage.StorageLevel
   *      |distinct t| × p rows, map-side combined)
   *   3. risk sets via suffix sums over DISTINCT times only —
   *      S0(t) window over |T| rows, S1(t, idx) window partitioned by
-  *      feature → parallel
+  *      feature → parallel. (These in-loop windows keep the windowed
+  *      form — they run per L-BFGS iteration and |T| is bounded for
+  *      grouped survival data; for continuous-time data at extreme
+  *      scale they would switch to the same three-pass range scan
+  *      `breslow` uses.)
   *   4. loglik = Σ_t [Σscore_ev − d_t·ln S0(t)],
   *      grad_k = Σ_t [Σx_ev − d_t·S1/S0]          (collect: p+1 scalars)
   *
@@ -146,21 +150,82 @@ object CoxPH {
 
   /** Breslow cumulative baseline hazard from rows with a linear score
     * column: per distinct event time, h0 = d / S0 (S0 = Σ_{T>=t} e^sc)
-    * and H0 = running Σ h0. Windows run over distinct times only.
+    * and H0 = running Σ h0.
+    *
+    * Distributed like [[graft.eval.KaplanMeier.curveExpr]]: ONE shuffle
+    * groups to the distinct-time table, range-partitioned descending,
+    * then three cheap passes (per-partition partials → driver carries →
+    * seeded per-partition scans) replace the two single-partition
+    * ordered windows, so the baseline survives continuous-time data
+    * where |distinct t| ≈ n. S0 is scanned in descending-t order,
+    * H0 ascending (reverse of the stored order) with its own carries.
+    * Double-sum carries combine per-partition partials, so the final
+    * ulps can differ from the single-sequence windowed form — absorbed
+    * by the round(…, 6) every consumer applies (exp() already makes
+    * ulp-exactness impossible across engines).
     */
   def breslow(df: DataFrame, sc: Column): DataFrame = {
-    val wDesc = Window.orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAsc = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col("t").cast("double").as("t"), col("e"), exp(sc).as("w"))
+    val spark = df.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val g = df.select(col("t").cast("double").as("t"), col("e"), exp(sc).as("w"))
       .groupBy(col("t"))
-      .agg(sum(col("w")).as("w_t"), sum(col("e")).as("d"))
-      .withColumn("s0", sum(col("w_t")).over(wDesc))
-      .filter(col("d") > 0)
-      .withColumn("h0", col("d").cast("double") / col("s0"))
-      .withColumn("H0", sum(col("h0")).over(wAsc))
-      .select(col("t"), col("H0"))
+      .agg(sum(col("w")).as("w_t"), sum(col("e").cast("long")).as("d"))
+      .repartitionByRange(np, col("t").desc)
+      .sortWithinPartitions(col("t").desc)
+      .select(col("t"), col("w_t"), col("d"))
+    // RDD-level persist shared by object across passes: pins one
+    // physical range partitioning and is ContextCleaner-released when
+    // the returned frame (or the fitted model holding it) is dropped.
+    val rows = g.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Pass 1: per-partition Σ w_t → descending-order S0 carries.
+    val wParts = rows.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0.0
+      it.foreach(r => s += r.getDouble(1))
+      Iterator.single(pid -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val s0Carry = wParts.scanLeft(0.0)(_ + _).init // Σ over partitions < p (larger t)
+
+    // Pass 2: per-partition Σ h0 over event rows (ascending order) →
+    // ascending-t H0 carries (partition np-1 holds the smallest t).
+    val hParts = rows.mapPartitionsWithIndex { (pid, it) =>
+      var s0 = s0Carry(pid)
+      var hsum = 0.0
+      val h0s = scala.collection.mutable.ArrayBuffer.empty[Double]
+      it.foreach { r =>
+        s0 += r.getDouble(1)
+        val d = r.getLong(2)
+        if (d > 0) h0s += d.toDouble / s0
+      }
+      h0s.reverseIterator.foreach(h => hsum += h) // ascending-t order
+      Iterator.single(pid -> hsum)
+    }.collect().sortBy(_._1).map(_._2)
+    val hCarry = new Array[Double](hParts.length)
+    var acc = 0.0
+    (hParts.length - 1 to 0 by -1).foreach { p => // ascending-t visit order
+      hCarry(p) = acc
+      acc += hParts(p)
+    }
+
+    // Pass 3: emit (t, H0) — S0 rescanned descending, H0 accumulated
+    // ascending from the carry.
+    val out = rows.mapPartitionsWithIndex { (pid, it) =>
+      var s0 = s0Carry(pid)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      it.foreach { r =>
+        s0 += r.getDouble(1)
+        val d = r.getLong(2)
+        if (d > 0) buf += ((r.getDouble(0), d.toDouble / s0))
+      }
+      var h = hCarry(pid)
+      buf.reverseIterator.map { case (tv, h0) =>
+        h += h0
+        org.apache.spark.sql.Row(tv, h)
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("H0", org.apache.spark.sql.types.DoubleType))))
   }
 
   /** Step lookup of the baseline on a τ-grid, fully distributed:
