@@ -21,7 +21,16 @@ object StreamQueries {
 
     "q_stream_sessions" -> ((s, dir) =>
       StreamingOps.sessionize(Tables.events(s, dir), 30)
-        .orderBy("user_id", "session_id")))
+        .orderBy("user_id", "session_id")),
+
+    // batch semantics of the flatMapGroupsWithState running totals
+    // (StreamingSpec proves the stateful streaming flavor converges to
+    // exactly this across micro-batches)
+    "q_stream_user_totals" -> ((s, dir) =>
+      StreamingOps.userTotals(Tables.events(s, dir))
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -29,6 +38,11 @@ object StreamQueries {
         |       event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+    "q_stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_sessions" ->
       """WITH m AS (

@@ -1,9 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Event projection consumed by the stateful per-user operators. */
+final case class UserEvent(user_id: Long, value: Double)
+
+/** Running per-user totals — the explicit state carried across
+  * micro-batches by [[StreamingOps.userTotalsStream]].
+  */
+final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Structured-Streaming surface (north-star §7.5: the reference has
   * no streaming — its "stream" is a cursor-paged batch iterator,
@@ -50,6 +59,43 @@ object StreamingOps {
         sum(col("value").cast(DecimalType(30, 12))).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
+
+  /** Per-user running totals, batch form (the oracle semantics of
+    * [[userTotalsStream]]): one shuffle keyed on user_id, map-side
+    * combined; money-exact DECIMAL sum before the double cast.
+    */
+  def userTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 12))).cast("double").as("sum_value"))
+
+  /** Per-user running totals as CUSTOM streaming state
+    * (flatMapGroupsWithState, Update mode): each micro-batch folds its
+    * new events into the per-user state and emits the updated totals —
+    * the §2.9 shape for state no built-in aggregate expresses (the
+    * totals here are deliberately simple so the batch oracle can check
+    * them; the state could equally carry a sketch or a model update).
+    * State is partitioned by user_id — shuffle-keyed, bounded by
+    * |users|; production would add a GroupStateTimeout eviction policy.
+    */
+  def userTotalsStream(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent],
+         state: org.apache.spark.sql.streaming.GroupState[UserTotals]) =>
+          var dn = 0L
+          var dsum = 0.0
+          it.foreach { ev => dn += 1; dsum += ev.value }
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val next = UserTotals(uid, prev.n_events + dn, prev.sum_value + dsum)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** 30-minute-gap sessions per user (batch form): session boundaries
     * by lag, ids by running sum, then per-session aggregates.

@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == batch.toSeq)
   }
 
+  test("flatMapGroupsWithState running totals carry state ACROSS micro-batches") {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("value")).as[UserEvent].collect()
+    // two micro-batches: state from batch 1 must fold into batch 2
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
+    val totals = StreamingOps.userTotalsStream(input.toDF())
+    val q = totals.writeStream.outputMode("update")
+      .format("memory").queryName("user_totals_out").start()
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // final state per user = the row with the highest n_events emitted
+    val got = spark.table("user_totals_out")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("sum_value"), col("n_events")).as("sum_value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    val want = StreamingOps.userTotals(Tables.events(spark, dir))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("sessionization: session count and event conservation") {
     val sess = StreamingOps.sessionize(Tables.events(spark, dir), 30)
     val events = Tables.events(spark, dir)
