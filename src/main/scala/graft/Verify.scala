@@ -20,26 +20,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Materialize the shared churn dataset once, then exempt its cache
-    // blocks from the per-query sweep below (mirrors Bench): operators
-    // persist intermediates that outlive their query, and 50+ queries
-    // in one session otherwise fill the block manager with dead cache.
+    // Materialize the shared churn dataset once (its cache pins predate
+    // the per-query scopes below, so the sweeps leave them alone):
+    // operators persist intermediates that outlive their query, and 50+
+    // queries in one session otherwise fill the block manager with dead
+    // cache.
     try graft.surv.ChurnView.dataset(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[verify] setup: $e") }
-    val setupIds = spark.sparkContext.getPersistentRDDs.keySet
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      val before = spark.sparkContext.getPersistentRDDs.keySet ++ setupIds
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        graft.core.CacheScope(spark) {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
       }
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
-        .values.foreach(_.unpersist(blocking = false))
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

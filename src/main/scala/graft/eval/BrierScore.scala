@@ -32,7 +32,10 @@ object BrierScore {
   def grid(df: DataFrame, idCol: String, tCol: String, eCol: String,
            surv: DataFrame, gridTimes: Array[Double]): DataFrame = {
     val spark = df.sparkSession
-    val n = df.count()
+    // N as a 1-row broadcast branch of the same job — not a separate
+    // driver action (cast to double here = the exact n.toDouble the
+    // former scalar division used)
+    val nDf = df.agg(count(lit(1)).cast("double").as("_n"))
     val cens = KaplanMeier.censoringCurve(df, tCol, eCol)
 
     val gridDf = gridTimes.zipWithIndex
@@ -60,8 +63,9 @@ object BrierScore {
       .otherwise(0.0)
 
     joined.groupBy(col("tau_idx"), col("tau"))
-      .agg((sum(contrib) / lit(n.toDouble)).as("bs"))
-      .select(col("tau_idx"), col("tau"), col("bs"))
+      .agg(sum(contrib).as("_c"))
+      .crossJoin(broadcast(nDf))
+      .select(col("tau_idx"), col("tau"), (col("_c") / col("_n")).as("bs"))
   }
 
   /** Trapezoid-integrated Brier score normalized by grid span —
