@@ -55,6 +55,15 @@ object TextQueries {
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.format").as("format"),
           col("head_hash"), col("frames_hash"))
+        .orderBy("id")),
+
+    // composite corpus-cleaning pipeline: quality gate + language gate
+    // + exact-dedup keep-first in one shuffle
+    "q_corpus_clean" -> ((s, dir) =>
+      graft.ops.CorpusPipeline.clean(Tables.load(s, dir, "documents"),
+          "doc_id", "text", minQuality = 0.55, langs = Seq("de", "en"))
+        .select(col("fp"), col("id"), round(col("quality"), 6).as("quality"),
+          col("lang_pred"), col("n_tokens"), col("n_dups"))
         .orderBy("id")))
 
   private def scoreSql(lang: String): String = {
@@ -118,6 +127,35 @@ object TextQueries {
         |  list_reduce([CAST(ord(c) AS BIGINT) FOR c IN string_split(text, '')],
         |              (a, b) -> (a * 31 + b) % 1000000007) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_clean" -> {
+      val scores = TA.markers.map { case (l, _) =>
+        s"${scoreSql(l)} AS s_$l" }.mkString(",\n  ")
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(length(text) AS INT) AS n_chars,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         |    $scores
+         |  FROM documents),
+         |sig AS (
+         |  SELECT id, fp, n_tokens,
+         |    CAST(s_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) * CAST(2 AS DOUBLE)
+         |      + LEAST((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |              / CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+         |      - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS quality,
+         |    $predictedSql AS lang_pred
+         |  FROM t),
+         |g AS (SELECT * FROM sig
+         |      WHERE quality >= CAST(0.55 AS DOUBLE) AND lang_pred IN ('de', 'en'))
+         |SELECT fp, min(id) AS id,
+         |       round(min_by(quality, id), 6) AS quality,
+         |       min_by(lang_pred, id) AS lang_pred,
+         |       min_by(n_tokens, id) AS n_tokens,
+         |       count(*) AS n_dups
+         |FROM g GROUP BY fp ORDER BY id""".stripMargin
+    },
 
     "q_multimodal" ->
       """SELECT doc_id AS id,
