@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * `rand()`-based sampling is partitioning-dependent (re-seeds per
+  * partition, so a repartition or executor change reshuffles the
+  * sample). These operators hash a stable key instead: the sample is
+  * a pure row-local predicate — reproducible under any partitioning,
+  * pushable to the scan, joinable across tables (the same id lands in
+  * the same split everywhere), and engine-independent (md5-derived
+  * integer arithmetic, DuckDB-checkable).
+  */
+object Sampling {
+
+  /** md5-derived 60-bit uniform hash of (seed, key). */
+  def hash60(key: Column, seed: Long): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long")
+
+  /** Keep rows whose hash falls below fraction · 2^60 — a seed-stable
+    * Bernoulli(fraction) sample.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val threshold = (fraction * (1L << 60).toDouble).toLong
+    df.filter(hash60(col(keyCol), seed) < lit(threshold))
+  }
+
+  /** Assign each row a named split by hash range: weights are
+    * normalized, cumulative thresholds partition [0, 2^60). The same
+    * (seed, key) always lands in the same split — across tables, runs,
+    * and cluster layouts.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)],
+                seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0))
+    val total = splits.map(_._2).sum
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => (c / total * (1L << 60).toDouble).toLong)
+    val h = hash60(col(keyCol), seed)
+    val labeled = splits.init.zip(cums.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cum), elseCol) =>
+      when(h < lit(cum), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", labeled)
+  }
+}

@@ -57,6 +57,23 @@ object TextQueries {
           col("head_hash"), col("frames_hash"))
         .orderBy("id")),
 
+    // seed-stable hash sampling: a row-local predicate, pushable to
+    // the scan, identical under any partitioning
+    "q_sample_hash" -> ((s, dir) =>
+      graft.ops.Sampling.hashSample(Tables.load(s, dir, "documents"),
+          "doc_id", fraction = 0.25, seed = 7L)
+        .select(col("doc_id"),
+          graft.ops.Sampling.hash60(col("doc_id"), 7L).as("h"))
+        .orderBy("doc_id")),
+
+    // deterministic 80/10/10 split assignment by hash range
+    "q_split_hash" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(Tables.load(s, dir, "documents"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = 7L)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     // composite corpus-cleaning pipeline: quality gate + language gate
     // + exact-dedup keep-first in one shuffle
     "q_corpus_clean" -> ((s, dir) =>
@@ -127,6 +144,31 @@ object TextQueries {
         |  list_reduce([CAST(ord(c) AS BIGINT) FOR c IN string_split(text, '')],
         |              (a, b) -> (a * 31 + b) % 1000000007) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" -> {
+      // identical threshold arithmetic to Sampling.hashSample
+      val thr = (0.25 * (1L << 60).toDouble).toLong
+      s"""WITH h AS (SELECT doc_id,
+         |  ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents)
+         |SELECT doc_id, h FROM h WHERE h < $thr ORDER BY doc_id""".stripMargin
+    },
+
+    "q_split_hash" -> {
+      // identical normalization/threshold arithmetic to Sampling.hashSplit
+      val weights = Seq(0.8, 0.1, 0.1)
+      val total = weights.sum
+      val cums = weights.scanLeft(0.0)(_ + _).tail
+        .map(c => (c / total * (1L << 60).toDouble).toLong)
+      s"""WITH h AS (SELECT doc_id,
+         |  ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN h < ${cums(0)} THEN 'train'
+         |            WHEN h < ${cums(1)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     "q_corpus_clean" -> {
       val scores = TA.markers.map { case (l, _) =>

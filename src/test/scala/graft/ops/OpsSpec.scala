@@ -76,4 +76,28 @@ class OpsSpec extends AnyFunSuite {
       .map(_.getString(0))
     assert(got.toSeq == Seq("fr", "en"))
   }
+
+  test("hash sampling is partitioning-independent and splits are exhaustive") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.3, seed = 5L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.hashSample(df.repartition(7), "id", 0.3, seed = 5L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // roughly Bernoulli(0.3) over 2000 keys
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+
+    val sp = Sampling.hashSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 5L)
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L) // exhaustive, disjoint by construction
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // same key -> same split under different partitioning
+    val sp2 = Sampling.hashSplit(df.repartition(13), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 5L)
+    assert(sp.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      sp2.orderBy("id").collect().map(_.getString(1)).toSeq)
+  }
 }
