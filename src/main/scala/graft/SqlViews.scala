@@ -29,5 +29,9 @@ object SqlViews {
         RollingHash.DefaultMod))
     bridge.registerFunction(spark, "vec_dot", exprs =>
       functions.VecDot(exprs.head, exprs(1)))
+    // product() aggregate/window function, matching DuckDB's — usable
+    // as `product(x) OVER (ORDER BY …)` for running products
+    bridge.registerFunction(spark, "product", exprs =>
+      functions.ProductAgg(exprs.head).toAggregateExpression())
   }
 }

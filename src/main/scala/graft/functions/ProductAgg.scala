@@ -1,29 +1,35 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, IsNull, Literal, Multiply}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, ImplicitCastInputTypes, IsNull, Literal, Multiply}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
-/** Running product aggregate — the O(1)-per-row replacement for the
-  * `aggregate(collect_list(factor) OVER w, 1.0, _*_)` cumulative-
-  * product idiom (O(|frame|²) buffer copying) in the Kaplan–Meier /
-  * survival-curve estimators.
+/** Product aggregate, matching DuckDB's `product()` — registered as a
+  * SQL function by [[graft.SqlViews.registerFunctions]] and usable as
+  * a window aggregate for running products (the O(1)-per-row
+  * replacement for the `aggregate(collect_list(factor) OVER w, 1.0,
+  * _*_)` idiom, which copies an O(|frame|) buffer per row).
   *
   * As a window aggregate over a running frame (UNBOUNDED PRECEDING →
   * CURRENT ROW) Spark's AggregateProcessor updates the buffer row by
   * row IN FRAME ORDER, so the value is the exact left-associated
-  * product Π f_1 · f_2 · … · f_k — bit-identical to the fold it
-  * replaces and to DuckDB's windowed `product()` (no exp/log detour,
-  * no reassociation). Nulls are skipped like built-in aggregates.
+  * product Π f_1 · f_2 · … · f_k — no exp/log detour, no
+  * reassociation. Nulls are skipped like built-in aggregates. (The KM
+  * estimator itself now uses the distributed three-pass range scan,
+  * which subsumes the single-partition window this accelerated.)
   */
 case class ProductAgg(child: Expression)
-    extends DeclarativeAggregate with UnaryLike[Expression] {
+    extends DeclarativeAggregate with ImplicitCastInputTypes
+    with UnaryLike[Expression] {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
+  // analyzer-inserted cast: SQL numeric literals (DECIMAL) and int
+  // columns coerce to the double buffer instead of failing at runtime
+  override def inputTypes: Seq[bridge.SqlAbstractDataType] = Seq(DoubleType)
 
   private lazy val product = AttributeReference("product", DoubleType, nullable = false)()
 

@@ -10,6 +10,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * org.apache.spark.sql namespace).
   */
 object bridge {
+  /** private[sql] type surfaced for expressions outside the sql pkg. */
+  type SqlAbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 

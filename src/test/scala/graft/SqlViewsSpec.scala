@@ -22,5 +22,15 @@ class SqlViewsSpec extends AnyFunSuite {
     val ev = spark.sql(
       "SELECT count(*) FROM events WHERE event_type IS NOT NULL").head().getLong(0)
     assert(ev > 0)
+    // product() as plain aggregate and as a running window aggregate
+    val p = spark.sql(
+      "SELECT product(x) FROM VALUES (2.0), (3.0), (4.0) AS t(x)")
+      .head().getDouble(0)
+    assert(p == 24.0)
+    val running = spark.sql(
+      "SELECT product(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) FROM VALUES (2.0), (3.0), (4.0) AS t(x)")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(running == Seq(2.0, 6.0, 24.0))
   }
 }
