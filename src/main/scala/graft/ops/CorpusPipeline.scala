@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Composite training-corpus cleaning pipeline — the shape a real
   * 100-TB data-curation job has, built from the operator pack:
   * per-document quality scoring and language ID (scan-fused codegen
-  * expressions), a quality/language gate (pushed to the scan), then
-  * exact-dedup keep-first.
+  * expressions), a quality/language gate (evaluated in the same scan
+  * stage — computed from text, so not a parquet PushedFilter, but no
+  * extra pass either), then exact-dedup keep-first.
   *
   * Scale shape: the ONLY shuffle is the dedup groupBy on the content
   * fingerprint (map-side combined, content-keyed); the keeper row and

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * partition, so a repartition or executor change reshuffles the
   * sample). These operators hash a stable key instead: the sample is
   * a pure row-local predicate — reproducible under any partitioning,
-  * pushable to the scan, joinable across tables (the same id lands in
-  * the same split everywhere), and engine-independent (md5-derived
-  * integer arithmetic, DuckDB-checkable).
+  * evaluated inside the scan stage (no shuffle, no join; the md5 is
+  * computed per row so it is not a parquet PushedFilter), joinable
+  * across tables (the same id lands in the same split everywhere), and
+  * engine-independent (md5-derived integer arithmetic,
+  * DuckDB-checkable).
   */
 object Sampling {
 

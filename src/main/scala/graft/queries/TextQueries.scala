@@ -57,8 +57,8 @@ object TextQueries {
           col("head_hash"), col("frames_hash"))
         .orderBy("id")),
 
-    // seed-stable hash sampling: a row-local predicate, pushable to
-    // the scan, identical under any partitioning
+    // seed-stable hash sampling: a row-local scan-stage predicate,
+    // identical under any partitioning
     "q_sample_hash" -> ((s, dir) =>
       graft.ops.Sampling.hashSample(Tables.load(s, dir, "documents"),
           "doc_id", fraction = 0.25, seed = 7L)
