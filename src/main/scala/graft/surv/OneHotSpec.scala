@@ -39,9 +39,21 @@ final case class OneHotSpec(column: String, categories: Seq[String]) {
 }
 
 object OneHotSpec {
-  def fit(df: DataFrame, column: String): OneHotSpec = {
-    val cats = df.select(col(column)).na.drop()
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
-    OneHotSpec(column, cats)
+  def fit(df: DataFrame, column: String): OneHotSpec =
+    fitAll(df, Seq(column)).head
+
+  /** Fit several columns in ONE job: all distinct sets come from a
+    * single aggregate pass (map-side-combined collect_set per column)
+    * instead of one distinct() job per column. Same sorted categories
+    * as per-column fits; intended for low-cardinality columns (the
+    * sets travel through one aggregation row).
+    */
+  def fitAll(df: DataFrame, columns: Seq[String]): Seq[OneHotSpec] = {
+    if (columns.isEmpty) return Seq.empty
+    val aggs = columns.map(c => collect_set(col(c)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    columns.zipWithIndex.map { case (c, i) =>
+      OneHotSpec(c, row.getSeq[String](i).sorted)
+    }
   }
 }

@@ -123,12 +123,12 @@ object SurvDataset {
 
     val (withRn, n) = StableOrder.withRowNumber(df, orderKeys)
 
-    // Fit encoders on the PERSISTED row-numbered frame (same rows):
-    // fitting on `df` would re-execute the whole upstream pipeline
-    // once per string feature instead of reading the cache the
-    // stable-order pass just populated.
-    val specs = feats.filter(f => schema(f).dataType == StringType)
-      .map(f => OneHotSpec.fit(withRn, f))
+    // Fit encoders on the PERSISTED row-numbered frame (same rows) in
+    // ONE job: fitting on `df` per column would re-execute the whole
+    // upstream pipeline once per string feature instead of reading the
+    // cache the stable-order pass just populated.
+    val specs = OneHotSpec.fitAll(withRn,
+      feats.filter(f => schema(f).dataType == StringType))
 
     SurvDataset(withRn, timeCol, eventCol, feats, specs, trainRatio, n)
   }
