@@ -1,7 +1,6 @@
 package graft.eval
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Kaplan–Meier estimator — the censoring-survival estimate behind the
