@@ -23,6 +23,13 @@ object StreamQueries {
       StreamingOps.sessionize(Tables.events(s, dir), 30)
         .orderBy("user_id", "session_id")),
 
+    // sliding 1h windows every 15min (each event in 4 windows)
+    "q_stream_sliding" -> ((s, dir) =>
+      StreamingOps.slidingHourly(Tables.events(s, dir))
+        .select(unix_micros(col("wstart")).as("wstart_us"), col("event_type"),
+          col("n"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("wstart_us", "event_type")),
+
     // batch semantics of the flatMapGroupsWithState running totals
     // (StreamingSpec proves the stateful streaming flavor converges to
     // exactly this across micro-batches)
@@ -38,6 +45,18 @@ object StreamQueries {
         |       event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+    // each event expands to its 4 containing sliding windows:
+    // start = (floor(us / slide) - i) * slide, i = 0..3 (size/slide = 4)
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        |           FROM events),
+        |x AS (SELECT us, event_type, value,
+        |             ((us // 900000000) - i.i) * 900000000 AS wstart_us
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i)
+        |SELECT wstart_us, event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
 
     "q_stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events,

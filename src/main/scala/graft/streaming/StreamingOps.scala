@@ -60,6 +60,19 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes: each event lands in 4
+    * overlapping windows (Spark's window() generator — a bounded 4×
+    * row expansion, then one shuffle keyed on (window, type), map-side
+    * combined). Same plan batch and readStream (with a watermark for
+    * append mode, as in [[tumblingHourlyStream]]).
+    */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 12))).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value"))
+
   /** Per-user running totals, batch form (the oracle semantics of
     * [[userTotalsStream]]): one shuffle keyed on user_id, map-side
     * combined; money-exact DECIMAL sum before the double cast.
