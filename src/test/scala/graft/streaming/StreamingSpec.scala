@@ -104,6 +104,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("streaming exact-dedup suppresses cross-micro-batch duplicates") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .as[(Long, String)].collect()
+    val nDistinct = docs.map(_._2).distinct.length
+    // batch 2 repeats half of batch 1 — state must suppress re-emission
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "fp")
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq ++ b1.take(b1.length / 2).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("dedup_out").collect().map(_.getString(1))
+    assert(emitted.length == emitted.distinct.length) // no fp emitted twice
+    assert(emitted.distinct.length == nDistinct)      // every fp exactly once
+  }
+
   test("sessionization: session count and event conservation") {
     val sess = StreamingOps.sessionize(Tables.events(spark, dir), 30)
     val events = Tables.events(spark, dir)
