@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *     repartition on the bucket id (memory per task = bucket size,
   *     tunable via B).
   *
-  * Ordered windows here run over DISTINCT times (same assumption as
-  * KM/Breslow); for continuous-time data at extreme scale they would
-  * switch to the StableOrder two-pass prefix-sum pattern.
+  * Ordered windows here run over DISTINCT times (the assumption
+  * KM/Breslow previously shared); for continuous-time data at extreme
+  * scale they would switch to the three-pass range scan NOW
+  * IMPLEMENTED in [[KaplanMeier.curveExpr]] / `CoxPH.breslow` —
+  * kept windowed here so all four counts stay branches of ONE job.
   */
 object ScalableConcordance {
 

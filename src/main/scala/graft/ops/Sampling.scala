@@ -32,6 +32,23 @@ object Sampling {
     df.filter(hash60(col(keyCol), seed) < lit(threshold))
   }
 
+  /** Per-stratum Bernoulli rates — the corpus-rebalancing op (e.g.
+    * downsample the dominant language): rows in stratum s survive with
+    * probability fractions(s); strata not listed are dropped. Same
+    * row-local hash predicate as [[hashSample]], so it stays
+    * deterministic, partitioning-independent, and scan-stage-fused.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+                           fractions: Map[String, Double],
+                           seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0))
+    val thr = fractions.foldLeft(lit(-1L)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === lit(s),
+        lit((f * (1L << 60).toDouble).toLong)).otherwise(acc)
+    }
+    df.filter(hash60(col(keyCol), seed) < thr)
+  }
+
   /** Assign each row a named split by hash range: weights are
     * normalized, cumulative thresholds partition [0, 2^60). The same
     * (seed, key) always lands in the same split — across tables, runs,

@@ -66,6 +66,14 @@ object TextQueries {
           graft.ops.Sampling.hash60(col("doc_id"), 7L).as("h"))
         .orderBy("doc_id")),
 
+    // corpus rebalancing: per-language keep rates (drop unlisted)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+          Tables.load(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.2, "de" -> 0.8, "fr" -> 1.0), seed = 7L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // deterministic 80/10/10 split assignment by hash range
     "q_split_hash" -> ((s, dir) =>
       graft.ops.Sampling.hashSplit(Tables.load(s, dir, "documents"),
@@ -152,6 +160,20 @@ object TextQueries {
          |  ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
          |  FROM documents)
          |SELECT doc_id, h FROM h WHERE h < $thr ORDER BY doc_id""".stripMargin
+    },
+
+    "q_sample_stratified" -> {
+      // identical per-stratum threshold arithmetic to stratifiedHashSample
+      def thr(f: Double): Long = (f * (1L << 60).toDouble).toLong
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents)
+         |SELECT doc_id, lang FROM h
+         |WHERE h < CASE lang WHEN 'en' THEN ${thr(0.2)}
+         |                    WHEN 'de' THEN ${thr(0.8)}
+         |                    WHEN 'fr' THEN ${thr(1.0)}
+         |                    ELSE -1 END
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_split_hash" -> {
