@@ -135,11 +135,17 @@ final class Hyperband(
 
   private def evalParams(m: ModelFactory, ds: SurvDataset,
                          params: Map[String, Any], epochs: Int): Double = {
-    val fitted = m.build(params, epochs).fit(ds)
     // Rung evaluations discard the fitted artifact (survivors re-fit
     // at the next rung's epoch budget): release its pinned caches or
     // every evaluated config leaks persisted blocks for the session.
-    val scores = try fitted.score(ds) finally fitted.release()
+    // release() drops the DataFrame-level pins; the surrounding
+    // CacheScope sweeps the RDD-level ones too (Breslow's range-scan
+    // rows, each score()'s censoring-KM rows), which otherwise wait
+    // for ContextCleaner GC and pile up across a rung's many configs.
+    val scores = graft.core.CacheScope(ds.df.sparkSession) {
+      val fitted = m.build(params, epochs).fit(ds)
+      try fitted.score(ds) finally fitted.release()
+    }
     val score = scores("c_index") - scores("brier_score")
     if (score > bestScore) {
       bestScore = score

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, ImplicitCastInputTypes, IsNull, Literal, Multiply}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, If, ImplicitCastInputTypes, IsNull, Literal, Multiply, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.bridge
@@ -26,20 +26,27 @@ case class ProductAgg(child: Expression)
     with UnaryLike[Expression] {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
+  // NULL for empty groups / all-null input, like DuckDB's product()
+  // and Spark's built-in aggregates (sum/avg/min/max)
+  override def nullable: Boolean = true
   // analyzer-inserted cast: SQL numeric literals (DECIMAL) and int
   // columns coerce to the double buffer instead of failing at runtime
   override def inputTypes: Seq[bridge.SqlAbstractDataType] = Seq(DoubleType)
 
   private lazy val product = AttributeReference("product", DoubleType, nullable = false)()
+  private lazy val seen =
+    AttributeReference("seen", org.apache.spark.sql.types.BooleanType, nullable = false)()
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(product)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(1.0))
-  override lazy val updateExpressions: Seq[Expression] =
-    Seq(If(IsNull(child), product, Multiply(product, child)))
-  override lazy val mergeExpressions: Seq[Expression] =
-    Seq(Multiply(product.left, product.right))
-  override lazy val evaluateExpression: Expression = product
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(product, seen)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(1.0), Literal(false))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), product, Multiply(product, child)),
+    Or(seen, org.apache.spark.sql.catalyst.expressions.Not(IsNull(child))))
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Multiply(product.left, product.right),
+    Or(seen.left, seen.right))
+  override lazy val evaluateExpression: Expression =
+    If(seen, product, Literal(null, DoubleType))
 
   override protected def withNewChildInternal(newChild: Expression): ProductAgg =
     copy(child = newChild)

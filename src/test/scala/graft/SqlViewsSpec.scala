@@ -32,5 +32,16 @@ class SqlViewsSpec extends AnyFunSuite {
         "AND CURRENT ROW) FROM VALUES (2.0), (3.0), (4.0) AS t(x)")
       .collect().map(_.getDouble(0)).toSeq
     assert(running == Seq(2.0, 6.0, 24.0))
+    // DuckDB parity: NULL for all-null input and for empty groups;
+    // null rows are skipped like built-in aggregates
+    assert(spark.sql(
+      "SELECT product(x) FROM VALUES (CAST(NULL AS DOUBLE)) AS t(x)")
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT product(x) FROM VALUES (CAST(NULL AS DOUBLE)), (2.0), (3.0) " +
+        "AS t(x)").head().getDouble(0) == 6.0)
+    assert(spark.sql(
+      "SELECT product(x) FROM VALUES (1.0) AS t(x) WHERE x > 5")
+      .head().isNullAt(0))
   }
 }
