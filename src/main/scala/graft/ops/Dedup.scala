@@ -25,10 +25,10 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
 
-  /** Distinct word n-gram shingles per document, exploded to
-    * (id, shingle) rows — derived from [[shingleSets]] so the
-    * tokenize+distinct plan is shared (and cache-deduped) with the
-    * signature pipeline.
+  /** Distinct hashed word n-gram shingles per document, exploded to
+    * (id, shingle-int) rows — derived from [[shingleSets]] so the
+    * tokenize+hash+distinct plan is shared (and cache-deduped) with
+    * the signature pipeline.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 3): DataFrame =
@@ -76,17 +76,18 @@ object Dedup {
   def shingleInt(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature as ONE array column per doc: shingle ints are
-    * hashed ONCE (explode), then a single groupBy(id) runs all
-    * numHashes `min` aggregates as codegen'd map-side-combined
-    * columns. (A nested transform/array_min formulation looks
-    * shuffle-free but Catalyst inlines the md5 hash into every
-    * array_min lambda — numHashes× recomputation; this shape is the
-    * fast AND scalable one.) Returns (id, sig: array<long>).
+  /** MinHash signature as ONE array column per doc: hashed shingles
+    * (see [[shingleSets]]) are exploded once, then a single
+    * groupBy(id) runs all numHashes `min` aggregates as codegen'd
+    * map-side-combined columns. (A nested transform/array_min
+    * formulation looks shuffle-free but Catalyst inlines the hash
+    * permutations into every array_min lambda — numHashes×
+    * recomputation; this shape is the fast AND scalable one.)
+    * Returns (id, sig: array<long>).
     */
   def minhashSignatureArr(docsSh: DataFrame, numHashes: Int = 16): DataFrame = {
     val xp = docsSh.select(col("id"), explode(col("shset")).as("sh"))
-      .select(col("id"), (shingleInt(col("sh")) % P).as("xp"))
+      .select(col("id"), (col("sh") % P).as("xp"))
     val mins = (0 until numHashes).map { i =>
       min((col("xp") * (2L * i + 3L) + (5L * i + 7L)) % P).as(s"mh$i")
     }
@@ -95,16 +96,22 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
-  /** Distinct shingle SET per doc (array form; empty for short docs —
-    * Spark sequence(1, k) DESCENDS for k < 1, hence the guard).
+  /** Distinct HASHED shingle set per doc (array<long>; empty for short
+    * docs — Spark sequence(1, k) DESCENDS for k < 1, hence the guard).
+    * Shingles are reduced to their 60-bit md5-prefix int at the source:
+    * every downstream shuffle (the Jaccard self-join, the LSH exact
+    * branch, signature hashing) then moves and compares 8-byte longs
+    * instead of multi-word strings — ~4× less shuffle/cache volume on
+    * the two heaviest dedup pipelines, same answers (the oracle hashes
+    * identically, so even a hash collision is mirrored bit-for-bit).
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))
       .otherwise(array().cast("array<int>"))
-    val sh = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    val sh = transform(idx, i => shingleInt(
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
     docs.select(col(idCol).as("id"), array_distinct(sh).as("shset"))
   }
 

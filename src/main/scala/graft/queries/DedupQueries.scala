@@ -71,15 +71,19 @@ object DedupQueries {
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
         .orderBy("i", "j")))
 
-  /** Shared SQL: distinct 3-gram shingles (1-based indexing matches
-    * the Spark element_at windows).
+  /** Shared SQL: distinct HASHED 3-gram shingles — 60-bit md5-prefix
+    * ints, mirroring the engine's at-source shingle hashing (1-based
+    * indexing matches the Spark element_at windows; list_distinct over
+    * the hashed values mirrors Spark's array_distinct, so any hash
+    * collision collapses identically in both engines).
     */
   private val shSql =
     """sh AS (
       |  SELECT doc_id AS id, unnest(list_distinct(
       |    list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-      |           || ' ' || string_split(text, ' ')[i+2]))) AS sh
+      |      i -> ('0x' || substr(md5(
+      |             string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |             || ' ' || string_split(text, ' ')[i+2]), 1, 15))::BIGINT))) AS sh
       |  FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
 
   private val sigSql =
@@ -89,9 +93,7 @@ object DedupQueries {
       |           unnest(generate_series(0, 15)) AS i,
       |           unnest(list_transform(generate_series(0, 15),
       |             i -> ((i * 2 + 3) * xp + (i * 5 + 7)) % 1000000007)) AS h
-      |    FROM (SELECT id,
-      |                 (('0x' || substr(md5(sh), 1, 15))::BIGINT) % 1000000007 AS xp
-      |          FROM sh))
+      |    FROM (SELECT id, sh % 1000000007 AS xp FROM sh))
       |  GROUP BY id, i)""".stripMargin
 
   /** All-pairs simhash SQL (DuckDB) parameterized on fingerprint width

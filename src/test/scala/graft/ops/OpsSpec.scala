@@ -16,12 +16,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got == 97L * 31 + 98)
   }
 
-  test("shingles: 3-gram windows, distinct, short-doc guard") {
+  test("shingles: 3-gram windows, hashed, distinct, short-doc guard") {
     import spark.implicits._
+    // shingles are 60-bit md5-prefix ints at the source (shuffle-width
+    // optimization): expected values computed independently here
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
     val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
     val sh = Dedup.shingles(docs, "doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(sh == Set((1L, "a b c"), (1L, "b c d"))) // doc 2 too short
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh == Set((1L, h60("a b c")), (1L, h60("b c d")))) // doc 2 too short
   }
 
   test("exact dedup groups duplicates under normalization") {
