@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (backward) join — for each left row, the single
+  * most recent right row with the same key and right time <= left
+  * time. Spark has no native ASOF JOIN; the naive formulations are a
+  * range join (quadratic per key after the equi-join, then an argmax
+  * shuffle) or a windowed subquery per side. This is the scalable
+  * union-scan shape instead:
+  *
+  *   1. tag both inputs and union them (no join),
+  *   2. ONE shuffle on the key, sort within partition by
+  *      (time, tag, right-time tiebreak),
+  *   3. running `last(right payload, ignoreNulls)` carries the latest
+  *      preceding right row forward in the sort order,
+  *   4. keep the left rows.
+  *
+  * Cost is one shuffle + an in-partition sort — linear in |L|+|R| per
+  * key, no candidate blowup, skew-bounded by the largest single key
+  * (same bound as any keyed window). Ties on time prefer the right row
+  * (tag 0 sorts first), i.e. `right.t <= left.t` inclusive semantics —
+  * matching DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`,
+  * which is the oracle for `q_asof_attrib`.
+  */
+object AsofJoin {
+
+  /** Backward as-of join of `left` and `right` on `key` with
+    * `leftTime`/`rightTime` (both orderable, e.g. long nanos).
+    * `rightPayload` columns come back null when no right row precedes
+    * the left row. Output: all `left` columns + `rightPayload`
+    * (prefixed `r_`).
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_tag"),
+      struct(lCols.map(col): _*).as("_lp"),
+      lit(null).cast(right.select(rightPayload.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+        .as("_rp"))
+    val r = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_tag"),
+      lit(null).cast(left.select(lCols.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+        .as("_lp"),
+      struct(rightPayload.map(col): _*).as("_rp"))
+    // the trailing _rp sort key makes exact-time ties BETWEEN right
+    // rows deterministic (struct ordering is lexicographic; the
+    // max-payload right row wins) — a no-op for distinct-time data
+    // (ns timestamps) but keeps the result stable on any input.
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_tag"), col("_rp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (r unionByName l)
+      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(lCols.map(c => col(s"_lp.$c").as(c)) ++
+        rightPayload.map(c => col(s"_match.$c").as(s"r_$c")): _*)
+  }
+}

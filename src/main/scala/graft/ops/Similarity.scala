@@ -135,4 +135,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("bucket"), col("rank"), col("vec_id"), col("cos"))
   }
+
+  /** Per-group centroids of an embedding column, long-form
+    * (group, dim, centroid, n). The explode is dims× rows into ONE
+    * map-side-combined groupBy on (group, dim) — at 100 TB this is a
+    * single shuffle of |groups|·dims partial sums per partition, never
+    * per-vector traffic. Sums run through exact DECIMAL so the
+    * centroid is independent of row order (float inputs widen to
+    * double losslessly; the DECIMAL(38,15) window far exceeds unit-
+    * scale embedding magnitudes).
+    */
+  def groupCentroids(emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    emb.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("grp"), (col("pos") + 1).as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy(col("grp"), col("dim"))
+      .agg(
+        (sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double") / count(lit(1)).cast("double")).as("centroid"),
+        count(lit(1)).as("n"))
 }

@@ -77,4 +77,28 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Sliding token-window document chunks — the standard context-
+    * window prep for training/embedding pipelines. Chunks of `size`
+    * tokens every `stride` tokens (stride < size ⇒ overlap); the last
+    * chunk may be short; a doc shorter than `size` yields one chunk.
+    * Pure per-row array expressions fused into the scan — the chunk
+    * explosion is bounded by ~len/stride per doc, no shuffle, no UDF.
+    * Returns (id, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    val toks = tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    // number of window starts 0, stride, 2·stride… covering all tokens
+    val nStarts = when(n <= size, lit(1))
+      .otherwise(floor((n - size + stride - 1) / lit(stride)).cast("int") + lit(1))
+    docs.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), nStarts - 1), s =>
+          slice(toks, s * stride + 1, lit(size)))).as(Seq("chunk_idx", "chunk")))
+      .select(col("id"), col("chunk_idx"),
+        array_join(col("chunk"), " ").as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("chunk")).as("n_tokens"))
+  }
 }

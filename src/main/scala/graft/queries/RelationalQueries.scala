@@ -134,6 +134,37 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
+    }),
+
+    // grouped top-k: rank inside a partitioned window — fully parallel
+    // (vs the global-sort top-k above), the shape that survives a
+    // billion-group corpus.
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // as-of (backward) join: click→purchase attribution over the
+    // events stream — one shuffle union-scan, no range-join blowup
+    // (see AsofJoin). Times compare as long MICROseconds on both
+    // engines: DuckDB's parquet reader truncates TIMESTAMP(NANOS) to
+    // µs, so the engine truncates identically (`div`, not double /).
+    "q_asof_attrib" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts"), col("value"))
+      graft.ops.AsofJoin.backward(side("purchase"), side("click"),
+          "user_id", "ts", "ts", Seq("event_id", "ts", "value"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("r_event_id").as("click_id"),
+          col("r_ts").as("click_ts"), col("r_value").as("click_value"))
+        .orderBy("purchase_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -202,5 +233,25 @@ object RelationalQueries {
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the union-scan
+    // implementation; p.t >= c.t matches the inclusive tie semantics
+    "q_asof_attrib" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.t AS p_ts,
+        |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+        |ORDER BY purchase_id""".stripMargin)
 }

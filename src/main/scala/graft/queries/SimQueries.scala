@@ -50,7 +50,16 @@ object SimQueries {
       emb.select(col("vec_id"),
           Similarity.lshBucket(col("embedding"), Dims, Planes).as("bucket"))
         .orderBy("vec_id")
-    }))
+    }),
+
+    // per-label centroids, long-form — one map-side-combined shuffle
+    // of |labels|·dims partials; the class-prototype / cluster-seed op
+    "q_embed_centroids" -> ((s, dir) =>
+      Similarity.groupCentroids(Tables.load(s, dir, "embeddings"),
+          "label", "embedding")
+        .select(col("grp"), col("dim"),
+          round(col("centroid"), 6).as("centroid"), col("n"))
+        .orderBy("grp", "dim")))
 
   /** dot in fixed sequential order; mirrors Dedup.cosine exactly. */
   private val dotSql =
@@ -103,6 +112,19 @@ object SimQueries {
     "q_sim_buckets" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
          |SELECT vec_id, $bucketSql AS bucket FROM v ORDER BY vec_id""".stripMargin,
+
+    // exact DECIMAL sum (order-independent) mirrors groupCentroids;
+    // float32 → double is lossless widening on both engines
+    "q_embed_centroids" ->
+      """WITH x AS (SELECT label AS grp,
+        |                  unnest(generate_series(1, len(embedding))) AS dim,
+        |                  unnest(CAST(embedding AS DOUBLE[])) AS v
+        |           FROM embeddings)
+        |SELECT grp, CAST(dim AS INT) AS dim,
+        |       round(CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS centroid,
+        |       count(*) AS n
+        |FROM x GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
 
     "q_sim_ivf_topk" -> {
       val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"

@@ -89,7 +89,14 @@ object TextQueries {
           "doc_id", "text", minQuality = 0.55, langs = Seq("de", "en"))
         .select(col("fp"), col("id"), round(col("quality"), 6).as("quality"),
           col("lang_pred"), col("n_tokens"), col("n_dups"))
-        .orderBy("id")))
+        .orderBy("id")),
+
+    // sliding-window chunking (40-token chunks every 30) — scan-fused
+    // per-row explode, no shuffle
+    "q_chunk_docs" -> ((s, dir) =>
+      TA.chunkTokens(Tables.load(s, dir, "documents"), "doc_id", "text",
+          size = 40, stride = 30)
+        .orderBy("id", "chunk_idx")))
 
   private def scoreSql(lang: String): String = {
     val m = TA.markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -220,6 +227,20 @@ object TextQueries {
          |       count(*) AS n_dups
          |FROM g GROUP BY fp ORDER BY id""".stripMargin
     },
+
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT id, toks, unnest(generate_series(0,
+        |        CASE WHEN len(toks) <= 40 THEN 0
+        |             ELSE (len(toks) - 40 + 29) // 30 END)) AS chunk_idx
+        |      FROM t)
+        |SELECT id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |       array_to_string(list_slice(toks, chunk_idx * 30 + 1,
+        |                                  chunk_idx * 30 + 40), ' ') AS chunk_text,
+        |       CAST(len(list_slice(toks, chunk_idx * 30 + 1,
+        |                           chunk_idx * 30 + 40)) AS INT) AS n_tokens
+        |FROM c ORDER BY id, chunk_idx""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS id,

@@ -107,4 +107,33 @@ class OpsSpec extends AnyFunSuite {
     assert(sp.orderBy("id").collect().map(_.getString(1)).toSeq ==
       sp2.orderBy("id").collect().map(_.getString(1)).toSeq)
   }
+
+  test("as-of backward join: latest preceding match, ties inclusive, no-match nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L))
+      .toDF("lid", "k", "t")
+    val right = Seq((11L, 10L, 90L), (12L, 10L, 250L), (13L, 10L, 300L),
+        (14L, 20L, 60L))
+      .toDF("rid", "k", "t")
+    val got = AsofJoin.backward(left, right, "k", "t", "t", Seq("rid", "t"))
+      .orderBy("lid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSeq
+    // lid 1: rid 11 (t=90 <= 100); lid 2: rid 12 (tie t=250 included,
+    // 300 excluded); lid 3: no click at t <= 50 -> null
+    assert(got == Seq((1L, 11L), (2L, 12L), (3L, -1L)))
+  }
+
+  test("chunking: stride windows cover all tokens; short doc = one chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(docs, "doc_id", "text", size = 3, stride = 2)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
+      (2L, 0, "x y", 2)))
+  }
 }
