@@ -4,6 +4,7 @@ import graft.core.Tables
 import graft.functions.RollingHash.rolling_hash
 import graft.ops.{Multimodal, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + multimodal-plumbing operators over `documents` as
@@ -96,7 +97,49 @@ object TextQueries {
     "q_chunk_docs" -> ((s, dir) =>
       TA.chunkTokens(Tables.load(s, dir, "documents"), "doc_id", "text",
           size = 40, stride = 30)
-        .orderBy("id", "chunk_idx")))
+        .orderBy("id", "chunk_idx")),
+
+    // tf-idf top terms per language: two content-keyed aggregations +
+    // a broadcast of the |tokens|-row df table's join side... rather,
+    // df joins tf on the token key (equi-join, map-side combined
+    // counts); N is a 1-row broadcast. Ranking uses the ROUNDED score
+    // (ln differs by ulps across engines; round-then-rank keeps the
+    // top-k cutoff engine-independent) with the token as tiebreak.
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("lang"), col("doc_id"),
+        explode(TA.tokens(col("text"))).as("tok"))
+      val dfT = tok.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val tf = tok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfT, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("tok"), col("tf"), col("df"),
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("tfidf"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    }),
+
+    // exact per-language corpus length quantiles: Spark percentile ==
+    // DuckDB quantile_cont (both p·(n−1) linear interpolation; the
+    // interpolation arithmetic on integer inputs is plain +,*,/ on
+    // identical doubles → bit-equal)
+    "q_corpus_quantiles" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          expr("percentile(n_chars, 0.99)").as("p99"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")))
 
   private def scoreSql(lang: String): String = {
     val m = TA.markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -241,6 +284,34 @@ object TextQueries {
         |       CAST(len(list_slice(toks, chunk_idx * 30 + 1,
         |                           chunk_idx * 30 + 40)) AS INT) AS n_tokens
         |FROM c ORDER BY id, chunk_idx""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |df AS (SELECT tok, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+        |tf AS (SELECT lang, tok, count(*) AS tf FROM tok GROUP BY lang, tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT lang, tf.tok AS tok, tf, df,
+        |              round(CAST(tf AS DOUBLE)
+        |                    * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |                AS tfidf
+        |       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |rk AS (SELECT lang, tok, tf, df, tfidf,
+        |              CAST(row_number() OVER (PARTITION BY lang
+        |                ORDER BY tfidf DESC, tok) AS INT) AS rnk
+        |       FROM sc)
+        |SELECT tok, lang, tf, df, tfidf, rnk
+        |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    "q_corpus_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       quantile_cont(n_chars, 0.5) AS p50,
+        |       quantile_cont(n_chars, 0.9) AS p90,
+        |       quantile_cont(n_chars, 0.99) AS p99,
+        |       min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS id,
