@@ -110,6 +110,15 @@ object StreamingOps {
       }
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (broadcast — the dim is the small side by construction;
+    * Spark re-plans the join per batch, so a dim refreshed between
+    * batches is picked up). No streaming state involved; the watermark
+    * story of the downstream aggregation is unchanged.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** 30-minute-gap sessions per user (batch form): session boundaries
     * by lag, ids by running sum, then per-session aggregates.
     */

@@ -130,6 +130,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.distinct.length == nDistinct)      // every fp exactly once
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    // static dim: user -> nation name via customer (user_id draws from
+    // the same key space as c_custkey at this sf)
+    val dim = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    def rollup(ev: org.apache.spark.sql.DataFrame) =
+      StreamingOps.enrich(ev, dim, "user_id")
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+    val batch = rollup(Tables.events(spark, dir))
+      .orderBy("n_name").collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val tmp = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val stream = StreamingOps.withTs(spark.readStream
+      .schema(StreamingOps.eventsSchema).parquet(tmp.toString))
+    val q = rollup(stream).writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out").orderBy("n_name")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty && got.toSeq == batch.toSeq)
+  }
+
+  test("watermark drops late data in append mode, windows emit once") {
+    import spark.implicits._
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    input.addData(Seq((ts("10:05"), 1.0), (ts("10:10"), 1.0)))
+    q.processAllAvailable()                 // watermark still before 11:00
+    input.addData(Seq((ts("12:30"), 1.0))) // advances watermark to 12:20
+    q.processAllAvailable()                 // -> closes + emits the 10:00 window
+    input.addData(Seq((ts("10:15"), 1.0))) // LATE: behind the watermark
+    q.processAllAvailable()                 // must be dropped, no re-emission
+    input.addData(Seq((ts("14:30"), 1.0))) // advances watermark past 13:00
+    q.processAllAvailable()                 // -> closes + emits the 12:00 window
+    q.stop()
+    val got = spark.table("late_out").orderBy("wstart").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    // 10:00 window counts 2 (late event excluded), emitted exactly once;
+    // 12:00 window counts 1; 14:00 still open -> never emitted
+    assert(got == Seq((ts("10:00"), 2L), (ts("12:00"), 1L)))
+  }
+
   test("sessionization: session count and event conservation") {
     val sess = StreamingOps.sessionize(Tables.events(spark, dir), 30)
     val events = Tables.events(spark, dir)
