@@ -125,6 +125,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 11L), (2L, 12L), (3L, -1L)))
   }
 
+  test("salted join equals plain join on a pathologically skewed key") {
+    import spark.implicits._
+    // 20k rows on ONE hot key + a uniform tail; dim of 50 keys
+    val left = ((1 to 20000).map(i => (7L, s"v$i")) ++
+      (1 to 1000).map(i => ((i % 50).toLong, s"t$i"))).toDF("k", "payload")
+    val right = (0 until 50).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val salted = SkewJoin.salted(left, right, "k", salts = 8)
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain && salted.size == 21000)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed_wh")
+    val o = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_custkey", "c_mktsegment")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key with equal bucket counts
+    // -> Catalyst plans the join with NO shuffle exchange
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(joined.count() == o.count()) // every order matches one customer
+    spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE customer_b")
+  }
+
   test("chunking: stride windows cover all tokens; short doc = one chunk") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
