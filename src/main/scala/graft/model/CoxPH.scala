@@ -4,7 +4,6 @@ import breeze.linalg.{norm, DenseVector}
 import breeze.optimize.{DiffFunction, LBFGS}
 import graft.surv.SurvDataset
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -17,27 +16,24 @@ import org.apache.spark.storage.StorageLevel
   * and survival prediction S(t|x) = exp(−H₀(t)·e^{g(x)}).
   *
   * Distributed training design (the MLlib-GLM rhythm, SURVEY §3.2):
-  * driver-side Breeze L-BFGS; per iteration ONE pass over the cached,
-  * standardized train split computes the exact negative partial
-  * log-likelihood and gradient:
+  * driver-side Breeze L-BFGS over a train split that is range-sorted
+  * by t DESC **once** (one shuffle for the whole optimization, pinned
+  * at the RDD level; equal times co-partitioned). Each iteration is
+  * two passes over that cache:
   *
-  *   1. per-row: score = βᵀx, w = e^score         (codegen'd exprs)
-  *   2. groupBy(t): d_t, Σ_{events}score, Σw, and per-feature Σx·w,
-  *      Σ_{events}x  (posexplode → groupBy(t, idx): the shuffle is
-  *      |distinct t| × p rows, map-side combined)
-  *   3. risk sets via suffix sums over DISTINCT times only —
-  *      S0(t) window over |T| rows, S1(t, idx) window partitioned by
-  *      feature → parallel. (These in-loop windows keep the windowed
-  *      form — they run per L-BFGS iteration and |T| is bounded for
-  *      grouped survival data; for continuous-time data at extreme
-  *      scale they would switch to the same three-pass range scan
-  *      `breslow` uses.)
-  *   4. loglik = Σ_t [Σscore_ev − d_t·ln S0(t)],
-  *      grad_k = Σ_t [Σx_ev − d_t·S1/S0]          (collect: p+1 scalars)
+  *   A. per-partition Σw, Σw·x with the broadcast β → driver prefix
+  *      carries = the suffix risk-set sums S0/S1 at each partition
+  *      boundary (np·(p+1) doubles);
+  *   B. a single in-order walk per partition folds tie groups into the
+  *      running S0/S1 and scores that time's events:
+  *      loglik += Σscore_ev − d_t·ln S0(t),
+  *      grad   += Σx_ev − d_t·S1/S0        (one (ll, grad) per partition)
   *
-  * No driver-side data, no quadratic pair work, shuffles keyed on t
-  * and (t, idx) only. Features are internally standardized (fit on
-  * train) for L-BFGS conditioning; β is kept in standardized space
+  * No per-iteration shuffle/window/join, no quadratic pair work, no
+  * driver-side data beyond the carries. Survives continuous-time data
+  * (|distinct t| ≈ n) — risk sets never materialize as a
+  * single-partition window. Features are internally standardized (fit
+  * on train) for L-BFGS conditioning; β is kept in standardized space
   * with the scaler stored in the fitted model.
   */
 final case class CoxPH(
@@ -75,9 +71,27 @@ final case class CoxPH(
       .persist(StorageLevel.MEMORY_AND_DISK)
     train.count() // materialize once
 
+    // ONE shuffle for the whole optimization: rows range-partitioned +
+    // sorted by t DESC (equal times co-partitioned by RangePartitioner
+    // semantics), pinned at the RDD level. Every L-BFGS iteration is
+    // then two passes over this cache with p+1 doubles of driver
+    // carries per partition — no per-iteration shuffle, no
+    // single-partition window, no (t,idx) explode+join (those were the
+    // last unpartitioned-window users in the training hot path; the
+    // evaluators moved to the same range-scan scheme in an earlier
+    // round). Suffix sums in t (the risk sets) become prefix carries
+    // in partition order, exactly like [[CoxPH.breslow]].
+    val session = train.sparkSession
+    val np = session.sessionState.conf.numShufflePartitions
+    val sortedRows = train
+      .repartitionByRange(np, col("t").desc)
+      .sortWithinPartitions(col("t").desc)
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    sortedRows.count()
+
     val objective = new DiffFunction[DenseVector[Double]] {
       def calculate(beta: DenseVector[Double]): (Double, DenseVector[Double]) = {
-        val (ll, grad) = logLikAndGrad(train, beta)
+        val (ll, grad) = logLikAndGrad(session, sortedRows, beta)
         // negated + ridge
         val reg = 0.5 * l2 * (beta dot beta)
         (-ll + reg, -grad + beta * l2)
@@ -85,6 +99,7 @@ final case class CoxPH(
     }
     val lbfgs = new LBFGS[DenseVector[Double]](maxIter, 7, tol)
     val beta = lbfgs.minimize(objective, DenseVector.zeros[Double](p))
+    sortedRows.unpersist(blocking = false)
 
     // ---- Breslow baseline on the FULL train split at final β ----
     // (deviation from the reference's last-batch artifact, SURVEY §4.2.1)
@@ -98,44 +113,102 @@ final case class CoxPH(
     FittedCoxPH(this, beta.toArray, mu, sd, baseline)
   }
 
-  /** Exact partial log-likelihood + gradient in one distributed pass. */
-  private def logLikAndGrad(train: DataFrame, beta: DenseVector[Double])
+  /** Exact partial log-likelihood + gradient over the pinned
+    * t-desc-sorted rows (t: double, e: int, x: array<double>): pass A
+    * computes per-partition Σw and Σw·x (→ prefix carries = the suffix
+    * risk-set sums S0, S1 at each partition's start), pass B walks each
+    * partition once, folding tie groups (all rows at a time t enter the
+    * risk set BEFORE that t's events are scored) and emitting one
+    * (ll, grad) partial per partition. Driver traffic per iteration:
+    * 2·np·(p+1) doubles. The linear predictor is recomputed per pass —
+    * a dot product per row against the broadcast β is cheaper at any
+    * scale than materializing per-iteration score columns.
+    */
+  private def logLikAndGrad(spark: org.apache.spark.sql.SparkSession,
+                            sortedRows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+                            beta: DenseVector[Double])
       : (Double, DenseVector[Double]) = {
     val p = beta.length
-    val sc = CoxPH.scoreCol(col("x"), beta.toArray)
-    val scored = train.select(col("t"), col("e"), col("x"),
-      sc.as("sc"), exp(sc).as("w"))
+    val bc = spark.sparkContext.broadcast(beta.toArray)
 
-    val wDesc = Window.orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val perT = scored.groupBy(col("t")).agg(
-        sum(col("w")).as("w_t"),
-        coalesce(sum(when(col("e") === 1, col("sc"))), lit(0.0)).as("esc"),
-        sum(col("e")).as("d"))
-      .withColumn("s0", sum(col("w_t")).over(wDesc))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def dot(x: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < p) { s += x(j) * b(j); j += 1 }
+      s
+    }
 
-    val llRow = perT.filter(col("d") > 0)
-      .agg(sum(col("esc") - col("d") * log(col("s0"))).as("ll")).head()
-    val ll = if (llRow.isNullAt(0)) 0.0 else llRow.getDouble(0)
+    // pass A: per-partition Σw, Σw·x
+    val partials = sortedRows.mapPartitionsWithIndex { (pid, it) =>
+      val b = bc.value
+      var sw = 0.0
+      val swx = new Array[Double](p)
+      it.foreach { r =>
+        val x = r.getSeq[Double](2)
+        val w = math.exp(dot(x, b))
+        sw += w
+        var j = 0; while (j < p) { swx(j) += x(j) * w; j += 1 }
+      }
+      Iterator.single((pid, sw, swx))
+    }.collect().sortBy(_._1)
 
-    val wDescIdx = Window.partitionBy(col("idx")).orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vec = scored.select(col("t"), col("e"), col("w"),
-      posexplode(col("x")).as(Seq("idx", "xv")))
-    val gradRows = vec.groupBy(col("t"), col("idx")).agg(
-        sum(col("xv") * col("w")).as("wx"),
-        coalesce(sum(when(col("e") === 1, col("xv"))), lit(0.0)).as("xsum"))
-      .withColumn("s1", sum(col("wx")).over(wDescIdx))
-      .join(perT.select(col("t"), col("d"), col("s0")), Seq("t"))
-      .filter(col("d") > 0)
-      .groupBy(col("idx"))
-      .agg(sum(col("xsum") - col("d") * col("s1") / col("s0")).as("g"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // carries: partition 0 holds the LARGEST t, so the suffix sums over
+    // T >= t seed each partition with the sum of all PRECEDING
+    // partitions.
+    val nParts = partials.length
+    val carry0 = new Array[Double](nParts)
+    val carry1 = Array.fill(nParts)(new Array[Double](p))
+    var accW = 0.0
+    val accWX = new Array[Double](p)
+    partials.foreach { case (pid, sw, swx) =>
+      carry0(pid) = accW
+      Array.copy(accWX, 0, carry1(pid), 0, p)
+      accW += sw
+      var j = 0; while (j < p) { accWX(j) += swx(j); j += 1 }
+    }
+    val bcC0 = spark.sparkContext.broadcast(carry0)
+    val bcC1 = spark.sparkContext.broadcast(carry1)
 
-    perT.unpersist()
+    // pass B: fold tie groups in t-desc order, score events
+    val contribs = sortedRows.mapPartitionsWithIndex { (pid, it) =>
+      val b = bc.value
+      var s0 = bcC0.value(pid)
+      val s1 = bcC1.value(pid).clone()
+      var ll = 0.0
+      val g = new Array[Double](p)
+      val buf = it.buffered
+      while (buf.hasNext) {
+        val t0 = buf.head.getDouble(0)
+        var d = 0L
+        var esc = 0.0
+        val ex = new Array[Double](p)
+        // whole tie group enters the risk set before its events score
+        while (buf.hasNext && buf.head.getDouble(0) == t0) {
+          val r = buf.next()
+          val x = r.getSeq[Double](2)
+          val sc = dot(x, b)
+          val w = math.exp(sc)
+          s0 += w
+          var j = 0; while (j < p) { s1(j) += x(j) * w; j += 1 }
+          if (r.getInt(1) == 1) {
+            d += 1; esc += sc
+            j = 0; while (j < p) { ex(j) += x(j); j += 1 }
+          }
+        }
+        if (d > 0) {
+          ll += esc - d * math.log(s0)
+          var j = 0; while (j < p) { g(j) += ex(j) - d * s1(j) / s0; j += 1 }
+        }
+      }
+      Iterator.single((ll, g))
+    }.collect()
+
+    bc.destroy(); bcC0.destroy(); bcC1.destroy()
+    var ll = 0.0
     val grad = DenseVector.zeros[Double](p)
-    gradRows.foreach { case (i, g) => grad(i) = g }
+    contribs.foreach { case (l, g) =>
+      ll += l
+      var j = 0; while (j < p) { grad(j) += g(j); j += 1 }
+    }
     (ll, grad)
   }
 }
