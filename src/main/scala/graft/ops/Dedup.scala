@@ -244,8 +244,8 @@ object Dedup {
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
 
   /** Embedding near-dup pairs with cosine ≥ minCos (brute-force at
-    * parity scale; the scale path is LSH/IVF bucketing — see
-    * Similarity). Norms are computed once per vector, not per pair.
+    * parity scale; [[embeddingPairsLsh]] is the bucketed scale path).
+    * Norms are computed once per vector, not per pair.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      minCos: Double): DataFrame = {
@@ -255,6 +255,29 @@ object Dedup {
       .join(v.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")),
         col("i") < col("j"))
       .select(col("i"), col("j"),
+        (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** [[embeddingPairs]] without the all-pairs join: candidates come
+    * from an equi-join on a sign-random-projection LSH bucket
+    * ([[Similarity.lshBucket]]) — shuffle keyed on vector content,
+    * never n². APPROXIMATE by design (a near-dup pair split across
+    * buckets is missed — recall tunes with numPlanes); every emitted
+    * pair carries its exact cosine. The oracle runs the identical
+    * bucket arithmetic, so results still hash-match.
+    */
+  def embeddingPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, numPlanes: Int, minCos: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"),
+      Similarity.lshBucket(col(vecCol), dims, numPlanes).as("bucket"))
+    v.select(col("bucket"), col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+      .join(v.select(col("bucket"), col("id").as("j"), col("v").as("vb"),
+          col("nrm").as("nb")),
+        Seq("bucket"))
+      .filter(col("i") < col("j"))
+      .select(col("bucket"), col("i"), col("j"),
         (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCos)
   }

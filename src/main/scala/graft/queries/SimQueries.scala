@@ -59,7 +59,16 @@ object SimQueries {
           "label", "embedding")
         .select(col("grp"), col("dim"),
           round(col("centroid"), 6).as("centroid"), col("n"))
-        .orderBy("grp", "dim")))
+        .orderBy("grp", "dim")),
+
+    // embedding near-dup at scale: LSH-bucket equi-join instead of the
+    // all-pairs join of q_dedup_embed_cos
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingPairsLsh(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = Dims, numPlanes = Planes, minCos = 0.4)
+        .select(col("bucket"), col("i"), col("j"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("i", "j")))
 
   /** dot in fixed sequential order; mirrors Dedup.cosine exactly. */
   private val dotSql =
@@ -112,6 +121,19 @@ object SimQueries {
     "q_sim_buckets" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
          |SELECT vec_id, $bucketSql AS bucket FROM v ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_embed_lsh" -> {
+      val dot = dotSql.format("a.x", "b.x")
+      val na = dotSql.format("a.x", "a.x")
+      val nb = dotSql.format("b.x", "b.x")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |bk AS (SELECT vec_id, x, $bucketSql AS bucket FROM v),
+         |sc AS (SELECT a.bucket AS bucket, a.vec_id AS i, b.vec_id AS j,
+         |              $dot / (sqrt($na) * sqrt($nb)) AS cos
+         |       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT bucket, i, j, round(cos, 6) AS cos
+         |FROM sc WHERE cos >= CAST(0.4 AS DOUBLE) ORDER BY i, j""".stripMargin
+    },
 
     // exact DECIMAL sum (order-independent) mirrors groupCentroids;
     // float32 → double is lossless widening on both engines
