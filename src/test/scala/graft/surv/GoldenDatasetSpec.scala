@@ -81,4 +81,27 @@ class GoldenDatasetSpec extends AnyFunSuite {
     // A=1..10 → floor((t-1)/2) clamped to [0,4]
     assert(idx.toSeq == Seq(0, 0, 1, 1, 2, 2, 3, 3, 4, 4))
   }
+
+  test("source provider: conf-keyed selection, unknown key rejected") {
+    import graft.core.{SourceProvider, Tables}
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    object FakeSource extends SourceProvider {
+      def table(s: SparkSession, dir: String, name: String): DataFrame = {
+        import s.implicits._
+        Seq((dir, name)).toDF("dir", "name")
+      }
+    }
+    Tables.registerProvider("fake", FakeSource)
+    try {
+      spark.conf.set(Tables.SourceKey, "fake")
+      val r = Tables.load(spark, "/idx", "customer").head()
+      assert(r.getString(0) == "/idx" && r.getString(1) == "customer")
+      spark.conf.set(Tables.SourceKey, "nope")
+      intercept[IllegalArgumentException] {
+        Tables.load(spark, "/idx", "customer")
+      }
+    } finally spark.conf.unset(Tables.SourceKey)
+    // default (parquet) path restored for every other suite
+    assert(Tables.load(spark, "/root/testdata/sf0.001", "nation").count() > 0)
+  }
 }
