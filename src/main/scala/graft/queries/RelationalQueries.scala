@@ -149,6 +149,25 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "rnk")
     }),
 
+    // JSON column handling: parse the events.props JSON payload with a
+    // real JSON parser (from_json — codegen'd, scan-fused) and roll up
+    // by event type. The oracle extracts the same field by regex so it
+    // needs no DuckDB JSON extension; integer sums are exact on both
+    // engines (BIGINT), the mean is one division on identical doubles.
+    "q_events_json" -> ((s, dir) => {
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k")
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_k"))
+        .orderBy("event_type")
+    }),
+
     // as-of (backward) join: click→purchase attribution over the
     // events stream — one shuffle union-scan, no range-join blowup
     // (see AsofJoin). Times compare as long MICROseconds on both
@@ -242,6 +261,16 @@ object RelationalQueries {
         |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS avg_k
+        |FROM (SELECT event_type,
+        |             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union-scan
     // implementation; p.t >= c.t matches the inclusive tie semantics

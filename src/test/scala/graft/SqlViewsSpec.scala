@@ -44,4 +44,31 @@ class SqlViewsSpec extends AnyFunSuite {
       "SELECT product(x) FROM VALUES (1.0) AS t(x) WHERE x > 5")
       .head().isNullAt(0))
   }
+
+  test("GraftExtensions registers the functions through the builder") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    // build a FRESH session so the extensions path — not
+    // registerFunctions — provides the functions. (The equivalent
+    // `--conf spark.sql.extensions=graft.GraftExtensions` is a STATIC
+    // conf, applied only at SparkContext creation, so a shared-context
+    // test suite must go through Builder.withExtensions instead —
+    // same class, same injection point.)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne old)
+      val rh = s2.sql("SELECT rolling_hash('ab')").head().getLong(0)
+      assert(rh == 97L * 31 + 98)
+      val p = s2.sql("SELECT product(x) FROM VALUES (2.0), (5.0) AS t(x)")
+        .head().getDouble(0)
+      assert(p == 10.0)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
 }
