@@ -69,16 +69,25 @@ object Bench {
     // inline — outgrew that window, so the round recorded no parsed
     // bench at all. Cold times go on their OWN earlier line (free to
     // be truncated); the final line stays the compact contract line.
+    // Adaptive precision bounds every value at <=5 chars: the driver
+    // recovers the metric line from a 2000-char tail of stdout (the
+    // round-4 full-precision line outgrew it and the round parsed no
+    // bench at all); at 75+ queries the line budget is the binding
+    // constraint, so sub-centisecond digits lose to fitting at all.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else if (v < 10) (math.round(v * 100.0) / 100.0).toString
+      else if (v < 100) (math.round(v * 10.0) / 10.0).toString
+      else math.round(v).toString
     def jsonMap(m: Map[String, Double]): String =
-      m.map { case (k, v) =>
-        s"\"" + k + "\":" + (math.round(v * 100.0) / 100.0)
-      }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val warmQs = results.map { case (k, (_, w)) => k -> w }
     val coldQs = results.map { case (k, (c, _)) => k -> c }
     val total = warmQs.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"bench_cold":${jsonMap(coldQs)}}""")
-    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","timing":"warm-min-of-2","queries":${jsonMap(warmQs)},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"bench_cold":${jsonMap(coldQs)},"timing":"warm-min-of-2"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","queries":${jsonMap(warmQs)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("vec_dot", exprs => functions.VecDot(exprs.head, exprs(1)))
     fn("product", exprs =>
       functions.ProductAgg(exprs.head).toAggregateExpression())
+    fn("heavy_hitters", exprs =>
+      functions.MisraGries(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue).toAggregateExpression())
   }
 }

@@ -33,5 +33,10 @@ object SqlViews {
     // as `product(x) OVER (ORDER BY …)` for running products
     bridge.registerFunction(spark, "product", exprs =>
       functions.ProductAgg(exprs.head).toAggregateExpression())
+    // heavy_hitters(col, k) Misra-Gries sketch aggregate; k must be a
+    // foldable integer literal
+    bridge.registerFunction(spark, "heavy_hitters", exprs =>
+      functions.MisraGries(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue).toAggregateExpression())
   }
 }

@@ -236,6 +236,54 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over near-dup pair edges (i, j) — the
+    * clustering step that turns pairwise dedup output into keep/drop
+    * decisions (canonical = min doc id per component; everything else
+    * in the component is a drop candidate). Iterative min-label
+    * propagation: lbl'(v) = min(lbl(v), min over neighbors lbl(u)).
+    * Each round is one equi-join on the node key plus one map-side-
+    * combined groupBy — shuffles keyed on content, never all-pairs —
+    * and the labels DataFrame (one row per node IN AN EDGE, a small
+    * fraction of the corpus) is the only iterated state. Near-dup
+    * graphs are unions of near-cliques (diameter 2–4), so the loop
+    * converges in a handful of rounds; convergence costs one count
+    * per round. For adversarial long-path graphs the same join+agg
+    * structure admits the alternating large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) with O(log n) rounds — the per-round dataflow shape
+    * (and hence the 100-TB story) is identical.
+    * Returns (node, comp) for every node appearing in an edge.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col("i").as("node"), col("j").as("nbr"))
+      .union(edges.select(col("j").as("node"), col("i").as("nbr")))
+      .persist(MEMORY_AND_DISK)
+    var labels = und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .persist(MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val viaNbr = und
+        .join(labels.select(col("node").as("nbr"), col("comp")), Seq("nbr"))
+        .groupBy(col("node")).agg(min(col("comp")).as("nbrMin"))
+      val next = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbrMin"), col("comp"))).as("comp"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** Cosine over embeddings: sequential-double dot products through
     * the codegen'd VecDot kernel (bit-equal to the DuckDB
     * list_reduce oracle).

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the document corpus: Okapi BM25 scoring of a
+  * fixed term set, built from the same inverted-index dataflow a
+  * search engine materializes — per-(doc, term) frequencies (one
+  * map-side-combined groupBy keyed on content), a tiny per-term
+  * document-frequency table (broadcast), and per-doc lengths from the
+  * scan. Top-k goes through orderBy().limit(k) (TakeOrderedAndProject
+  * — per-partition heaps + a k-row driver merge, never a global
+  * sort), and the rank column is a window over the k surviving rows
+  * only. Ranking compares ROUNDED scores (ln differs in ulps across
+  * engines; round-then-rank keeps the cutoff engine-independent).
+  */
+object Search {
+
+  /** BM25 top-k: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b
+    * + b·|d|/avgdl)), idf = ln((N − df + ½)/(df + ½) + 1) — the
+    * Robertson et al. TREC-3 formulation with the +1 idf floor used
+    * by Lucene. Returns (id, score, rnk), rnk 1..k by (score desc,
+    * id).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               k: Int = 20): DataFrame = {
+    val lens = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("sum_dl"))
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+    val norm = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / avgdl)
+    val scored = tf
+      .join(broadcast(dfT), Seq("tok"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), (idf * (tfD * lit(k1 + 1.0) / norm)).as("s"))
+    val top = scored.groupBy(col("id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .orderBy("rnk")
+  }
+}

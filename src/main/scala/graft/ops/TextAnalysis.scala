@@ -78,6 +78,56 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Hashed word n-gram array (60-bit md5-prefix ints, same hashing
+    * as [[Dedup.shingleInt]]) — grams move through shuffles as 8-byte
+    * longs, not strings.
+    */
+  def ngramHashes(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => Dedup.shingleInt(
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+  }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    * duplicate-token fraction, most-frequent-bigram fraction, and
+    * duplicate-trigram fraction per document. Distinct counts are
+    * scan-fused per-row array expressions (no shuffle); only the
+    * bigram MODE needs a groupBy — keyed on (id, gram-hash), map-side
+    * combined, linear in corpus size. Documents scoring high on any
+    * signal are boilerplate/spam candidates a training-data pipeline
+    * drops. Returns (id, n_tokens, uniq_tokens, dup_tok_frac,
+    * top_bigram_cnt, top_bigram_frac, dup_trigram_frac).
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{size => asize}
+    val base = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        asize(col("toks")).as("n_tokens"),
+        asize(array_distinct(col("toks"))).as("uniq_tokens"),
+        ngramHashes(col("toks"), 2).as("bg"),
+        ngramHashes(col("toks"), 3).as("tg"))
+      .select(col("id"), col("n_tokens"), col("uniq_tokens"),
+        asize(col("bg")).as("n_bg"),
+        asize(col("tg")).as("n_tg"),
+        asize(array_distinct(col("tg"))).as("uniq_tg"),
+        col("bg"))
+    val topBg = base.select(col("id"), explode(col("bg")).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("top_bigram_cnt"))
+    base.join(topBg, Seq("id"))
+      .select(col("id"), col("n_tokens"), col("uniq_tokens"),
+        round((col("n_tokens") - col("uniq_tokens")).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_tok_frac"),
+        col("top_bigram_cnt"),
+        round(col("top_bigram_cnt").cast("double") /
+          col("n_bg").cast("double"), 6).as("top_bigram_frac"),
+        round((col("n_tg") - col("uniq_tg")).cast("double") /
+          col("n_tg").cast("double"), 6).as("dup_trigram_frac"))
+  }
+
   /** Sliding token-window document chunks — the standard context-
     * window prep for training/embedding pipelines. Chunks of `size`
     * tokens every `stride` tokens (stride < size ⇒ overlap); the last

@@ -69,7 +69,17 @@ object DedupQueries {
       Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", minCos = 0.4)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
-        .orderBy("i", "j")))
+        .orderBy("i", "j")),
+
+    // pairs → clusters: connected components over the n-gram-Jaccard
+    // near-dup edges (same parameters as q_dedup_ngram_jaccard);
+    // comp = min doc id reachable = the canonical keeper
+    "q_dedup_cc" -> ((s, dir) => {
+      val edges = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 3, minJac = 0.05, maxDocFreq = 100)
+      Dedup.connectedComponents(edges.select(col("i"), col("j")))
+        .orderBy("node")
+    }))
 
   /** Shared SQL: distinct HASHED 3-gram shingles — 60-bit md5-prefix
     * ints, mirroring the engine's at-source shingle hashing (1-based
@@ -183,6 +193,27 @@ object DedupQueries {
     "q_dedup_simhash_pairs_bucketed" -> simhashPairsSql,
     "q_dedup_simhash60_pairs_bucketed" ->
       simhashPairsSqlFor(bits = 60, maxDist = 3),
+
+    // transitive closure over the same near-dup edge set (tiny graph:
+    // only docs with a near-dup partner); comp = min reachable id
+    "q_dedup_cc" -> (s"WITH RECURSIVE $shSql,\n" +
+      """shf AS (SELECT id, sh FROM sh
+        |        WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100)),
+        |sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
+        |it AS (SELECT a.id AS i, b.id AS j, count(*) AS inter
+        |       FROM shf a JOIN shf b ON a.sh = b.sh AND a.id < b.id
+        |       GROUP BY a.id, b.id),
+        |e AS (SELECT i, j
+        |      FROM it JOIN sz sa ON it.i = sa.id JOIN sz sb ON it.j = sb.id
+        |      WHERE CAST(inter AS DOUBLE)
+        |            / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05),
+        |und AS (SELECT i AS a, j AS b FROM e
+        |        UNION ALL SELECT j AS a, i AS b FROM e),
+        |reach(a, b) AS (SELECT a, b FROM und
+        |                UNION
+        |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS node, least(a, min(b)) AS comp
+        |FROM reach GROUP BY a ORDER BY node""".stripMargin),
 
     "q_dedup_embed_cos" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

@@ -126,6 +126,36 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Gopher-style repetition signals: distinct counts scan-fused,
+    // bigram mode via one (id, gram-hash)-keyed groupBy
+    "q_text_rep" -> ((s, dir) =>
+      TA.repetitionSignals(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
+    // BM25 ranked retrieval for a fixed term set (one rare + two
+    // common terms); round-then-rank, top-k via TakeOrderedAndProject
+    "q_text_bm25" -> ((s, dir) =>
+      graft.ops.Search.bm25TopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", terms = Seq("dup", "spark", "join"),
+          k1 = 1.2, b = 0.75, k = 20)),
+
+    // per-language term counts through the Misra-Gries sketch
+    // aggregate: each task folds its rows into a <=k-entry sketch and
+    // the shuffle moves one sketch per (partition, lang), not a
+    // (lang, term) row per distinct term. k=64 >= the corpus
+    // vocabulary, so the sketch never evicts and counts are EXACT
+    // (the approximation regime is spec-tested instead).
+    "q_text_hh" -> ((s, dir) => {
+      val tok = Tables.load(s, dir, "documents").select(col("lang"),
+        explode(TA.tokens(col("text"))).as("tok"))
+      tok.groupBy(col("lang"))
+        .agg(graft.functions.MisraGries.heavy_hitters(col("tok"), 64).as("hh"))
+        .select(col("lang"), explode(col("hh")).as("e"))
+        .select(col("lang"), col("e.term").as("term"), col("e.cnt").as("cnt"))
+        .orderBy("lang", "term")
+    }),
+
     // exact per-language corpus length quantiles: Spark percentile ==
     // DuckDB quantile_cont (both p·(n−1) linear interpolation; the
     // interpolation arithmetic on integer inputs is plain +,*,/ on
@@ -303,6 +333,70 @@ object TextQueries {
         |       FROM sc)
         |SELECT tok, lang, tf, df, tfidf, rnk
         |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    // k >= vocabulary -> the MG sketch is exact = plain group-by counts
+    "q_text_hh" ->
+      """SELECT lang, tok AS term, count(*) AS cnt
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY lang, tok ORDER BY lang, term""".stripMargin,
+
+    "q_text_rep" ->
+      """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |b AS (SELECT id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS uniq_tokens,
+        |  list_transform(generate_series(1, len(toks) - 1),
+        |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT) AS bg,
+        |  list_transform(generate_series(1, len(toks) - 2),
+        |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |                         1, 15))::BIGINT) AS tg
+        |  FROM t),
+        |s AS (SELECT id, n_tokens, uniq_tokens,
+        |  CAST(len(bg) AS INT) AS n_bg, CAST(len(tg) AS INT) AS n_tg,
+        |  CAST(len(list_distinct(tg)) AS INT) AS uniq_tg, bg FROM b),
+        |topbg AS (SELECT id, max(c) AS top_bigram_cnt
+        |          FROM (SELECT id, g, count(*) AS c
+        |                FROM (SELECT id, unnest(bg) AS g FROM s)
+        |                GROUP BY id, g)
+        |          GROUP BY id)
+        |SELECT s.id AS id, n_tokens, uniq_tokens,
+        |  round(CAST(n_tokens - uniq_tokens AS DOUBLE)
+        |        / CAST(n_tokens AS DOUBLE), 6) AS dup_tok_frac,
+        |  top_bigram_cnt,
+        |  round(CAST(top_bigram_cnt AS DOUBLE)
+        |        / CAST(n_bg AS DOUBLE), 6) AS top_bigram_frac,
+        |  round(CAST(n_tg - uniq_tg AS DOUBLE)
+        |        / CAST(n_tg AS DOUBLE), 6) AS dup_trigram_frac
+        |FROM s JOIN topbg ON s.id = topbg.id ORDER BY id""".stripMargin,
+
+    "q_text_bm25" ->
+      """WITH lens AS (SELECT doc_id AS id,
+        |                CAST(len(string_split(text, ' ')) AS INT) AS dl
+        |              FROM documents),
+        |st AS (SELECT count(*) AS n_docs,
+        |              sum(len(string_split(text, ' '))) AS sum_dl
+        |       FROM documents),
+        |tf AS (SELECT id, tok, count(*) AS tf
+        |       FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents)
+        |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT tf.id,
+        |  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |  * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+        |  FROM tf JOIN df ON tf.tok = df.tok
+        |  JOIN lens ON tf.id = lens.id CROSS JOIN st),
+        |agg AS (SELECT id, round(sum(s), 6) AS score FROM sc GROUP BY id),
+        |top AS (SELECT id, score FROM agg ORDER BY score DESC, id LIMIT 20)
+        |SELECT id, score,
+        |       CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rnk
+        |FROM top ORDER BY rnk""".stripMargin,
 
     "q_corpus_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -66,6 +66,10 @@ class SqlViewsSpec extends AnyFunSuite {
       val p = s2.sql("SELECT product(x) FROM VALUES (2.0), (5.0) AS t(x)")
         .head().getDouble(0)
       assert(p == 10.0)
+      val hh = s2.sql(
+          "SELECT heavy_hitters(x, 4) FROM VALUES ('a'), ('b'), ('a') AS t(x)")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

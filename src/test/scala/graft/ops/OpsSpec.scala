@@ -172,4 +172,93 @@ class OpsSpec extends AnyFunSuite {
       (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
       (2L, 0, "x y", 2)))
   }
+
+  test("connected components: path graph converges past direct neighbors") {
+    import spark.implicits._
+    // 1-2-3-4 is a path (diameter 3 — label 1 must propagate through
+    // two hops, exercising the iteration); 7-8 a separate component
+    val edges = Seq((2L, 3L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (7L, 7L), (8L, 7L)))
+  }
+
+  test("repetition signals: duplicate-heavy doc scores high, varied doc low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),      // 4 dup tokens, "spam spam" x3
+      (2L, "a b c d e")                      // all distinct
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    val r1 = got(0)
+    // n=5 uniq=2 -> dup_tok 0.6; bigrams: 4 total, "spam spam" x3 -> 0.75
+    // trigrams: 3 total, "spam spam spam" x2 -> dup 1/3
+    assert(r1.getInt(1) == 5 && r1.getInt(2) == 2)
+    assert(r1.getDouble(3) == 0.6)
+    assert(r1.getLong(4) == 3L && r1.getDouble(5) == 0.75)
+    assert(math.abs(r1.getDouble(6) - 1.0 / 3) < 1e-6)
+    val r2 = got(1)
+    assert(r2.getDouble(3) == 0.0 && r2.getLong(4) == 1L &&
+      r2.getDouble(6) == 0.0)
+  }
+
+  test("bm25: rare-term doc outranks common-term doc; tf saturates") {
+    import spark.implicits._
+    val filler = (1 to 30).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"rare $filler"),                 // one rare-term hit
+      (2L, s"common common common $filler"), // many hits of a common term
+      (3L, s"common $filler"),
+      (4L, s"common $filler"),
+      (5L, filler)                           // no hit -> not returned
+    ).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.length == 4) // doc 5 matches nothing
+    // df(rare)=1 of 5 docs -> idf ln(4.5/1.5+1)≈1.39 beats
+    // df(common)=3 -> idf ln(2.5/3.5+1)≈0.54 even at tf 3 (saturation)
+    assert(got.head._1 == 1L && got.head._3 == 1)
+    assert(got(1)._1 == 2L) // among common-docs, higher tf still ranks first
+  }
+
+  test("misra-gries: exact when k >= distinct, regardless of partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(2000)(s"t${rnd.nextInt(20)}")
+    // 16 partitions forces per-task sketches through the
+    // serialize -> shuffle -> merge path; k=32 > 20 distinct -> exact
+    val got = vals.toDF("x").repartition(16)
+      .agg(graft.functions.MisraGries.heavy_hitters(col("x"), 32).as("hh"))
+      .select(explode(col("hh"))).select("col.term", "col.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == exact)
+  }
+
+  test("misra-gries: undercount bounded by N/(k+1) in the eviction regime") {
+    import spark.implicits._
+    // one heavy term (60%) + 50 light ones, k=8 << 51 distinct
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(1000)(
+      if (rnd.nextDouble() < 0.6) "HEAVY" else s"light${rnd.nextInt(50)}")
+    val n = vals.size
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = vals.toDF("x").repartition(4)
+      .agg(graft.functions.MisraGries.heavy_hitters(col("x"), 8).as("hh"))
+      .select(explode(col("hh"))).select("col.term", "col.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // estimates never exceed the true count and undercount <= N/(k+1);
+    // merges only tighten the bound (mergeable-summaries reduction)
+    got.foreach { case (t, est) =>
+      val truth = exact(t)
+      assert(est <= truth, s"$t overcounted: $est > $truth")
+      assert(truth - est <= n / 9, s"$t undercount ${truth - est} > ${n / 9}")
+    }
+    // anything above the 2*N/(k+1) guarantee line must be present
+    exact.filter(_._2 > 2 * n / 9).keys.foreach(t => assert(got.contains(t)))
+    assert(got.contains("HEAVY") && got("HEAVY") >= exact("HEAVY") - n / 9)
+  }
 }
