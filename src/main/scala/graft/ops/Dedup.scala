@@ -255,32 +255,59 @@ object Dedup {
     * Returns (node, comp) for every node appearing in an edge.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = edges.select(col("i").as("node"), col("j").as("nbr"))
-      .union(edges.select(col("j").as("node"), col("i").as("nbr")))
-      .persist(MEMORY_AND_DISK)
-    var labels = und.select(col("node")).distinct()
+    // Lineage MUST be cut every round: `labels` appears twice in each
+    // round's plan (directly + through the neighbor join), so keeping
+    // lineage would double the logical plan per round — exponential
+    // analyzer/optimizer blowup long before any executor works hard
+    // (observed as a driver OOM at 25 rounds). The eager
+    // localCheckpoint makes every round's inputs flat cached tables;
+    // the blocks are one row per edge-endpoint node (near-dup nodes
+    // only, a small fraction of the corpus) and are released by the
+    // caller's cache scope.
+    // the edge list is checkpointed BEFORE the undirected union — the
+    // union consumes it twice, and without the cut the upstream pair
+    // pipeline (shingle joins etc.) would execute once per branch
+    val e = edges.localCheckpoint(true)
+    val undBoth = e.select(col("i").as("node"), col("j").as("nbr"))
+      .union(e.select(col("j").as("node"), col("i").as("nbr")))
+    var labels = undBoth.select(col("node")).distinct()
       .select(col("node"), col("node").as("comp"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val viaNbr = und
+      // min over neighbors' labels (one equi-join + map-side-combined
+      // groupBy), then pointer-jumping compression lbl(v) := lbl(lbl(v))
+      // (one more equi-join on the label) — propagation alone needs
+      // diameter rounds, with compression the round count is
+      // O(log diameter), the property that holds at adversarial depth.
+      // The previous label rides along as `prev` so the convergence
+      // check is a filter-count on the round's own output — the count
+      // is the round's ONLY job; it materializes the lazy checkpoint.
+      val viaNbr = undBoth
         .join(labels.select(col("node").as("nbr"), col("comp")), Seq("nbr"))
         .groupBy(col("node")).agg(min(col("comp")).as("nbrMin"))
-      val next = labels.join(viaNbr, Seq("node"), "left")
-        .select(col("node"),
+      // pinned: the compression self-join consumes prop on BOTH sides —
+      // without the pin each round computes the propagation (and its
+      // two shuffles) twice
+      val prop = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbrMin"), col("comp"))).as("comp"))
-        .persist(MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"))
-        .filter(col("comp") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = prop
+        .join(prop.select(col("node").as("comp"), col("comp").as("cc")),
+          Seq("comp"))
+        .select(col("node"), col("prev"), col("cc").as("comp"))
+        .localCheckpoint(false)
+      val changed = next.filter(col("comp") =!= col("prev")).count()
+      prop.unpersist(false)
+      labels = next.select(col("node"), col("comp"))
       converged = changed == 0
       it += 1
     }
-    und.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(diameter > 2^maxIter is not a realistic near-dup graph)")
     labels
   }
 

@@ -89,15 +89,29 @@ object TextAnalysis {
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
   }
 
+  /** Raw-string word n-gram array — for per-row distinct counts and
+    * small per-doc modes, where building md5 ints ([[ngramHashes]])
+    * would cost more CPU than the few extra bytes save.
+    */
+  def ngramStrings(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+  }
+
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     * duplicate-token fraction, most-frequent-bigram fraction, and
     * duplicate-trigram fraction per document. Distinct counts are
-    * scan-fused per-row array expressions (no shuffle); only the
-    * bigram MODE needs a groupBy — keyed on (id, gram-hash), map-side
-    * combined, linear in corpus size. Documents scoring high on any
-    * signal are boilerplate/spam candidates a training-data pipeline
-    * drops. Returns (id, n_tokens, uniq_tokens, dup_tok_frac,
-    * top_bigram_cnt, top_bigram_frac, dup_trigram_frac).
+    * scan-fused per-row array expressions (no shuffle); gram COUNTS
+    * are plain token arithmetic (no gram materialization at all);
+    * only the bigram MODE needs a groupBy — keyed on (id, gram),
+    * map-side combined, linear in corpus size — and the join back
+    * carries scalars only, never the gram arrays. Documents scoring
+    * high on any signal are boilerplate/spam candidates a
+    * training-data pipeline drops. Returns (id, n_tokens,
+    * uniq_tokens, dup_tok_frac, top_bigram_cnt, top_bigram_frac,
+    * dup_trigram_frac).
     */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
@@ -107,17 +121,16 @@ object TextAnalysis {
       .select(col("id"),
         asize(col("toks")).as("n_tokens"),
         asize(array_distinct(col("toks"))).as("uniq_tokens"),
-        ngramHashes(col("toks"), 2).as("bg"),
-        ngramHashes(col("toks"), 3).as("tg"))
+        asize(array_distinct(ngramStrings(col("toks"), 3))).as("uniq_tg"),
+        ngramStrings(col("toks"), 2).as("bg"))
       .select(col("id"), col("n_tokens"), col("uniq_tokens"),
-        asize(col("bg")).as("n_bg"),
-        asize(col("tg")).as("n_tg"),
-        asize(array_distinct(col("tg"))).as("uniq_tg"),
-        col("bg"))
+        when(col("n_tokens") >= 2, col("n_tokens") - 1).otherwise(0).as("n_bg"),
+        when(col("n_tokens") >= 3, col("n_tokens") - 2).otherwise(0).as("n_tg"),
+        col("uniq_tg"), col("bg"))
     val topBg = base.select(col("id"), explode(col("bg")).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(max(col("c")).as("top_bigram_cnt"))
-    base.join(topBg, Seq("id"))
+    base.drop("bg").join(topBg, Seq("id"))
       .select(col("id"), col("n_tokens"), col("uniq_tokens"),
         round((col("n_tokens") - col("uniq_tokens")).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_tok_frac"),

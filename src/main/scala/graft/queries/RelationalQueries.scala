@@ -97,6 +97,19 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // runtime-filter pattern: orders semi-joined to a selective
+    // customer dim through a Bloom probe in the scan stage; the
+    // closing exact semi-join makes the result identical to a plain
+    // left-semi (what the oracle runs)
+    "q_bloom_semi" -> ((s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      graft.ops.BloomPrune.semiJoin(Tables.load(s, dir, "orders"), dim,
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // §2.9 windows: per-customer order sequence + running spend.
     // Window is partitioned by custkey → fully parallel.
     "q_window_running" -> ((s, dir) => {
@@ -227,6 +240,13 @@ object RelationalQueries {
         |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
         |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
         |GROUP BY o_orderkey, o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bloom_semi" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_window_running" ->

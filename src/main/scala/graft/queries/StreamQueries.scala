@@ -30,6 +30,18 @@ object StreamQueries {
           col("n"), round(col("sum_value"), 6).as("sum_value"))
         .orderBy("wstart_us", "event_type")),
 
+    // batch semantics of the stream-stream interval join (StreamingSpec
+    // proves the watermarked readStream flavor emits the same rows):
+    // purchases within 30min after a click by the same user
+    "q_stream_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      StreamingOps.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", gapUs = 1800000000L)
+        .orderBy("l_id", "r_id")
+    }),
+
     // batch semantics of the flatMapGroupsWithState running totals
     // (StreamingSpec proves the stateful streaming flavor converges to
     // exactly this across micro-batches)
@@ -57,6 +69,18 @@ object StreamQueries {
         |SELECT wstart_us, event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS l_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS l_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS r_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS r_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, l_id, r_id, r_us - l_us AS gap_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |WHERE r_us >= l_us AND r_us - l_us <= 1800000000
+        |ORDER BY l_id, r_id""".stripMargin,
 
     "q_stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events,

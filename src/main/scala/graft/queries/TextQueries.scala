@@ -348,14 +348,14 @@ object TextQueries {
         |  CAST(len(toks) AS INT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS INT) AS uniq_tokens,
         |  list_transform(generate_series(1, len(toks) - 1),
-        |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT) AS bg,
-        |  list_transform(generate_series(1, len(toks) - 2),
-        |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-        |                         1, 15))::BIGINT) AS tg
+        |    i -> toks[i] || ' ' || toks[i+1]) AS bg,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS INT) AS uniq_tg
         |  FROM t),
         |s AS (SELECT id, n_tokens, uniq_tokens,
-        |  CAST(len(bg) AS INT) AS n_bg, CAST(len(tg) AS INT) AS n_tg,
-        |  CAST(len(list_distinct(tg)) AS INT) AS uniq_tg, bg FROM b),
+        |  CAST(CASE WHEN n_tokens >= 2 THEN n_tokens - 1 ELSE 0 END AS INT) AS n_bg,
+        |  CAST(CASE WHEN n_tokens >= 3 THEN n_tokens - 2 ELSE 0 END AS INT) AS n_tg,
+        |  uniq_tg, bg FROM b),
         |topbg AS (SELECT id, max(c) AS top_bigram_cnt
         |          FROM (SELECT id, g, count(*) AS c
         |                FROM (SELECT id, unnest(bg) AS g FROM s)

@@ -119,6 +119,46 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join, batch form (the oracle semantics of
+    * [[intervalJoinStream]]): pairs of (left, right) events of the
+    * same key with right within [left_ts, left_ts + gap]. An
+    * equi-join on the key with a post-join range filter — SMJ/shuffle
+    * keyed on the join key, the shape the streaming flavor's
+    * watermark-bounded state mirrors. Emits (key, l_id, r_id,
+    * gap_us).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   gapUs: Long): DataFrame = {
+    val l = left.select(col(key), col("event_id").as("l_id"),
+      unix_micros(col("ts")).as("l_us"))
+    val r = right.select(col(key), col("event_id").as("r_id"),
+      unix_micros(col("ts")).as("r_us"))
+    l.join(r, Seq(key))
+      .filter(col("r_us") >= col("l_us") &&
+        col("r_us") - col("l_us") <= gapUs)
+      .select(col(key), col("l_id"), col("r_id"),
+        (col("r_us") - col("l_us")).as("gap_us"))
+  }
+
+  /** Streaming flavor: both sides watermarked, the time-range bound
+    * in the JOIN CONDITION — that bound is what lets Spark expire
+    * per-key join state once the watermark passes l_ts + gap, keeping
+    * state proportional to the window, not the stream. Inner join ⇒
+    * append mode.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         gapUs: Long): DataFrame = {
+    val l = left.select(col(key), col("event_id").as("l_id"),
+      col("ts").as("l_ts")).withWatermark("l_ts", "1 hour")
+    val r = right.select(col(key).as("r_key"), col("event_id").as("r_id"),
+      col("ts").as("r_ts")).withWatermark("r_ts", "1 hour")
+    l.join(r,
+        col(key) === col("r_key") && col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"interval $gapUs microseconds"))
+      .select(col(key), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
   /** 30-minute-gap sessions per user (batch form): session boundaries
     * by lag, ids by running sum, then per-session aggregates.
     */

@@ -1,0 +1,32 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Time one or more SparkEntry queries: cold + two warm runs each,
+  * mirroring the bench methodology, without the 75-query overhead.
+  * Usage: runMain graft.tools.TimeQ <sfDir> <query> [query ...]
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.drop(1).foreach { q =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, args(0)).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val c = once(); val w = math.min(once(), once())
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      println(f"TIMEQ $q cold=$c%.2f warm=$w%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -224,6 +224,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1)._1 == 2L) // among common-docs, higher tf still ranks first
   }
 
+  test("bloom-pruned semi-join: rows identical to plain left-semi, probe in plan") {
+    // parquet-backed fact so the probe survives as a scan-stage filter
+    // (over a local Seq relation Catalyst folds it into the
+    // LocalTableScan at optimization time)
+    val fact = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val dim = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val got = BloomPrune.semiJoin(fact, dim, "o_custkey", "c_custkey")
+      .select("o_orderkey")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(1500))
+    val exact = fact.join(dim, col("o_custkey") === col("c_custkey"), "leftsemi")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val gotRows = got.collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotRows == exact && gotRows.nonEmpty)
+  }
+
   test("misra-gries: exact when k >= distinct, regardless of partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

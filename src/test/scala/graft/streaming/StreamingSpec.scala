@@ -74,6 +74,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val ev = Tables.events(spark, dir)
+    val batch = StreamingOps.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", 1800000000L)
+      .orderBy("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tmp = java.nio.file.Files.createTempDirectory("events_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    def stream = StreamingOps.withTs(spark.readStream
+      .schema(StreamingOps.eventsSchema).parquet(tmp.toString))
+    val joined = StreamingOps.intervalJoinStream(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"),
+      "user_id", 1800000000L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").orderBy("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState running totals carry state ACROSS micro-batches") {
     import spark.implicits._
     val events = Tables.events(spark, dir)
