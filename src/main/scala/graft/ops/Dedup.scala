@@ -25,15 +25,33 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
 
-  /** Distinct hashed word n-gram shingles per document, exploded to
-    * (id, shingle-int) rows — derived from [[shingleSets]] so the
-    * tokenize+hash+distinct plan is shared (and cache-deduped) with
-    * the signature pipeline.
+  /** Distinct hashed word n-gram shingles per document as (id,
+    * shingle-int) rows. The CHEAP index sequence is exploded first and
+    * the md5 hash computed in a plain projection AFTER the explode:
+    * a `transform()` lambda is evaluated on Catalyst's interpreted
+    * path, and InferFiltersFromGenerate guards a Generate's input with
+    * `size(e) > 0 AND isnotnull(e)` — hashing inside the exploded
+    * array meant the full gram transform ran interpreted AND up to 3×
+    * per row (measured 10× slower than this shape at sf0.1). Here the
+    * duplicated guard is a cheap int sequence and the md5/conv sits in
+    * whole-stage codegen, once per gram. Per-doc dedup is the closing
+    * distinct — keyed on (id, sh), map-side combined, the same shuffle
+    * key downstream joins use.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-               n: Int = 3): DataFrame =
-    shingleSets(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("shset")).as("sh"))
+               n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // Spark sequence(1, k) DESCENDS for k < 1, hence the guard
+    val idx = when(size(col("toks")) >= n,
+        sequence(lit(1), size(col("toks")) - lit(n - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"), explode(idx).as("i"))
+      .select(col("id"), shingleInt(concat_ws(" ",
+        (0 until n).map(o => element_at(col("toks"), col("i") + lit(o))): _*))
+        .as("sh"))
+      .distinct()
+  }
 
   /** Candidate pairs sharing ≥1 shingle with exact Jaccard ≥ minJac.
     * The shingle self-join is an equi-join on the shingle (shuffle on
@@ -76,18 +94,17 @@ object Dedup {
   def shingleInt(sh: Column): Column =
     conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature as ONE array column per doc: hashed shingles
-    * (see [[shingleSets]]) are exploded once, then a single
-    * groupBy(id) runs all numHashes `min` aggregates as codegen'd
-    * map-side-combined columns. (A nested transform/array_min
-    * formulation looks shuffle-free but Catalyst inlines the hash
-    * permutations into every array_min lambda — numHashes×
-    * recomputation; this shape is the fast AND scalable one.)
-    * Returns (id, sig: array<long>).
+  /** MinHash signature as ONE array column per doc from the (id, sh)
+    * shingle table ([[shingles]]): a single groupBy(id) runs all
+    * numHashes `min` aggregates as codegen'd map-side-combined
+    * columns. Docs with no shingles are simply absent. (A nested
+    * transform/array_min formulation looks shuffle-free but Catalyst
+    * inlines the hash permutations into every array_min lambda —
+    * numHashes× recomputation; this shape is the fast AND scalable
+    * one.) Returns (id, sig: array<long>).
     */
-  def minhashSignatureArr(docsSh: DataFrame, numHashes: Int = 16): DataFrame = {
-    val xp = docsSh.select(col("id"), explode(col("shset")).as("sh"))
-      .select(col("id"), (col("sh") % P).as("xp"))
+  def minhashSignatureArr(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val xp = sh.select(col("id"), (col("sh") % P).as("xp"))
     val mins = (0 until numHashes).map { i =>
       min((col("xp") * (2L * i + 3L) + (5L * i + 7L)) % P).as(s"mh$i")
     }
@@ -96,37 +113,18 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
-  /** Distinct HASHED shingle set per doc (array<long>; empty for short
-    * docs — Spark sequence(1, k) DESCENDS for k < 1, hence the guard).
-    * Shingles are reduced to their 60-bit md5-prefix int at the source:
-    * every downstream shuffle (the Jaccard self-join, the LSH exact
-    * branch, signature hashing) then moves and compares 8-byte longs
-    * instead of multi-word strings — ~4× less shuffle/cache volume on
-    * the two heaviest dedup pipelines, same answers (the oracle hashes
-    * identically, so even a hash collision is mirrored bit-for-bit).
-    */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - lit(n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idx, i => shingleInt(
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
-    docs.select(col(idCol).as("id"), array_distinct(sh).as("shset"))
-  }
-
   /** LSH band-bucket candidate pairs + estimated (minhash-agreement)
     * and exact Jaccard. Bands of `rowsPerBand` signature rows; docs
     * sharing any band key become candidates — the join is on the band
-    * key (content-addressed), never all-pairs.
+    * key (content-addressed), never all-pairs. One persisted (id, sh)
+    * table feeds signatures, sizes, and the exact-Jaccard branch.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, rowsPerBand: Int = 4,
                       n: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sh = shingles(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = sets.select(col("id"), explode(col("shset")).as("sh"))
-    val sig = minhashSignatureArr(sets.filter(size(col("shset")) > 0), numHashes)
+    val sig = minhashSignatureArr(sh, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = numHashes / rowsPerBand
     val bands = sig.select(col("id"),

@@ -121,16 +121,26 @@ object TextAnalysis {
       .select(col("id"),
         asize(col("toks")).as("n_tokens"),
         asize(array_distinct(col("toks"))).as("uniq_tokens"),
-        asize(array_distinct(ngramStrings(col("toks"), 3))).as("uniq_tg"),
-        ngramStrings(col("toks"), 2).as("bg"))
+        asize(array_distinct(ngramStrings(col("toks"), 3))).as("uniq_tg"))
       .select(col("id"), col("n_tokens"), col("uniq_tokens"),
         when(col("n_tokens") >= 2, col("n_tokens") - 1).otherwise(0).as("n_bg"),
         when(col("n_tokens") >= 3, col("n_tokens") - 2).otherwise(0).as("n_tg"),
-        col("uniq_tg"), col("bg"))
-    val topBg = base.select(col("id"), explode(col("bg")).as("g"))
+        col("uniq_tg"))
+    // bigram mode: explode the cheap index sequence, build the gram
+    // AFTER the explode (codegen'd, evaluated once — a gram array
+    // under explode pays the interpreted-lambda + inferred-filter
+    // triple evaluation, see Dedup.shingles)
+    val topBg = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        explode(when(asize(col("toks")) >= 2,
+            sequence(lit(1), asize(col("toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"), concat_ws(" ", element_at(col("toks"), col("i")),
+        element_at(col("toks"), col("i") + lit(1))).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(max(col("c")).as("top_bigram_cnt"))
-    base.drop("bg").join(topBg, Seq("id"))
+    base.join(topBg, Seq("id"))
       .select(col("id"), col("n_tokens"), col("uniq_tokens"),
         round((col("n_tokens") - col("uniq_tokens")).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_tok_frac"),

@@ -156,6 +156,25 @@ object TextQueries {
         .orderBy("lang", "term")
     }),
 
+    // CCNet-style LM quality filter: corpus-fitted add-1 bigram model,
+    // per-doc average log-prob; the "model" is two count tables joined
+    // on gram content
+    "q_text_lm" -> ((s, dir) =>
+      graft.ops.LangModel.bigramScore(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
+    // benchmark decontamination: training docs sharing >= 1 hashed
+    // 4-gram with the pseudo-eval slice (doc_id % 100 == 0). Real
+    // pipelines use ~13-grams; the 31-word synthetic vocabulary makes
+    // 4 the calibrated equivalent (longer grams never collide here).
+    "q_text_contam" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Decontam.overlap(docs,
+          docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", n = 4)
+        .orderBy("id")
+    }),
+
     // exact per-language corpus length quantiles: Spark percentile ==
     // DuckDB quantile_cont (both p·(n−1) linear interpolation; the
     // interpolation arithmetic on integer inputs is plain +,*,/ on
@@ -333,6 +352,41 @@ object TextQueries {
         |       FROM sc)
         |SELECT tok, lang, tf, df, tfidf, rnk
         |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    "q_text_lm" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |bg AS (SELECT doc_id AS id,
+        |         unnest(list_transform(
+        |           generate_series(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' '
+        |                || string_split(text, ' ')[i+1])) AS bg
+        |       FROM documents),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM tok)
+        |SELECT id, count(*) AS n_bg,
+        |  round(sum(ln((CAST(c2 AS DOUBLE) + 1.0)
+        |               / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))))
+        |        / CAST(count(*) AS DOUBLE), 6) AS lm_score
+        |FROM bg JOIN c2 USING (bg)
+        |JOIN c1 ON string_split(bg.bg, ' ')[1] = c1.tok
+        |CROSS JOIN v
+        |GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_text_contam" -> {
+      val cat = (0 until 4).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM documents),
+         |tsh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+         |          generate_series(1, len(t) - 3),
+         |          i -> ('0x' || substr(md5($cat), 1, 15))::BIGINT))) AS sh
+         |        FROM sp WHERE len(t) >= 4),
+         |esh AS (SELECT DISTINCT sh FROM tsh WHERE id % 100 = 0)
+         |SELECT id, count(*) AS n_shared
+         |FROM tsh JOIN esh USING (sh) WHERE id % 100 <> 0
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
 
     // k >= vocabulary -> the MG sketch is exact = plain group-by counts
     "q_text_hh" ->

@@ -26,18 +26,13 @@ object Scratch {
     time("shingles count") {
       Dedup.shingles(docs, "doc_id", "text").count()
     }
-    time("shingleSets count") {
-      Dedup.shingleSets(docs, "doc_id", "text").count()
-    }
-    val ss = Dedup.shingleSets(docs, "doc_id", "text")
-      .filter(size(col("shset")) > 0)
-    time("signature materialize") {
-      Dedup.minhashSignatureArr(ss, 16).count()
-    }
     // piecewise replication of minhashLshPairs
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = Dedup.minhashSignatureArr(ss, 16)
+    time("signature materialize") {
+      Dedup.minhashSignatureArr(sh, 16).count()
+    }
+    val sig = Dedup.minhashSignatureArr(sh, 16)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("sh materialize") { sh.count() }
     time("sig materialize") { sig.count() }

@@ -241,6 +241,32 @@ class OpsSpec extends AnyFunSuite {
     assert(gotRows == exact && gotRows.nonEmpty)
   }
 
+  test("bigram LM score: fluent (frequent-bigram) doc outranks rare-bigram doc") {
+    import spark.implicits._
+    // corpus dominated by "a b" bigrams; doc 9 is the odd one out
+    val docs = ((1L to 8L).map(i => (i, "a b a b a b")) :+ (9L, "x q x q x q"))
+      .toDF("doc_id", "text")
+    val got = LangModel.bigramScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(1L) > got(9L))
+    assert(got.size == 9 && got.values.forall(_ < 0)) // log-probs
+  }
+
+  test("decontamination flags n-gram overlap with the eval set only") {
+    import spark.implicits._
+    val evalText = (1 to 12).map(i => s"e$i").mkString(" ")
+    val train = Seq(
+      (1L, evalText),                                   // full copy
+      (2L, "clean " + (1 to 10).map(i => s"c$i").mkString(" ")),
+      (3L, (5 to 12).map(i => s"e$i").mkString(" "))    // 8-token suffix
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val got = Decontam.overlap(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // doc 1 shares all five 8-grams of the eval doc, doc 3 exactly one
+    assert(got.toSeq == Seq((1L, 5L), (3L, 1L)))
+  }
+
   test("misra-gries: exact when k >= distinct, regardless of partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
