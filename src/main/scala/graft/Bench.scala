@@ -75,7 +75,8 @@ object Bench {
     // bench at all); at 75+ queries the line budget is the binding
     // constraint, so sub-centisecond digits lose to fitting at all.
     def fmt(v: Double): String =
-      if (v < 0) "-1"
+      if (v.isNaN) "-1" // corrupted timing = failure sentinel, never a 0s "success"
+      else if (v < 0) "-1"
       else if (v < 10) (math.round(v * 100.0) / 100.0).toString
       else if (v < 100) (math.round(v * 10.0) / 10.0).toString
       else math.round(v).toString

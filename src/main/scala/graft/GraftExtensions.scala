@@ -27,8 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("vec_dot", exprs => functions.VecDot(exprs.head, exprs(1)))
     fn("product", exprs =>
       functions.ProductAgg(exprs.head).toAggregateExpression())
-    fn("heavy_hitters", exprs =>
-      functions.MisraGries(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue).toAggregateExpression())
+    fn("heavy_hitters", functions.MisraGries.fromExprs)
   }
 }

@@ -34,9 +34,8 @@ object SqlViews {
     bridge.registerFunction(spark, "product", exprs =>
       functions.ProductAgg(exprs.head).toAggregateExpression())
     // heavy_hitters(col, k) Misra-Gries sketch aggregate; k must be a
-    // foldable integer literal
-    bridge.registerFunction(spark, "heavy_hitters", exprs =>
-      functions.MisraGries(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue).toAggregateExpression())
+    // foldable integer literal (validated — clear AnalysisException)
+    bridge.registerFunction(spark, "heavy_hitters",
+      functions.MisraGries.fromExprs)
   }
 }

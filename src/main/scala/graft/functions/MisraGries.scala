@@ -130,4 +130,22 @@ object MisraGries {
   /** `heavy_hitters(c, k)` as an aggregate Column. */
   def heavy_hitters(c: Column, k: Int): Column =
     bridge.toColumn(MisraGries(bridge.toExpression(c), k).toAggregateExpression())
+
+  /** Validated SQL-registration builder: `heavy_hitters(col, k)` needs
+    * exactly two arguments and a foldable integral k — anything else
+    * fails analysis with a readable message instead of an
+    * IndexOutOfBounds/ClassCast from inside the planner.
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      bridge.analysisError(
+        s"heavy_hitters(col, k) takes exactly 2 arguments, got ${exprs.length}")
+    if (!exprs(1).foldable)
+      bridge.analysisError("heavy_hitters k must be a literal integer")
+    exprs(1).eval() match {
+      case n: Number => MisraGries(exprs.head, n.intValue).toAggregateExpression()
+      case other => bridge.analysisError(
+        s"heavy_hitters k must be a literal integer, got: $other")
+    }
+  }
 }

@@ -37,24 +37,38 @@ object AsofJoin {
                leftTime: String, rightTime: String,
                rightPayload: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    // SQL join equality never matches NULL = NULL, but a window
+    // partitionBy groups NULL keys into ONE partition — so null-key /
+    // null-time right rows are dropped up front (they can never be an
+    // ASOF match: `l.t >= NULL` is unknown). Left rows keep their null
+    // keys and simply find no preceding right row (match = null); a
+    // null LEFT time sorts first within its key partition (nulls-first
+    // asc) and likewise matches nothing — both mirror SQL semantics.
+    // Right rows tied on exact (key, time) are collapsed to the
+    // lexicographically-greatest payload struct BEFORE the scan: the
+    // pick is deterministic and the oracle mirrors it with a GROUP BY
+    // (DuckDB ASOF's own choice between tied right rows is
+    // unspecified, which would flake the hash on tie-bearing inputs).
+    val rDedup = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .groupBy(col(key).as("_k"), col(rightTime).as("_t"))
+      .agg(max(struct(rightPayload.map(col): _*)).as("_rp"))
     val l = left.select(
       col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_tag"),
       struct(lCols.map(col): _*).as("_lp"),
       lit(null).cast(right.select(rightPayload.map(col): _*).schema
         .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
         .as("_rp"))
-    val r = right.select(
-      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_tag"),
+    val r = rDedup.select(
+      col("_k"), col("_t"), lit(0).as("_tag"),
       lit(null).cast(left.select(lCols.map(col): _*).schema
         .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
         .as("_lp"),
-      struct(rightPayload.map(col): _*).as("_rp"))
-    // the trailing _rp sort key makes exact-time ties BETWEEN right
-    // rows deterministic (struct ordering is lexicographic; the
-    // max-payload right row wins) — a no-op for distinct-time data
-    // (ns timestamps) but keeps the result stable on any input.
+      col("_rp"))
+    // right rows are unique per (_k, _t) after the collapse, so
+    // (time, tag) is a total order within every key partition
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_tag"), col("_rp"))
+      .orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     (r unionByName l)
       .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))

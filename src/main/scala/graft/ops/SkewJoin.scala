@@ -29,10 +29,26 @@ object SkewJoin {
   def salted(left: DataFrame, right: DataFrame, key: String,
              salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // a pre-existing _salt column would be silently replaced by
+    // withColumn and corrupt the join result — fail loudly instead
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "inputs must not already have a _salt column")
     // content-derived (deterministic, partitioning-independent) salt;
-    // uniformity only affects balance, never correctness
-    val l = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
+    // uniformity only affects balance, never correctness — the right
+    // side is replicated to EVERY salt value, so any salt assignment
+    // (even a non-deterministic one) yields the identical row set.
+    // xxhash64 rejects map-typed columns, so hash only the hashable
+    // ones; a (degenerate) all-map row falls back to a per-row id.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val saltSrc = if (hashCols.nonEmpty) xxhash64(hashCols: _*)
+                  else monotonically_increasing_id()
+    val l = left.withColumn("_salt", pmod(saltSrc, lit(salts)).cast("int"))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")

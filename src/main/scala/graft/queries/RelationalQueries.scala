@@ -293,12 +293,19 @@ object RelationalQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union-scan
-    // implementation; p.t >= c.t matches the inclusive tie semantics
+    // implementation; p.t >= c.t matches the inclusive tie semantics.
+    // The c2 GROUP BY mirrors the engine's deterministic collapse of
+    // right rows tied on (key, time) — the payload struct's first
+    // field is the unique event_id, so max struct == arg_max(event_id)
     "q_asof_attrib" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
         |           FROM events WHERE event_type = 'purchase'),
-        |     c AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
-        |           FROM events WHERE event_type = 'click')
+        |     c0 AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |            FROM events
+        |            WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |     c AS (SELECT user_id, t, max(event_id) AS event_id,
+        |                  arg_max(value, event_id) AS value
+        |           FROM c0 GROUP BY user_id, t)
         |SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.t AS p_ts,
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t

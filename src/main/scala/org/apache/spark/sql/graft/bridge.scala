@@ -22,4 +22,12 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Raise a user-facing AnalysisException from a function builder —
+    * bad SQL arguments should fail analysis with a readable message,
+    * not surface as IndexOutOfBounds/ClassCast from planner internals.
+    */
+  def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
 }

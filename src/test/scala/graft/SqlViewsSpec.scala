@@ -45,6 +45,17 @@ class SqlViewsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("heavy_hitters rejects bad arguments with a readable analysis error") {
+    SqlViews.register(spark, "/root/testdata/sf0.001")
+    def msgOf(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    assert(msgOf("SELECT heavy_hitters(c_mktsegment) FROM customer")
+      .contains("exactly 2 arguments"))
+    assert(msgOf(
+      "SELECT heavy_hitters(c_mktsegment, c_nationkey) FROM customer")
+      .contains("literal integer"))
+  }
+
   test("GraftExtensions registers the functions through the builder") {
     import org.apache.spark.sql.SparkSession
     val old = spark

@@ -140,6 +140,28 @@ class OpsSpec extends AnyFunSuite {
     assert(salted == plain && salted.size == 21000)
   }
 
+  test("salted join rejects _salt collisions and tolerates map columns") {
+    import spark.implicits._
+    val left = Seq((1L, "a")).toDF("k", "payload")
+    val right = Seq((1L, "dim")).toDF("k", "name")
+    // a pre-existing _salt column would be silently overwritten and
+    // corrupt the result — must fail loudly instead
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(left.withColumn("_salt",
+        org.apache.spark.sql.functions.lit(0)), right, "k", 4)
+    }
+    // map-typed columns are unhashable by xxhash64 — the salt must
+    // come from the remaining columns, not error
+    val lMap = left.withColumn("m",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("x"),
+        org.apache.spark.sql.functions.lit(1)))
+    val got = SkewJoin.salted(lMap, right, "k", 4)
+      .select("k", "payload", "name").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((1L, "a", "dim")))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = java.nio.file.Files.createTempDirectory("bucketed_wh")
     val o = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
