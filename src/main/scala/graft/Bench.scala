@@ -88,7 +88,35 @@ object Bench {
     val total = warmQs.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"bench_cold":${jsonMap(coldQs)},"timing":"warm-min-of-2"}""")
-    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","queries":${jsonMap(warmQs)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // Hard length budget on the final metric line: the driver recovers
+    // it from a ~2000-char stdout tail that ALSO holds sbt's closing
+    // [success] line — an overgrown line loses the whole round's bench
+    // (round 4 did exactly that). If the per-query map would overflow,
+    // fold the SMALLEST timings into one "_rest" aggregate (sum +
+    // count) until the line fits: every slow query keeps its own
+    // number, only sub-noise entries collapse, and the total always
+    // covers every query. Failed (-1) entries are never folded.
+    def metricLine(qs: Seq[(String, Double)], restSum: Double, restN: Int): String = {
+      val m = jsonMap(qs.toMap ++
+        (if (restN > 0) Map("_rest" -> restSum, "_rest_n" -> restN.toDouble)
+         else Map.empty))
+      s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","queries":$m,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    // fold order: smallest first; failures pinned at the front (kept)
+    val byAsc = warmQs.toSeq.sortBy { case (k, v) =>
+      (if (v < 0) Double.MaxValue else v, k) }.reverse
+    var keep = byAsc
+    var restSum = 0.0
+    var restN = 0
+    var out = metricLine(keep, restSum, restN)
+    while (out.length > 1880 && keep.nonEmpty) {
+      val (_, v) = keep.last
+      keep = keep.init
+      restSum += math.max(v, 0.0)
+      restN += 1
+      out = metricLine(keep, restSum, restN)
+    }
+    println(out)
     spark.stop()
   }
 }

@@ -68,4 +68,33 @@ object Sampling {
     }
     df.withColumn("split", labeled)
   }
+
+  /** Token-budget mixture sampling — the "data mixture" op of a
+    * training-corpus build: per stratum (language/domain), keep
+    * documents in deterministic hash order until the stratum's token
+    * budget fills; strata not listed are dropped. The cumulative sum
+    * is a window partitioned BY STRATUM (parallel across strata; a
+    * stratum's scan is one ordered pass, the same shape as any
+    * running total). Hash order makes the kept set a uniform random
+    * subsample that is stable under repartitioning AND incremental
+    * growth: a document's (seed, id) hash never changes, so re-running
+    * on a grown corpus keeps a superset-consistent prefix.
+    * Returns the kept rows + (n_tokens, cum_tokens).
+    */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, stratumCol: String,
+                        tokenCount: Column, budgets: Map[String, Long],
+                        seed: Long = 42L): DataFrame = {
+    require(budgets.values.forall(_ > 0))
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === lit(s), lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hash60(col(keyCol), seed), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens", tokenCount)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

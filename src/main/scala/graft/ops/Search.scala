@@ -54,4 +54,24 @@ object Search {
         row_number().over(Window.orderBy(col("score").desc, col("id"))))
       .orderBy("rnk")
   }
+
+  /** Materialized inverted index: term → document frequency + the
+    * sorted posting list (as a join-delimited string, the
+    * engine-neutral hashable form). ONE shuffle keyed on the term
+    * after a per-row distinct explode; posting lists aggregate
+    * map-side. `maxDf` drops stop-terms whose posting lists carry no
+    * retrieval signal but dominate the shuffle at corpus scale — the
+    * same Zipf guard as Dedup.ngramJaccardPairs' shingle cap (a
+    * 100-TB corpus has terms with billion-row postings; capped terms
+    * keep the per-key payload bounded).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L,
+                    maxDf: Long = Long.MaxValue): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
 }

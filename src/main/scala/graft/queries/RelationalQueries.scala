@@ -181,6 +181,94 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // §2.9 grouping sets family. Rollup/cube/grouping-sets are ONE
+    // shuffle each: Spark's Expand operator replicates every input row
+    // per grouping set BEFORE the exchange, partial-aggregates
+    // map-side, and the grouping-id rides as part of the key — no
+    // per-set re-scan, no union of aggregates. grouping() markers
+    // disambiguate subtotal NULLs from data NULLs.
+    "q_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")),
+
+    "q_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pr"))
+        .orderBy("g_st", "g_pr", "o_orderstatus", "o_orderpriority")),
+
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pr"))
+        .orderBy("g_st", "g_pr", "o_orderstatus", "o_orderpriority")),
+
+    // pivot with an EXPLICIT value list (the implicit flavor runs a
+    // distinct-collect pre-pass — a whole extra job at corpus scale);
+    // one shuffle, k conditional aggregates evaluated map-side.
+    "q_pivot" -> ((s, dir) => {
+      val renames = Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+        "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_notspec",
+        "5-LOW" -> "p5_low")
+      renames.foldLeft(
+        Tables.load(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderpriority", renames.map(_._1))
+          .agg(dsum(col("o_totalprice"), 2))) {
+        case (df, (from, to)) => df.withColumnRenamed(from, to)
+      }.orderBy("yr")
+    }),
+
+    // unpivot (melt) back to long form — pure per-row expansion
+    // (Spark Expand, no shuffle beyond the feeding aggregate)
+    "q_unpivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")),
+
+    // interval (range) join: clicks within the hour before each
+    // purchase — bin-bucketed equi-join (see RangeJoin), never the
+    // per-key quadratic range predicate. Left semantics via the
+    // aggregate + left-join-back; 2-dp values sum exactly in DECIMAL.
+    "q_range_attrib" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts"), col("value"))
+      val pairs = graft.ops.RangeJoin.intervalJoin(
+        side("purchase"), side("click"), "user_id", "ts", "ts",
+        window = 3600000000L, rightPayload = Seq("event_id", "value"))
+      val agg = pairs.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("r_value").cast(DecimalType(18, 2))).cast("double")
+            .as("click_value"))
+      side("purchase").join(agg, Seq("event_id"), "left")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("click_value"), lit(0.0)).as("click_value"))
+        .orderBy("purchase_id")
+    }),
+
     // as-of (backward) join: click→purchase attribution over the
     // events stream — one shuffle union-scan, no range-join blowup
     // (see AsofJoin). Times compare as long MICROseconds on both
@@ -291,6 +379,76 @@ object RelationalQueries {
         |             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_pivot" -> {
+      val cases = Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+        "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_notspec",
+        "5-LOW" -> "p5_low").map { case (v, a) =>
+        s"""CAST(sum(CASE WHEN o_orderpriority = '$v'
+           |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS $a"""
+          .stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT year(o_orderdate) AS yr,
+         |  $cases
+         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin
+    },
+
+    "q_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(count(*) AS DOUBLE) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // plain inequality left join — DuckDB is free to nested-loop it at
+    // oracle scale; the engine's bin-bucketed equi-join must produce
+    // the identical row set
+    "q_range_attrib" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.t AS p_ts,
+        |       count(c.event_id) AS n_clicks,
+        |       CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+        |         AS click_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.t >= p.t - 3600000000 AND c.t <= p.t
+        |GROUP BY p.event_id, p.user_id, p.t
+        |ORDER BY purchase_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union-scan
     // implementation; p.t >= c.t matches the inclusive tie semantics.

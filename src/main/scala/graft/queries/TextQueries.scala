@@ -175,6 +175,46 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // materialized inverted index: one term-keyed shuffle, per-doc
+    // distinct done in the scan (array_distinct before the explode),
+    // posting lists as sorted join-strings (engine-neutral hashing)
+    "q_inverted_index" -> ((s, dir) =>
+      graft.ops.Search.invertedIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", minDf = 2L)
+        .orderBy("term")),
+
+    // winnowing fingerprints (SIGMOD'03 / MOSS): per-doc ordered
+    // window pass, rightmost-min per window via one encoded-key min —
+    // no self-join, parallel across documents
+    "q_winnow" -> ((s, dir) =>
+      graft.ops.Winnow.fingerprints(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 5)
+        .orderBy("id", "pos")),
+
+    // PII-style pattern scrubbing over the events payload: pure
+    // codegen'd regexp expressions fused into the scan (RE2-compatible
+    // patterns — the oracle runs the IDENTICAL regex)
+    "q_redact" -> ((s, dir) =>
+      graft.ops.Redact.scrub(
+          Tables.load(s, dir, "events").select(col("event_id"), col("props")),
+          "props")
+        .select(col("event_id"), col("n_emails"), col("n_digit_runs"),
+          col("props_scrubbed"))
+        .orderBy("event_id")),
+
+    // token-budget mixture sampling: per-language budgets fill in
+    // deterministic hash order (es is unlisted -> dropped); cumsum is
+    // a stratum-partitioned window — parallel across strata
+    "q_mixture_budget" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudgetSample(
+          Tables.load(s, dir, "documents"), "doc_id", "lang",
+          TA.tokenCount(col("text")).cast("long"),
+          Map("en" -> 2000L, "de" -> 1500L, "fr" -> 1000L, "zh" -> 800L),
+          seed = 7L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")),
+
     // exact per-language corpus length quantiles: Spark percentile ==
     // DuckDB quantile_cont (both p·(n−1) linear interpolation; the
     // interpolation arithmetic on integer inputs is plain +,*,/ on
@@ -451,6 +491,67 @@ object TextQueries {
         |SELECT id, score,
         |       CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rnk
         |FROM top ORDER BY rnk""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |             unnest(list_distinct(string_split(text, ' '))) AS term
+        |           FROM documents)
+        |SELECT term, count(*) AS df,
+        |       array_to_string(list_sort(list(id)), ',') AS postings
+        |FROM t GROUP BY term HAVING count(*) >= 2
+        |ORDER BY term""".stripMargin,
+
+    // identical 28-bit gram hash + encoded rightmost-min arithmetic
+    // (h * 2^32 + (2^32-1-pos), integer ops only) as Winnow.scala
+    "q_winnow" -> {
+      val cat = (0 until 4).map(o => s"t[pos+$o]").mkString(" || ' ' || ")
+      s"""WITH sp AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+         |            FROM documents),
+         |g AS (SELECT id, t, unnest(generate_series(1, len(t) - 3)) AS pos
+         |      FROM sp WHERE len(t) >= 4),
+         |hs AS (SELECT id, CAST(pos AS BIGINT) AS pos,
+         |        ('0x' || substr(md5($cat), 1, 7))::BIGINT AS h
+         |      FROM g),
+         |w AS (SELECT id, pos,
+         |        min(h * 4294967296 + (4294967295 - pos)) OVER fr AS wmin,
+         |        count(*) OVER fr AS wlen
+         |      FROM hs
+         |      WINDOW fr AS (PARTITION BY id ORDER BY pos
+         |                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+         |SELECT DISTINCT id, wmin // 4294967296 AS h,
+         |       4294967295 - (wmin % 4294967296) AS pos
+         |FROM w WHERE wlen = 5 OR pos = 1
+         |ORDER BY id, pos""".stripMargin
+    },
+
+    "q_redact" -> {
+      // single-quoted DuckDB strings pass backslashes through verbatim,
+      // so the Scala-level pattern is the SQL-level pattern
+      val email = graft.ops.Redact.Email
+      s"""SELECT event_id,
+         |  CAST(len(regexp_extract_all(props, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS INT) AS n_digit_runs,
+         |  regexp_replace(regexp_replace(props, '$email', '<redacted>', 'g'),
+         |                 '[0-9]{2,}', '<redacted>', 'g') AS props_scrubbed
+         |FROM events ORDER BY event_id""".stripMargin
+    },
+
+    // identical seed-7 hash + budget CASE as Sampling.tokenBudgetSample
+    "q_mixture_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 1500
+        |                              WHEN 'fr' THEN 1000 WHEN 'zh' THEN 800
+        |                              ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

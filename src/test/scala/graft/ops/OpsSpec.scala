@@ -140,6 +140,107 @@ class OpsSpec extends AnyFunSuite {
     assert(salted == plain && salted.size == 21000)
   }
 
+  test("interval join equals the naive range join, hot key included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // one hot key (7) plus a uniform tail; window 100, times in [0,1000)
+    val left = (1 to 300).map(i =>
+      (i.toLong, if (i % 3 == 0) 7L else (i % 20).toLong,
+        rnd.nextInt(1000).toLong)).toDF("lid", "k", "t")
+    val right = (1 to 300).map(i =>
+      (1000L + i, if (i % 2 == 0) 7L else (i % 20).toLong,
+        rnd.nextInt(1000).toLong, i * 1.5)).toDF("rid", "k", "t", "v")
+    val got = RangeJoin.intervalJoin(left, right, "k", "t", "t",
+        window = 100L, rightPayload = Seq("rid", "v"))
+      .select("lid", "r_rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.t" >= $"l.t" - 100L && $"r.t" <= $"l.t")
+      .select($"l.lid", $"r.rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("winnowing fingerprints match a driver-side reference") {
+    import spark.implicits._
+    val text = "a b c d e f g a b c d e f g h i"
+    val docs = Seq((1L, text), (2L, "x y z")).toDF("doc_id", "text")
+    val (k, w) = (4, 5)
+    // reference winnowing: hash every k-gram, each full window of w
+    // hashes contributes its rightmost minimum
+    def h28(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    val toks = text.split(" ")
+    val grams = (0 to toks.length - k).map(i =>
+      (i + 1L, h28(toks.slice(i, i + k).mkString(" "))))
+    val want = (0 to grams.length - w).flatMap { s =>
+      val win = grams.slice(s, s + w)
+      val mn = win.map(_._2).min
+      Seq(win.filter(_._2 == mn).last) // rightmost min
+    }.toSet
+    val got = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+      .filter(col("id") === 1).collect()
+      .map(r => (r.getLong(2), r.getLong(1))).toSet
+    assert(got == want)
+    // a doc with < k + w - 1 tokens still yields nothing only when it
+    // has no k-grams at all (3 tokens < k=4)
+    assert(Winnow.fingerprints(docs, "doc_id", "text", k, w)
+      .filter(col("id") === 2).count() == 0)
+    // density guarantee: consecutive selected positions differ by <= w
+    val positions = got.map(_._1).toSeq.sorted
+    assert(positions.zip(positions.tail).forall { case (a, b) => b - a <= w })
+  }
+
+  test("redaction scrubs emails and digit runs with exact counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact Bob.Smith+x@mail-srv.example.org or call 555 1234x7"),
+      (2L, "no pii here")).toDF("id", "text")
+    val got = Redact.scrub(df, "text").orderBy("id").collect()
+    assert(got(0).getAs[Int]("n_emails") == 1)
+    assert(got(0).getAs[Int]("n_digit_runs") == 2) // 555 and 1234 (not lone 7)
+    val scrubbed = got(0).getAs[String]("text_scrubbed")
+    assert(!scrubbed.contains("@") && !scrubbed.contains("555"))
+    assert(scrubbed.contains("<redacted>") && scrubbed.endsWith("x7"))
+    assert(got(1).getAs[String]("text_scrubbed") == "no pii here")
+  }
+
+  test("token-budget mixture: budgets respected, unlisted strata dropped") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "es",
+        Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "lang", "text")
+    val kept = Sampling.tokenBudgetSample(docs, "doc_id", "lang",
+      TextAnalysis.tokenCount(col("text")).cast("long"),
+      Map("en" -> 95L), seed = 7L)
+    val rows = kept.collect()
+    assert(rows.forall(_.getAs[String]("lang") == "en")) // es dropped
+    // 10 tokens per doc, budget 95 -> exactly 9 docs, cum <= 95
+    assert(rows.length == 9 && rows.map(_.getAs[Long]("cum_tokens")).max == 90L)
+    // determinism: same seed = same set; the kept set is hash-stable
+    val again = Sampling.tokenBudgetSample(docs, "doc_id", "lang",
+      TextAnalysis.tokenCount(col("text")).cast("long"),
+      Map("en" -> 95L), seed = 7L).collect()
+    assert(rows.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+  }
+
+  test("inverted index: sorted postings, df bounds enforced") {
+    import spark.implicits._
+    val docs = Seq((3L, "b a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val idx = Search.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(idx("a") == ((3L, "1,2,3"))) // per-doc distinct, sorted ids
+    assert(idx("b") == ((2L, "1,3")))
+    assert(idx("c") == ((1L, "2")))
+    // stop-term cap: df > maxDf drops the term
+    val capped = Search.invertedIndex(docs, "doc_id", "text", maxDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("b", "c"))
+  }
+
   test("salted join rejects _salt collisions and tolerates map columns") {
     import spark.implicits._
     val left = Seq((1L, "a")).toDF("k", "payload")
