@@ -266,10 +266,33 @@ object Dedup {
     // union consumes it twice, and without the cut the upstream pair
     // pipeline (shingle joins etc.) would execute once per branch
     val e = edges.localCheckpoint(true)
+    // Right-size the LOOP's shuffle parallelism to the iterated state:
+    // the label table is one row per edge-endpoint node — usually a
+    // tiny fraction of the corpus — while the session's shuffle
+    // partition count is sized for corpus-scale scans. Six rounds of
+    // 4-shuffle dataflow at session width is pure task-scheduling
+    // overhead (measured 2x wall on small states). Target ~1M edges
+    // per partition, capped at the session setting so a 100-TB edge
+    // set keeps full parallelism; restored after the loop (the
+    // returned labels are already materialized by the final
+    // convergence count, so nothing downstream re-plans under the
+    // narrowed conf).
+    val spark = e.sparkSession
+    val nEdges = e.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      nEdges / 1000000L + 1L)).toString
     val undBoth = e.select(col("i").as("node"), col("j").as("nbr"))
       .union(e.select(col("j").as("node"), col("i").as("nbr")))
-    var labels = undBoth.select(col("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
+    // init fuses propagation step 1: lbl0(v) = min(v, min nbr) — the
+    // same single groupBy an identity init's distinct() would cost,
+    // but one round ahead (typical near-dup graphs then need one
+    // fewer join-round before the convergence check comes back clean)
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+    var labels = undBoth.groupBy(col("node"))
+      .agg(min(col("nbr")).as("nm"))
+      .select(col("node"), least(col("node"), col("nm")).as("comp"))
       .localCheckpoint(true)
     var it = 0
     var converged = false
@@ -307,6 +330,7 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds " +
         "(diameter > 2^maxIter is not a realistic near-dup graph)")
     labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
   /** Cosine over embeddings: sequential-double dot products through
