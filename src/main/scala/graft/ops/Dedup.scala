@@ -333,6 +333,57 @@ object Dedup {
     } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
+  /** Duplicate-SPAN scrub (the document-REWRITING flavor of dedup used
+    * by production LLM corpora — C4's repeated-line removal, Lee et
+    * al. ACL'22 substring dedup, approximated at n-gram granularity):
+    * any word n-gram whose corpus document frequency exceeds maxDf is
+    * boilerplate; every token position it covers is dropped and the
+    * cleaned text is rebuilt from the surviving tokens in order.
+    * Returns (id, text_clean, n_kept, n_dropped), one row per input
+    * document (unscathed docs pass through).
+    *
+    * Shape at 100 TB: the df pass is one map-side-combined groupBy on
+    * the gram hash; duplicate-gram occurrences come back via an
+    * equi-join on the same key (the duplicate set is the df tail — a
+    * tiny fraction of the gram space); covered positions reduce with
+    * one groupBy(id) whose state is bounded by tokens-per-doc; the
+    * rebuild is a per-row array filter fused into the final project.
+    * No self-joins, no all-pairs anywhere. The (id, i, gh) gram table
+    * feeds both the df pass and the occurrence join, hence the pin.
+    */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, maxDf: Int = 4): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val idx = when(size(col("toks")) >= n,
+        sequence(lit(1), size(col("toks")) - lit(n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = base.select(col("id"), col("toks"), explode(idx).as("i"))
+      .select(col("id"), col("i"), shingleInt(concat_ws(" ",
+        (0 until n).map(o => element_at(col("toks"), col("i") + lit(o))): _*))
+        .as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.select(col("id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("gh"))
+    // covered token positions per doc; collect_set state is bounded by
+    // the doc's own token count (order irrelevant — membership only)
+    val cov = grams.join(dup, Seq("gh"))
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
+      .groupBy(col("id")).agg(collect_set(col("p")).as("cov"))
+    base.join(cov, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"),
+        col("toks"))
+      .select(col("id"),
+        concat_ws(" ", filter(col("toks"),
+          (t, i) => !array_contains(col("cov"), i + lit(1)))).as("text_clean"),
+        (size(col("toks")) - size(col("cov"))).cast("long").as("n_kept"),
+        size(col("cov")).cast("long").as("n_dropped"))
+  }
+
   /** Cosine over embeddings: sequential-double dot products through
     * the codegen'd VecDot kernel (bit-equal to the DuckDB
     * list_reduce oracle).

@@ -79,7 +79,15 @@ object DedupQueries {
         "doc_id", "text", n = 3, minJac = 0.05, maxDocFreq = 100)
       Dedup.connectedComponents(edges.select(col("i"), col("j")))
         .orderBy("node")
-    }))
+    }),
+
+    // document-REWRITING dedup: C4/Lee-style duplicate-span scrub —
+    // 3-grams in >4 documents are boilerplate; their token positions
+    // are dropped and the text rebuilt
+    "q_dedup_span_scrub" -> ((s, dir) =>
+      Dedup.scrubDuplicateSpans(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, maxDf = 4)
+        .orderBy("id")))
 
   /** Shared SQL: distinct HASHED 3-gram shingles — 60-bit md5-prefix
     * ints, mirroring the engine's at-source shingle hashing (1-based
@@ -225,5 +233,29 @@ object DedupQueries {
         |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT i, j, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
         |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
-        |ORDER BY i, j""".stripMargin)
+        |ORDER BY i, j""".stripMargin,
+
+    // duplicate-span scrub: covered = any position inside a 3-gram
+    // with document frequency > 4; text rebuilt from survivors
+    "q_dedup_span_scrub" ->
+      """WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT id, unnest(generate_series(1, len(tk) - 2)) AS i, tk
+        |      FROM toks WHERE len(tk) >= 3),
+        |gh2 AS (SELECT id, i, ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]
+        |          || ' ' || tk[i+2]), 1, 15))::BIGINT AS gh FROM g),
+        |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT id) AS df
+        |                        FROM gh2 GROUP BY gh) WHERE df > 4),
+        |covp AS (SELECT DISTINCT id, p FROM (
+        |  SELECT g2.id, unnest(generate_series(g2.i, g2.i + 2)) AS p
+        |  FROM gh2 g2 JOIN dup USING (gh))),
+        |tokl AS (SELECT id, unnest(tk) AS tok,
+        |                unnest(generate_series(1, len(tk))) AS p FROM toks),
+        |kept AS (SELECT t.id, t.p, t.tok FROM tokl t
+        |         ANTI JOIN covp c ON t.id = c.id AND t.p = c.p),
+        |clean AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+        |                 count(*) AS n_kept FROM kept GROUP BY id)
+        |SELECT t.id, coalesce(c.text_clean, '') AS text_clean,
+        |       coalesce(c.n_kept, 0) AS n_kept,
+        |       len(t.tk) - coalesce(c.n_kept, 0) AS n_dropped
+        |FROM toks t LEFT JOIN clean c USING (id) ORDER BY t.id""".stripMargin)
 }

@@ -427,4 +427,38 @@ class OpsSpec extends AnyFunSuite {
     exact.filter(_._2 > 2 * n / 9).keys.foreach(t => assert(got.contains(t)))
     assert(got.contains("HEAVY") && got("HEAVY") >= exact("HEAVY") - n / 9)
   }
+
+  test("duplicate-span scrub: shared 3-grams drop, unique text survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c x y z"),  // "a b c" shared with doc 1 -> df 2 > 1
+      (1L, "a b c q r s"),
+      (2L, "u v w u v w"),  // internal repeat only: df 1, untouched
+      (3L, "hi there"))     // shorter than n: passes through
+      .toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicateSpans(docs, "doc_id", "text",
+        n = 3, maxDf = 1)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((0L, "x y z", 3L, 3L)))
+    assert(got(1) == ((1L, "q r s", 3L, 3L)))
+    assert(got(2) == ((2L, "u v w u v w", 6L, 0L)))
+    assert(got(3) == ((3L, "hi there", 2L, 0L)))
+  }
+
+  test("duplicate-span scrub: overlapping dup spans cover their union") {
+    import spark.implicits._
+    // "a b c" and "b c d" both duplicated -> doc 0 positions 1..4 all
+    // covered (union, not double-counted)
+    val docs = Seq(
+      (0L, "a b c d tailone"),
+      (1L, "a b c padx pady"),
+      (2L, "z b c d othert"))
+      .toDF("doc_id", "text")
+    val r0 = Dedup.scrubDuplicateSpans(docs, "doc_id", "text",
+        n = 3, maxDf = 1)
+      .filter(col("id") === 0L).head()
+    assert(r0.getString(1) == "tailone")
+    assert(r0.getLong(2) == 1L && r0.getLong(3) == 4L)
+  }
 }
