@@ -285,6 +285,62 @@ object RelationalQueries {
           col("ts").as("p_ts"), col("r_event_id").as("click_id"),
           col("r_ts").as("click_ts"), col("r_value").as("click_value"))
         .orderBy("purchase_id")
+    }),
+
+    // §2.9 anti-join: lapsed customers (no order since the cutoff).
+    // The filtered orders side reduces BEFORE the join; left-anti
+    // shuffles on the key (or broadcasts the reduced side under AQE).
+    "q_anti_join" -> ((s, dir) => {
+      val recent = Tables.load(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("2000-09-01")))
+      Tables.load(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.9 windows: lag/lead/ntile family — per-customer order gaps
+    // and spend quartile. Partitioned by custkey → fully parallel;
+    // all three window functions share ONE sort within the partition.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_date"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_date"),
+          datediff(col("o_date"), lag(col("o_date"), 1).over(w)).as("gap_days"),
+          datediff(lead(col("o_date"), 1).over(w), col("o_date")).as("next_gap_days"),
+          ntile(4).over(w).as("seq_quartile"))
+        .orderBy("o_custkey", "o_date", "o_orderkey")
+    }),
+
+    // conversion funnel over the events stream: first view → first
+    // click AFTER it → first purchase AFTER that. Three chained
+    // per-user window minima share ONE hash exchange (same
+    // partitioning), and the closing groupBy reuses it — a whole
+    // user-journey computed in a single shuffle.
+    "q_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .withColumn("tv",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("tc",
+          min(when(col("event_type") === "click" && col("ts") >= col("tv"),
+            col("ts"))).over(w))
+        .withColumn("tp",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("tc"),
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("tv")).as("tv"), min(col("tc")).as("tc"),
+          min(col("tp")).as("tp"))
+        .select(col("user_id"),
+          unix_micros(col("tv")).as("view_us"),
+          unix_micros(col("tc")).as("click_us"),
+          unix_micros(col("tp")).as("purchase_us"),
+          when(col("tp").isNotNull, 3).when(col("tc").isNotNull, 2)
+            .when(col("tv").isNotNull, 1).otherwise(0).as("stage"))
+        .orderBy("user_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -467,5 +523,47 @@ object RelationalQueries {
         |SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.t AS p_ts,
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
-        |ORDER BY purchase_id""".stripMargin)
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND CAST(o.o_orderdate AS DATE) >= DATE '2000-09-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_lag" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(o_orderdate AS DATE) AS o_date FROM orders)
+        |SELECT o_custkey, o_orderkey, o_date,
+        |  CAST(date_diff('day',
+        |    lag(o_date, 1) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey),
+        |    o_date) AS INT) AS gap_days,
+        |  CAST(date_diff('day', o_date,
+        |    lead(o_date, 1) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey))
+        |    AS INT) AS next_gap_days,
+        |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
+        |    AS seq_quartile
+        |FROM o ORDER BY o_custkey, o_date, o_orderkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |               OVER (PARTITION BY user_id) AS tv FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= tv
+        |                         THEN ts END)
+        |               OVER (PARTITION BY user_id) AS tc FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= tc
+        |                         THEN ts END)
+        |               OVER (PARTITION BY user_id) AS tp FROM b)
+        |SELECT user_id,
+        |       epoch_us(min(tv)) AS view_us,
+        |       epoch_us(min(tc)) AS click_us,
+        |       epoch_us(min(tp)) AS purchase_us,
+        |       CASE WHEN min(tp) IS NOT NULL THEN 3
+        |            WHEN min(tc) IS NOT NULL THEN 2
+        |            WHEN min(tv) IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
