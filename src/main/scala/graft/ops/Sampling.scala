@@ -97,4 +97,35 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Sequence packing — the step that turns a cleaned corpus into
+    * fixed-token-budget training bins (T5/"packing" style: documents
+    * concatenate in a deterministic order; a new bin opens every
+    * maxTokens tokens, the boundary document spilling into the next
+    * bin to be split at tokenization time). Documents are first
+    * hash-bucketed (`numBuckets` independent packing streams) so the
+    * running total is a window PARTITIONED BY BUCKET — fully parallel,
+    * no global sort; within a bucket the order is the stable (hash,
+    * key) order, so the packing is deterministic under any
+    * partitioning and incremental growth. bin = prev_cum div
+    * maxTokens; bin_offset = where the document starts inside its bin.
+    * Returns the input + (bucket, n_tokens, bin, bin_offset).
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokenCount: Column,
+                    maxTokens: Long, numBuckets: Int = 64,
+                    seed: Long = 42L): DataFrame = {
+    require(maxTokens > 0 && numBuckets > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("_h"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_h", hash60(col(keyCol), seed))
+      .withColumn("bucket", pmod(col("_h"), lit(numBuckets.toLong)).cast("int"))
+      .withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", ((col("_prev") - col("_prev") % lit(maxTokens))
+        / lit(maxTokens)).cast("long"))
+      .withColumn("bin_offset", col("_prev") % lit(maxTokens))
+      .drop("_h", "_prev")
+  }
 }

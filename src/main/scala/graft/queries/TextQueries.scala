@@ -215,6 +215,18 @@ object TextQueries {
           col("cum_tokens"))
         .orderBy("doc_id")),
 
+    // sequence packing: 8 parallel hash-bucketed packing streams; a
+    // new 512-token bin opens at each budget boundary (T5-style
+    // concat-then-split packing); deterministic under repartitioning
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.ops.Sampling.packSequences(
+          Tables.load(s, dir, "documents"), "doc_id",
+          TA.tokenCount(col("text")), maxTokens = 512L, numBuckets = 8,
+          seed = 7L)
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+          col("bin"), col("bin_offset"))
+        .orderBy("doc_id")),
+
     // exact per-language corpus length quantiles: Spark percentile ==
     // DuckDB quantile_cont (both p·(n−1) linear interpolation; the
     // interpolation arithmetic on integer inputs is plain +,*,/ on
@@ -552,6 +564,24 @@ object TextQueries {
         |                              WHEN 'fr' THEN 1000 WHEN 'zh' THEN 800
         |                              ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    // identical seed-7 hash, bucket mod, and prev-cumsum bin split as
+    // Sampling.packSequences
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens, h, CAST(h % 8 AS INT) AS bucket FROM t),
+        |c AS (SELECT doc_id, bucket, n_tokens,
+        |    coalesce(CAST(sum(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS prev
+        |  FROM b)
+        |SELECT doc_id, bucket, n_tokens, prev // 512 AS bin,
+        |       prev % 512 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_corpus_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

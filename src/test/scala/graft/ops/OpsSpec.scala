@@ -446,6 +446,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3) == ((3L, "hi there", 2L, 0L)))
   }
 
+  test("sequence packing: bin arithmetic, contiguity, repartition-stable") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, ("w " * (10 + (i % 40).toInt)).trim))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "doc_id",
+          TextAnalysis.tokenCount(col("text")), maxTokens = 100L,
+          numBuckets = 4, seed = 7L)
+        .select("doc_id", "bucket", "n_tokens", "bin", "bin_offset")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val a = run(docs)
+    assert(a sameElements run(docs.repartition(13))) // layout-independent
+    assert(a.forall { case (_, _, _, _, off) => off >= 0 && off < 100 })
+    // per bucket: bins form a contiguous 0..max range and every bin
+    // except the last is filled past its boundary by the spill doc
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins.head == 0 && bins.sameElements(0L to bins.last))
+    }
+  }
+
   test("duplicate-span scrub: overlapping dup spans cover their union") {
     import spark.implicits._
     // "a b c" and "b c d" both duplicated -> doc 0 positions 1..4 all
