@@ -13,13 +13,14 @@ import org.apache.spark.storage.StorageLevel
   * pair-rank matrix (E6, dataset.py:218-221).
   *
   * Risk head: logits_k(x) = c_k + W_k·f(x), pmf = softmax,
-  * F = cumsum(pmf), S = 1 − F, where f is identity (`hidden = 0`,
-  * the linear parity flavor, default) or a 1-hidden-layer ReLU MLP
-  * f(x) = relu(A·x + a) with `hidden` units — the `tt.practical.
-  * MLPVanilla` shape the reference wraps (model_deephit.py:57-64;
-  * the reference defaults to hidden [32, 32] — one layer here keeps
-  * the per-partition algebra dense-BLAS-free while removing the
-  * linear-only restriction, M9).
+  * F = cumsum(pmf), S = 1 − F, where f is identity (`hidden = Nil`,
+  * the linear parity flavor, default) or a ReLU MLP stack
+  * f(x) = relu(A_L·…relu(A_1·x + b_1)… + b_L) with `hidden` layer
+  * widths — the `tt.practical.MLPVanilla` shape the reference wraps
+  * (model_deephit.py:57-64; its default `hidden = Seq(32, 32)` is
+  * exactly reproducible here, M9; batch-norm/dropout are the
+  * documented deviation — omitted, exact deterministic gradients
+  * instead).
   *
   *   L = −mean_i [ e_i·ln pmf_{k_i} + (1−e_i)·ln S(k_i) ]
   *     + alpha · (Σ_{ij} r_ij · exp((F_j(k_i) − F_i(k_i)) / sigma)) / Σ_{ij} r_ij
@@ -40,7 +41,7 @@ final case class DeepHit(
     epochs: Int = 50,
     lr: Double = 0.05,
     patience: Int = 5,
-    hidden: Int = 0, // 0 = linear head; >0 = ReLU MLP width (M9)
+    hidden: Seq[Int] = Nil, // Nil = linear head; e.g. Seq(32, 32) = MLPVanilla default (M9)
     seed: Long = 7L) extends SurvModel {
 
   def name: String = "deephit"
@@ -66,23 +67,33 @@ final case class DeepHit(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = train.count().toDouble
 
-    // θ layout: [c (K), W (K×q row-major), A (hidden×p row-major),
-    // a (hidden)], q = max(hidden, p applies only when hidden=0) —
-    // the linear case (hidden=0) keeps the original [c, W] layout.
-    // Zero init is correct for the linear head; the MLP needs the
-    // usual symmetry-breaking U(±1/√fan_in) (torch Linear default),
-    // seeded for reproducible fits.
-    val q = if (hidden > 0) hidden else p
+    // θ layout: [c (K), W (K×q row-major), then per layer l (input
+    // width in_l = p or h_{l-1}): A_l (h_l×in_l row-major), b_l
+    // (h_l)], q = last hidden width (or p for the linear head, which
+    // keeps the original [c, W] layout). Zero init is correct for the
+    // linear head; the MLP needs the usual symmetry-breaking
+    // U(±1/√fan_in) (torch Linear default), seeded for reproducible
+    // fits.
+    val widths = hidden.toArray
+    val ins: Array[Int] = // input width of each layer
+      if (widths.isEmpty) Array.empty else (p +: hidden.init).toArray
+    val q = if (widths.nonEmpty) widths.last else p
     var theta = {
-      val len = k + k * q + (if (hidden > 0) hidden * p + hidden else 0)
+      val len = k + k * q +
+        widths.indices.map(l => widths(l) * ins(l) + widths(l)).sum
       val t = Array.fill(len)(0.0)
-      if (hidden > 0) {
+      if (widths.nonEmpty) {
         val rng = new scala.util.Random(seed)
-        val limW = 1.0 / math.sqrt(hidden.toDouble)
-        val limA = 1.0 / math.sqrt(p.toDouble)
+        val limW = 1.0 / math.sqrt(q.toDouble)
         var i = k
         while (i < k + k * q) { t(i) = (2 * rng.nextDouble() - 1) * limW; i += 1 }
-        while (i < len) { t(i) = (2 * rng.nextDouble() - 1) * limA; i += 1 }
+        var l = 0
+        while (l < widths.length) {
+          val lim = 1.0 / math.sqrt(ins(l).toDouble)
+          val end = i + widths(l) * ins(l) + widths(l)
+          while (i < end) { t(i) = (2 * rng.nextDouble() - 1) * lim; i += 1 }
+          l += 1
+        }
       }
       t
     }
@@ -131,57 +142,82 @@ final case class DeepHit(
 
     val c = bestTheta.take(k)
     val w = Array.tabulate(k, q)((kk, j) => bestTheta(k + kk * q + j))
-    val hw = if (hidden == 0) None else {
-      val offA = k + k * q
-      Some((Array.tabulate(hidden, p)((j, l) => bestTheta(offA + j * p + l)),
-        Array.tabulate(hidden)(j => bestTheta(offA + hidden * p + j))))
+    var off = k + k * q
+    val layers = widths.indices.map { l =>
+      val a = Array.tabulate(widths(l), ins(l))((j, m) =>
+        bestTheta(off + j * ins(l) + m))
+      val bOff = off + widths(l) * ins(l)
+      val bArr = Array.tabulate(widths(l))(j => bestTheta(bOff + j))
+      off = bOff + widths(l)
+      (a, bArr)
     }
-    FittedDeepHit(this, cuts, c, w, hw)
+    FittedDeepHit(this, cuts, c, w, layers)
   }
 }
 
 object DeepHit {
 
   /** Per-partition exact loss+gradient accumulator (plain arrays, no
-    * torch): (optional ReLU hidden layer +) softmax forward, NLL
+    * torch): (optional ReLU MLP stack +) softmax forward, NLL
     * backward, ranking term over the within-batch pair-rank matrix.
-    * `hidden = 0` is the linear head (θ = [c, W(K×p)]); `hidden > 0`
-    * inserts f = relu(A·x + a) (θ = [c, W(K×H), A(H×p), a(H)]).
+    * `hidden = Nil` is the linear head (θ = [c, W(K×p)]); a non-empty
+    * `hidden` inserts f = relu(A_L·…relu(A_1·x + b_1)…) with layout
+    * θ = [c, W(K×h_L), A_1(h_1×p), b_1, …, A_L(h_L×h_{L-1}), b_L].
     */
   final case class PartitionAcc(k: Int, p: Int, theta: Array[Double],
                                 alpha: Double, sigma: Double,
-                                hidden: Int = 0) {
+                                hidden: Seq[Int] = Nil) {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
-    private val q = if (hidden > 0) hidden else p // logit input width
-    private val offA = k + k * q
-    private val offB = offA + hidden * p
+    private val widths = hidden.toArray
+    private val nL = widths.length
+    private val ins: Array[Int] =
+      if (nL == 0) Array.empty else (p +: hidden.init).toArray
+    private val q = if (nL > 0) widths(nL - 1) else p // logit input width
+    // per-layer offsets of A_l and b_l inside θ
+    private val (offA, offB) = {
+      val oa = new Array[Int](nL); val ob = new Array[Int](nL)
+      var o = k + k * q
+      var l = 0
+      while (l < nL) {
+        oa(l) = o; ob(l) = o + widths(l) * ins(l)
+        o = ob(l) + widths(l); l += 1
+      }
+      (oa, ob)
+    }
 
     def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {
       val b = batch.length
       if (b == 0) return
       count += b
-      // forward: (hidden layer), logits, pmf, cumsum F
-      val feat = Array.ofDim[Double](b, q)
+      // forward: (hidden stack), logits, pmf, cumsum F. acts(i)(0) is
+      // the input row; acts(i)(l+1) the ReLU output of layer l (kept
+      // for the backward pass).
+      val acts = Array.ofDim[Array[Double]](b, nL + 1)
       val pmf = Array.ofDim[Double](b, k)
       val cum = Array.ofDim[Double](b, k)
       val dz = Array.ofDim[Double](b, k) // dLoss/dlogits accumulated
       var i = 0
       while (i < b) {
         val x = batch(i)._2
-        if (hidden == 0) feat(i) = x
-        else {
+        acts(i)(0) = x
+        var l = 0
+        while (l < nL) {
+          val in = acts(i)(l)
+          val out = new Array[Double](widths(l))
           var j = 0
-          while (j < hidden) {
-            var s = theta(offB + j)
-            var l = 0
-            while (l < p) { s += theta(offA + j * p + l) * x(l); l += 1 }
-            if (s > 0.0) feat(i)(j) = s // relu; zeros stay zero
+          while (j < widths(l)) {
+            var s = theta(offB(l) + j)
+            var m = 0
+            while (m < ins(l)) { s += theta(offA(l) + j * ins(l) + m) * in(m); m += 1 }
+            if (s > 0.0) out(j) = s // relu; zeros stay zero
             j += 1
           }
+          acts(i)(l + 1) = out
+          l += 1
         }
-        val f = feat(i)
+        val f = acts(i)(nL)
         var mx = Double.MinValue
         val z = new Array[Double](k)
         var kk = 0
@@ -277,11 +313,12 @@ object DeepHit {
         }
       }
 
-      // backprop dz → grad(c, W) (+ through relu → grad(A, a))
+      // backprop dz → grad(c, W), then layer by layer through the
+      // relu stack → grad(A_l, b_l)
       i = 0
       while (i < b) {
-        val f = feat(i)
-        val dh = if (hidden > 0) new Array[Double](hidden) else null
+        val f = acts(i)(nL)
+        var dh = if (nL > 0) new Array[Double](q) else null
         var kk = 0
         while (kk < k) {
           val d = dz(i)(kk)
@@ -290,24 +327,33 @@ object DeepHit {
             var j = 0
             while (j < q) {
               grad(k + kk * q + j) += d * f(j)
-              if (hidden > 0) dh(j) += d * theta(k + kk * q + j)
+              if (nL > 0) dh(j) += d * theta(k + kk * q + j)
               j += 1
             }
           }
           kk += 1
         }
-        if (hidden > 0) {
-          val x = batch(i)._2
+        var l = nL - 1
+        while (l >= 0) {
+          val out = acts(i)(l + 1)
+          val in = acts(i)(l)
+          val dIn = if (l > 0) new Array[Double](ins(l)) else null
           var j = 0
-          while (j < hidden) {
-            // relu'(pre) = 1{pre > 0} ⟺ f(j) > 0 (exact zeros inactive)
-            if (f(j) > 0.0 && dh(j) != 0.0) {
-              grad(offB + j) += dh(j)
-              var l = 0
-              while (l < p) { grad(offA + j * p + l) += dh(j) * x(l); l += 1 }
+          while (j < widths(l)) {
+            // relu'(pre) = 1{pre > 0} ⟺ out(j) > 0 (exact zeros inactive)
+            if (out(j) > 0.0 && dh(j) != 0.0) {
+              grad(offB(l) + j) += dh(j)
+              var m = 0
+              while (m < ins(l)) {
+                grad(offA(l) + j * ins(l) + m) += dh(j) * in(m)
+                if (l > 0) dIn(m) += dh(j) * theta(offA(l) + j * ins(l) + m)
+                m += 1
+              }
             }
             j += 1
           }
+          dh = dIn
+          l -= 1
         }
         i += 1
       }
@@ -338,26 +384,31 @@ object DeepHit {
 }
 
 /** Fitted DeepHit: per-bin intercepts c and weight matrix W over the
-  * head input — the raw features (linear flavor) or the ReLU hidden
-  * activations `relu(A·x + a)` when `hiddenW = Some((A, a))` (M9).
-  * The forward pass stays pure codegen'd column algebra either way
-  * (VecDot dot products + array exprs; no UDF).
+  * head input — the raw features (linear flavor) or the top of the
+  * ReLU stack `relu(A_l·f_{l-1} + b_l)` when `layers` is non-empty
+  * (M9). The forward pass stays pure codegen'd column algebra either
+  * way (VecDot dot products + array exprs; no UDF).
   */
 final case class FittedDeepHit(
     model: DeepHit,
     cuts: DurationCuts,
     c: Array[Double],
     w: Array[Array[Double]],
-    hiddenW: Option[(Array[Array[Double]], Array[Double])] = None)
+    layers: Seq[(Array[Array[Double]], Array[Double])] = Nil)
     extends FittedSurvModel {
 
-  /** Head input f(x): identity or the ReLU hidden layer. */
-  private def featCol(x: Column): Column = hiddenW match {
-    case None => x
-    case Some((a, b)) =>
-      array(a.indices.map(j =>
-        greatest(lit(0.0), lit(b(j)) + CoxPH.scoreCol(x, a(j)))): _*)
-  }
+  /** Head input f(x): identity or the folded ReLU layer stack. Every
+    * layer's input is let-bound so layer l evaluates ONCE per row —
+    * naively folded, each of layer l+1's h elements would re-embed
+    * (and re-evaluate) the whole layer-l expression.
+    */
+  private def featCol(x: Column): Column =
+    layers.foldLeft(x) { case (acc, (a, b)) =>
+      graft.functions.Let.bind(acc) { f =>
+        array(a.indices.map(j =>
+          greatest(lit(0.0), lit(b(j)) + CoxPH.scoreCol(f, a(j)))): _*)
+      }
+    }
 
   /** PMF array softmax(z) with z_k = c_k + W_k·f(x) (max-shifted).
     * Every stage is let-bound ([[graft.functions.Let.bind]]) so f, z,

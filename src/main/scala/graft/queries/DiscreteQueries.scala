@@ -140,8 +140,35 @@ object DiscreteQueries {
       val cArr = Array.tabulate(K)(k => 0.1 * k - 0.2)
       val wMat = Array.tabulate(K)(k =>
         Array(0.3 * ((k + 1) / 5.0), -0.2 * ((k + 1) / 5.0)))
-      val fitted = FittedDeepHit(DeepHit(K, hidden = 2), cuts, cArr, wMat,
-        Some((Array(base, base.map(-_)), Array(0.01, 0.02))))
+      val fitted = FittedDeepHit(DeepHit(K, hidden = Seq(2)), cuts, cArr, wMat,
+        Seq((Array(base, base.map(-_)), Array(0.01, 0.02))))
+      val xd = transform(col("x"), _.cast("double"))
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .withColumn("pm", fitted.pmf(xd))
+        .select(col("id"),
+          posexplode(arrays_zip(col("pm").as("p"),
+            fitted.survFromPmf(col("pm")).as("sv"))))
+        .select(col("id"), col("pos").as("k"),
+          (round(col("col.p"), 6) + lit(0.0)).as("pmf"),
+          (round(col("col.sv"), 6) + lit(0.0)).as("s"))
+        .orderBy("id", "k")
+    }),
+
+    // M9 forward, reference-shaped DEPTH: fixed-weight [2,2] ReLU
+    // stack (the MLPVanilla two-layer shape at oracle-checkable
+    // width) through the same FittedDeepHit column path.
+    "q_deephit_mlp2_forward" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      val base = betaBase(ds.encodedFeatures)
+      val cArr = Array.tabulate(K)(k => 0.1 * k - 0.2)
+      val wMat = Array.tabulate(K)(k =>
+        Array(0.3 * ((k + 1) / 5.0), -0.2 * ((k + 1) / 5.0)))
+      val l1 = (Array(base, base.map(-_)), Array(0.01, 0.02))
+      val l2 = (Array(Array(0.8, -0.6), Array(0.4, 0.9)),
+        Array(0.05, -0.03))
+      val fitted = FittedDeepHit(DeepHit(K, hidden = Seq(2, 2)), cuts,
+        cArr, wMat, Seq(l1, l2))
       val xd = transform(col("x"), _.cast("double"))
       ds.tensorized(ds.test).withColumnRenamed("rn", "id")
         .withColumn("pm", fitted.pmf(xd))
@@ -254,6 +281,40 @@ object DiscreteQueries {
        |mz5 AS (SELECT mz4.*, $ss FROM mz4)""".stripMargin
   }
 
+  /** Two-layer flavor: a second fixed-weight ReLU pair g = relu(B·h
+    * + d) over [[mlpSelect]]'s hidden pair, then the same
+    * softmax/cumsum pipeline (CTEs ng…ng5). Reuses mh from
+    * mlpSelect — compose as `$mlpSelect,\n$mlp2Select`.
+    */
+  private val mlp2Select: String = {
+    val w0 = (0 until K).map(k => 0.3 * ((k + 1) / 5.0))
+    val w1 = (0 until K).map(k => -0.2 * ((k + 1) / 5.0))
+    val cs = (0 until K).map(k => 0.1 * k - 0.2)
+    val zs = (0 until K).map(k =>
+      s"(CAST(${cs(k)} AS DOUBLE) + (CAST(${w0(k)} AS DOUBLE) * g0" +
+        s" + CAST(${w1(k)} AS DOUBLE) * g1)) AS z$k").mkString(", ")
+    val mx = s"greatest(${(0 until K).map(k => s"z$k").mkString(", ")})"
+    val es = (0 until K).map(k => s"exp(z$k - mx) AS e$k").mkString(", ")
+    val tot = (0 until K).map(k => s"e$k").mkString(" + ")
+    val ps = (0 until K).map(k => s"e$k / tot AS p$k").mkString(", ")
+    val ss = (0 until K).map { k =>
+      val cum = (0 to k).map(j => s"p$j").mkString(" + ")
+      s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
+    }.mkString(", ")
+    s"""mg AS (SELECT id,
+       |  greatest(CAST(0 AS DOUBLE), CAST(0.05 AS DOUBLE)
+       |    + (CAST(0.8 AS DOUBLE) * h0 + CAST(-0.6 AS DOUBLE) * h1)) AS g0,
+       |  greatest(CAST(0 AS DOUBLE), CAST(-0.03 AS DOUBLE)
+       |    + (CAST(0.4 AS DOUBLE) * h0 + CAST(0.9 AS DOUBLE) * h1)) AS g1
+       |  FROM mh),
+       |ng AS (SELECT id, $zs FROM mg),
+       |ng1 AS (SELECT id, $mx AS mx FROM ng),
+       |ng2 AS (SELECT ng.id, $es FROM ng JOIN ng1 ON ng.id = ng1.id),
+       |ng3 AS (SELECT ng2.*, $tot AS tot FROM ng2),
+       |ng4 AS (SELECT id, $ps FROM ng3),
+       |ng5 AS (SELECT ng4.*, $ss FROM ng4)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pp_expand" -> (C + s", $splitSql,\n$trnSql\n" +
       """SELECT id, CAST(j AS INT) AS j,
@@ -341,6 +402,17 @@ object DiscreteQueries {
          |             unnest([${(0 until K).map(k => s"p$k").mkString(", ")}]) AS pmf,
          |             unnest([${(0 until K).map(k => s"s$k").mkString(", ")}]) AS s
          |      FROM mz5)
+         |ORDER BY id, k""".stripMargin),
+
+    "q_deephit_mlp2_forward" -> (C + s", $splitSql,\n$mlpSelect,\n$mlp2Select\n" +
+      s"""SELECT id, CAST(k AS INT) AS k,
+         |       round(pmf, 6) + CAST(0 AS DOUBLE) AS pmf,
+         |       round(s, 6) + CAST(0 AS DOUBLE) AS s
+         |FROM (SELECT id,
+         |             unnest([${(0 until K).mkString(", ")}]) AS k,
+         |             unnest([${(0 until K).map(k => s"p$k").mkString(", ")}]) AS pmf,
+         |             unnest([${(0 until K).map(k => s"s$k").mkString(", ")}]) AS s
+         |      FROM ng5)
          |ORDER BY id, k""".stripMargin),
 
     "q_pair_rank" -> (C + s", $splitSql,\n$trnSql,\n" +

@@ -86,11 +86,11 @@ class DiscreteModelSpec extends AnyFunSuite {
     val theta = Array.fill(k + k * h + h * p + h)(rng.nextDouble() * 0.5 - 0.25)
 
     def lossAt(th: Array[Double]): Double = {
-      val acc = DeepHit.PartitionAcc(k, p, th, alpha = 0.3, sigma = 0.2, hidden = h)
+      val acc = DeepHit.PartitionAcc(k, p, th, alpha = 0.3, sigma = 0.2, hidden = Seq(h))
       acc.addBatch(batch)
       acc.loss
     }
-    val acc = DeepHit.PartitionAcc(k, p, theta, alpha = 0.3, sigma = 0.2, hidden = h)
+    val acc = DeepHit.PartitionAcc(k, p, theta, alpha = 0.3, sigma = 0.2, hidden = Seq(h))
     acc.addBatch(batch)
     val eps = 1e-6
     theta.indices.foreach { i =>
@@ -100,6 +100,59 @@ class DiscreteModelSpec extends AnyFunSuite {
       assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
         s"grad($i): analytic=${acc.grad(i)} numeric=$num")
     }
+  }
+
+  test("two-layer MLP gradient matches finite differences ([h1,h2], M9)") {
+    val k = 3; val p = 2; val h1 = 4; val h2 = 3
+    val rng = new Random(5)
+    val batch = Array.tabulate(6)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        rng.nextInt(k), rng.nextInt(2)))
+    // θ = [c (k), W (k×h2), A1 (h1×p), b1 (h1), A2 (h2×h1), b2 (h2)]
+    val len = k + k * h2 + h1 * p + h1 + h2 * h1 + h2
+    val theta = Array.fill(len)(rng.nextDouble() * 0.5 - 0.25)
+
+    def lossAt(th: Array[Double]): Double = {
+      val acc = DeepHit.PartitionAcc(k, p, th, alpha = 0.3, sigma = 0.2,
+        hidden = Seq(h1, h2))
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = DeepHit.PartitionAcc(k, p, theta, alpha = 0.3, sigma = 0.2,
+      hidden = Seq(h1, h2))
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("reference-default [32,32] stack trains and beats the linear head") {
+    import spark.implicits._
+    // same V-shaped nonlinear risk as the single-layer test
+    val rng = new Random(11)
+    val rows = (0 until 600).map { i =>
+      val x1 = 2 * rng.nextDouble() - 1
+      val x2 = 2 * rng.nextDouble() - 1
+      val rate = math.exp(3.0 * math.abs(x1) - 1.5) / 50.0
+      val tEvent = -math.log(rng.nextDouble()) / rate
+      val cens = 20 + rng.nextDouble() * 200
+      (i.toLong, x1, x2, math.max(math.min(tEvent, cens), 0.5),
+        if (tEvent <= cens) 1 else 0)
+    }
+    val d = SurvDataset.fromDataFrame(
+      rows.toDF("idx", "x1", "x2", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
+    val cLin = DeepHit(numDurations = 5, epochs = 40, lr = 0.1)
+      .fit(d).score(d)("c_index")
+    val c3232 = DeepHit(numDurations = 5, epochs = 40, lr = 0.05,
+      hidden = Seq(32, 32)).fit(d).score(d)("c_index")
+    assert(c3232 > cLin + 0.05, s"c3232=$c3232 cLin=$cLin")
+    assert(c3232 > 0.6, s"c3232=$c3232")
   }
 
   test("MLP head captures a nonlinear signal the linear head cannot (M9)") {
@@ -121,7 +174,7 @@ class DiscreteModelSpec extends AnyFunSuite {
       rows.toDF("idx", "x1", "x2", "time", "event"),
       Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
     val cLin = DeepHit(numDurations = 5, epochs = 40, lr = 0.1).fit(d).score(d)("c_index")
-    val cMlp = DeepHit(numDurations = 5, epochs = 40, lr = 0.1, hidden = 8)
+    val cMlp = DeepHit(numDurations = 5, epochs = 40, lr = 0.1, hidden = Seq(8))
       .fit(d).score(d)("c_index")
     assert(cMlp > cLin + 0.05, s"cMlp=$cMlp cLin=$cLin")
     assert(cMlp > 0.6, s"cMlp=$cMlp")
