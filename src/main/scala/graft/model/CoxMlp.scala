@@ -1,0 +1,302 @@
+package graft.model
+
+import graft.surv.SurvDataset
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Neural Cox proportional hazards — the DeepSurv flavor the
+  * reference actually ships (reference: src/elastic_surv/models/
+  * model_cox_ph.py:50-60 wraps `pycox.models.CoxPH` around a
+  * `tt.practical.MLPVanilla` risk net with `output_bias=False`): risk
+  * g(x) = wᵀ·relu-stack(x) (no output bias — a Cox risk is
+  * translation-invariant), trained by BATCH-LOCAL negative partial
+  * likelihood exactly as pycox's `CoxPHLoss` approximates the full
+  * likelihood on each minibatch.
+  *
+  * Distributed training: the same job rhythm as [[DeepHit]] —
+  * deterministic rn-contiguous batches inside each partition, exact
+  * per-batch loss+gradient in a plain-array accumulator
+  * ([[CoxMlp.PartitionAcc]], MLP algebra shared via [[MlpStack]]),
+  * one reduce per epoch (|θ|+2 doubles), Adam on the driver.
+  *
+  * Semantics pinned deterministically (documented deviations from
+  * torch internals): the batch risk set for an event at t is ALL
+  * batch rows with t_j >= t (Breslow ties — pycox's sort-order tie
+  * behavior is nondeterministic under equal durations);
+  * batch-norm/dropout omitted engine-wide (exact gradients instead).
+  * Features are standardized (train-fitted scaler) for conditioning,
+  * like the linear [[CoxPH]].
+  *
+  * Prediction reuses the linear path wholesale: Breslow baseline
+  * H0(t) on the train split with sc = g(x) ([[CoxPH.breslow]] — the
+  * distributed range-scan build), S(t|x) = exp(−H0(t)·e^{g(x)}).
+  */
+final case class CoxMlp(
+    hidden: Seq[Int] = Seq(32, 32), // model_cox_ph.py:19 default
+    batchSize: Int = 128,
+    epochs: Int = 50,
+    lr: Double = 0.01,
+    patience: Int = 10,
+    seed: Long = 7L) extends SurvModel {
+
+  def name: String = "cox_ph_mlp"
+
+  // model_cox_ph.py:67-77 restricted to knobs this flavor has
+  def hyperparameterSpace: Seq[Param] = Seq(
+    FloatP("lr", 1e-4, 1e-1),
+    IntegerP("patience", 10, 50, 10))
+
+  def fit(ds: SurvDataset): FittedCoxMlp = {
+    val p = ds.numFeatures
+    val spark = ds.df.sparkSession
+    import spark.implicits._
+
+    val raw = ds.tensorized(ds.train)
+      .select(col("rn"), col("t").cast("double").as("t"),
+        col("e").cast("int").as("e"),
+        transform(col("x"), _.cast("double")).as("x"))
+
+    // train-fitted scaler (one job) — population std, zeros guarded
+    val stats = raw.select(posexplode(col("x")).as(Seq("idx", "xv")))
+      .groupBy("idx")
+      .agg(avg(col("xv")).as("mu"), stddev_pop(col("xv")).as("sd"))
+      .orderBy("idx").collect()
+    val mu = stats.map(_.getAs[Double]("mu"))
+    val sd = stats.map(r => math.max(r.getAs[Double]("sd"), 1e-12))
+
+    val muA = array(mu.map(lit(_)): _*)
+    val sdA = array(sd.map(lit(_)): _*)
+    val train = raw
+      .select(col("rn"),
+        zip_with(zip_with(col("x"), muA, (v, m) => v - m), sdA,
+          (v, s) => v / s).as("x"),
+        col("t"), col("e"))
+      .sortWithinPartitions("rn")
+      .as[(Long, Array[Double], Double, Int)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    train.count()
+
+    val stack = new MlpStack(p, hidden, if (hidden.nonEmpty) hidden.last else p)
+    val q = stack.outWidth
+    var theta = {
+      val t = Array.fill(q + stack.size)(0.0)
+      val rng = new scala.util.Random(seed)
+      val limW = 1.0 / math.sqrt(q.toDouble)
+      var i = 0
+      while (i < q) { t(i) = (2 * rng.nextDouble() - 1) * limW; i += 1 }
+      stack.init(t, rng)
+      t
+    }
+    val mAdam = Array.fill(theta.length)(0.0)
+    val vAdam = Array.fill(theta.length)(0.0)
+    var best = Double.MaxValue
+    var bestTheta = theta.clone()
+    var badEpochs = 0
+    val (b1, b2, eps) = (0.9, 0.999, 1e-8)
+    var step = 0
+
+    var epoch = 0
+    while (epoch < epochs && badEpochs < patience) {
+      val th = theta
+      val bs = batchSize
+      val hid = hidden
+      val pp = p
+      val (lossSum, grad, evs) = train.mapPartitions { it =>
+        val acc = CoxMlp.PartitionAcc(pp, th, hid)
+        it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
+        Iterator.single((acc.loss, acc.grad, acc.events))
+      }.reduce { (a, b) =>
+        val g = a._2.clone()
+        var i = 0; while (i < g.length) { g(i) += b._2(i); i += 1 }
+        (a._1 + b._1, g, a._3 + b._3)
+      }
+
+      val loss = lossSum / math.max(evs, 1L).toDouble
+      step += 1
+      val newTheta = theta.clone()
+      var i = 0
+      while (i < theta.length) {
+        val g = grad(i) / math.max(evs, 1L).toDouble
+        mAdam(i) = b1 * mAdam(i) + (1 - b1) * g
+        vAdam(i) = b2 * vAdam(i) + (1 - b2) * g * g
+        val mh = mAdam(i) / (1 - math.pow(b1, step))
+        val vh = vAdam(i) / (1 - math.pow(b2, step))
+        newTheta(i) = theta(i) - lr * mh / (math.sqrt(vh) + eps)
+        i += 1
+      }
+      theta = newTheta
+      if (loss < best - 1e-6) { best = loss; bestTheta = theta.clone(); badEpochs = 0 }
+      else badEpochs += 1
+      epoch += 1
+    }
+    train.unpersist()
+
+    val w = bestTheta.take(q)
+    val layers = stack.extract(bestTheta)
+    val fitted0 = FittedCoxMlp(this, w, layers, mu, sd, null)
+    // Breslow baseline over the train split with the neural score —
+    // the same distributed range-scan build the linear model uses
+    val trDf = ds.tensorized(ds.train)
+      .select(col("t").cast("double").as("t"), col("e").cast("int").as("e"),
+        transform(col("x"), _.cast("double")).as("x"))
+    val baseline = CoxPH.breslow(trDf, fitted0.riskScore(col("x")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fitted0.copy(baseline = baseline)
+  }
+}
+
+object CoxMlp {
+
+  /** Per-partition exact batch-local partial-likelihood accumulator:
+    * θ = [w (q), stack]; g = wᵀ·stack(x).
+    *
+    *   L_batch = Σ_{i: e_i=1} (ln S_i − g_i),
+    *   S_i = Σ_{j: t_j >= t_i} e^{g_j}   (ties: all included)
+    *   ∂L/∂g_j = e^{g_j} · Σ_{i: ev, t_i <= t_j} 1/S_i − e_j
+    *
+    * Computed in O(b log b): sort by t desc, one descending pass
+    * accumulates S per tie group; one ascending pass accumulates
+    * Σ 1/S over events seen so far and scores each row's dg.
+    */
+  final case class PartitionAcc(p: Int, theta: Array[Double],
+                                hidden: Seq[Int] = Nil) {
+    var loss = 0.0
+    var events = 0L
+    val grad = Array.fill(theta.length)(0.0)
+    private val stack = new MlpStack(p, hidden,
+      if (hidden.nonEmpty) hidden.last else p)
+    private val q = stack.outWidth
+    private val nL = stack.nL
+
+    def addBatch(batch: Array[(Long, Array[Double], Double, Int)]): Unit = {
+      val b = batch.length
+      if (b == 0) return
+      // forward
+      val acts = new Array[Array[Array[Double]]](b)
+      val g = new Array[Double](b)
+      var i = 0
+      while (i < b) {
+        acts(i) = stack.forward(theta, batch(i)._2)
+        val f = acts(i)(nL)
+        var s = 0.0
+        var j = 0
+        while (j < q) { s += theta(j) * f(j); j += 1 }
+        g(i) = s
+        i += 1
+      }
+      // tie groups in descending-t order
+      val order = batch.indices.sortBy(i => -batch(i)._3)
+      val dg = new Array[Double](b)
+      // pass 1 (desc t): S per group = running Σ e^g including the
+      // group itself; loss for the group's events
+      val groupS = new Array[Double](b) // S at each row's group
+      var S = 0.0
+      var gi = 0
+      while (gi < order.length) {
+        var gj = gi
+        val t0 = batch(order(gi))._3
+        while (gj < order.length && batch(order(gj))._3 == t0) {
+          S += math.exp(g(order(gj))); gj += 1
+        }
+        var k = gi
+        while (k < gj) {
+          val idx = order(k)
+          groupS(idx) = S
+          if (batch(idx)._4 == 1) {
+            events += 1
+            loss += math.log(S) - g(idx)
+          }
+          k += 1
+        }
+        gi = gj
+      }
+      // pass 2 (asc t): Ainv = Σ 1/S_i over events with t_i <= t_j
+      var Ainv = 0.0
+      gi = order.length - 1
+      while (gi >= 0) {
+        var gj = gi
+        val t0 = batch(order(gi))._3
+        while (gj >= 0 && batch(order(gj))._3 == t0) gj -= 1
+        // rows (gj, gi] form one tie group: fold their events into
+        // Ainv FIRST (an event's own risk set includes its ties)...
+        var k = gj + 1
+        while (k <= gi) {
+          val idx = order(k)
+          if (batch(idx)._4 == 1) Ainv += 1.0 / groupS(idx)
+          k += 1
+        }
+        // ...then score every row of the group
+        k = gj + 1
+        while (k <= gi) {
+          val idx = order(k)
+          dg(idx) = math.exp(g(idx)) * Ainv -
+            (if (batch(idx)._4 == 1) 1.0 else 0.0)
+          k += 1
+        }
+        gi = gj
+      }
+      // backprop dg → grad(w) and through the stack
+      i = 0
+      while (i < b) {
+        val d = dg(i)
+        if (d != 0.0) {
+          val f = acts(i)(nL)
+          val dTop = if (nL > 0) new Array[Double](q) else null
+          var j = 0
+          while (j < q) {
+            grad(j) += d * f(j)
+            if (nL > 0) dTop(j) = d * theta(j)
+            j += 1
+          }
+          if (nL > 0) stack.backward(theta, grad, acts(i), dTop)
+        }
+        i += 1
+      }
+    }
+  }
+}
+
+/** Fitted neural CoxPH: output weights w over the ReLU stack, the
+  * scaler, and the persisted Breslow baseline — prediction is the
+  * linear-CoxPH path with the neural score.
+  */
+final case class FittedCoxMlp(
+    model: CoxMlp,
+    w: Array[Double],
+    layers: Seq[(Array[Array[Double]], Array[Double])],
+    mu: Array[Double],
+    sd: Array[Double],
+    baseline: DataFrame) extends FittedSurvModel {
+
+  override def release(): Unit =
+    if (baseline != null) { baseline.unpersist(); () }
+
+  /** Neural risk score g(x) on the ORIGINAL feature space — pure
+    * let-bound column algebra (same shape as FittedDeepHit.featCol).
+    */
+  def riskScore(x: Column): Column = {
+    val xstd = zip_with(
+      zip_with(x, array(mu.map(lit(_)): _*), (v, m) => v - m),
+      array(sd.map(lit(_)): _*), (v, s) => v / s)
+    val f = layers.foldLeft(xstd) { case (acc, (a, b)) =>
+      graft.functions.Let.bind(acc) { h =>
+        array(a.indices.map(j =>
+          greatest(lit(0.0), lit(b(j)) + CoxPH.scoreCol(h, a(j)))): _*)
+      }
+    }
+    CoxPH.scoreCol(f, w)
+  }
+
+  def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
+    val spark = tensorized.sparkSession
+    import spark.implicits._
+    val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
+    val h0g = CoxPH.baselineAtGrid(baseline, g)
+    val xd = transform(col("x"), _.cast("double"))
+    tensorized.select(col("id"), riskScore(xd).as("sc"))
+      .crossJoin(broadcast(h0g))
+      .select(col("id"), col("tau_idx"), col("tau"),
+        exp(-col("h0") * exp(col("sc"))).as("s"))
+  }
+}

@@ -74,26 +74,16 @@ final case class DeepHit(
     // linear head; the MLP needs the usual symmetry-breaking
     // U(±1/√fan_in) (torch Linear default), seeded for reproducible
     // fits.
-    val widths = hidden.toArray
-    val ins: Array[Int] = // input width of each layer
-      if (widths.isEmpty) Array.empty else (p +: hidden.init).toArray
-    val q = if (widths.nonEmpty) widths.last else p
+    val q = if (hidden.nonEmpty) hidden.last else p
+    val stack = new MlpStack(p, hidden, k + k * q)
     var theta = {
-      val len = k + k * q +
-        widths.indices.map(l => widths(l) * ins(l) + widths(l)).sum
-      val t = Array.fill(len)(0.0)
-      if (widths.nonEmpty) {
+      val t = Array.fill(k + k * q + stack.size)(0.0)
+      if (hidden.nonEmpty) {
         val rng = new scala.util.Random(seed)
         val limW = 1.0 / math.sqrt(q.toDouble)
         var i = k
         while (i < k + k * q) { t(i) = (2 * rng.nextDouble() - 1) * limW; i += 1 }
-        var l = 0
-        while (l < widths.length) {
-          val lim = 1.0 / math.sqrt(ins(l).toDouble)
-          val end = i + widths(l) * ins(l) + widths(l)
-          while (i < end) { t(i) = (2 * rng.nextDouble() - 1) * lim; i += 1 }
-          l += 1
-        }
+        stack.init(t, rng)
       }
       t
     }
@@ -142,16 +132,7 @@ final case class DeepHit(
 
     val c = bestTheta.take(k)
     val w = Array.tabulate(k, q)((kk, j) => bestTheta(k + kk * q + j))
-    var off = k + k * q
-    val layers = widths.indices.map { l =>
-      val a = Array.tabulate(widths(l), ins(l))((j, m) =>
-        bestTheta(off + j * ins(l) + m))
-      val bOff = off + widths(l) * ins(l)
-      val bArr = Array.tabulate(widths(l))(j => bestTheta(bOff + j))
-      off = bOff + widths(l)
-      (a, bArr)
-    }
-    FittedDeepHit(this, cuts, c, w, layers)
+    FittedDeepHit(this, cuts, c, w, stack.extract(bestTheta))
   }
 }
 
@@ -170,22 +151,10 @@ object DeepHit {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
-    private val widths = hidden.toArray
-    private val nL = widths.length
-    private val ins: Array[Int] =
-      if (nL == 0) Array.empty else (p +: hidden.init).toArray
-    private val q = if (nL > 0) widths(nL - 1) else p // logit input width
-    // per-layer offsets of A_l and b_l inside θ
-    private val (offA, offB) = {
-      val oa = new Array[Int](nL); val ob = new Array[Int](nL)
-      var o = k + k * q
-      var l = 0
-      while (l < nL) {
-        oa(l) = o; ob(l) = o + widths(l) * ins(l)
-        o = ob(l) + widths(l); l += 1
-      }
-      (oa, ob)
-    }
+    private val q = // logit input width
+      if (hidden.nonEmpty) hidden.last else p
+    private val stack = new MlpStack(p, hidden, k + k * q)
+    private val nL = stack.nL
 
     def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {
       val b = batch.length
@@ -194,29 +163,13 @@ object DeepHit {
       // forward: (hidden stack), logits, pmf, cumsum F. acts(i)(0) is
       // the input row; acts(i)(l+1) the ReLU output of layer l (kept
       // for the backward pass).
-      val acts = Array.ofDim[Array[Double]](b, nL + 1)
+      val acts = new Array[Array[Array[Double]]](b)
       val pmf = Array.ofDim[Double](b, k)
       val cum = Array.ofDim[Double](b, k)
       val dz = Array.ofDim[Double](b, k) // dLoss/dlogits accumulated
       var i = 0
       while (i < b) {
-        val x = batch(i)._2
-        acts(i)(0) = x
-        var l = 0
-        while (l < nL) {
-          val in = acts(i)(l)
-          val out = new Array[Double](widths(l))
-          var j = 0
-          while (j < widths(l)) {
-            var s = theta(offB(l) + j)
-            var m = 0
-            while (m < ins(l)) { s += theta(offA(l) + j * ins(l) + m) * in(m); m += 1 }
-            if (s > 0.0) out(j) = s // relu; zeros stay zero
-            j += 1
-          }
-          acts(i)(l + 1) = out
-          l += 1
-        }
+        acts(i) = stack.forward(theta, batch(i)._2)
         val f = acts(i)(nL)
         var mx = Double.MinValue
         val z = new Array[Double](k)
@@ -313,12 +266,11 @@ object DeepHit {
         }
       }
 
-      // backprop dz → grad(c, W), then layer by layer through the
-      // relu stack → grad(A_l, b_l)
+      // backprop dz → grad(c, W), then through the relu stack
       i = 0
       while (i < b) {
         val f = acts(i)(nL)
-        var dh = if (nL > 0) new Array[Double](q) else null
+        val dh = if (nL > 0) new Array[Double](q) else null
         var kk = 0
         while (kk < k) {
           val d = dz(i)(kk)
@@ -333,28 +285,7 @@ object DeepHit {
           }
           kk += 1
         }
-        var l = nL - 1
-        while (l >= 0) {
-          val out = acts(i)(l + 1)
-          val in = acts(i)(l)
-          val dIn = if (l > 0) new Array[Double](ins(l)) else null
-          var j = 0
-          while (j < widths(l)) {
-            // relu'(pre) = 1{pre > 0} ⟺ out(j) > 0 (exact zeros inactive)
-            if (out(j) > 0.0 && dh(j) != 0.0) {
-              grad(offB(l) + j) += dh(j)
-              var m = 0
-              while (m < ins(l)) {
-                grad(offA(l) + j * ins(l) + m) += dh(j) * in(m)
-                if (l > 0) dIn(m) += dh(j) * theta(offA(l) + j * ins(l) + m)
-                m += 1
-              }
-            }
-            j += 1
-          }
-          dh = dIn
-          l -= 1
-        }
+        if (nL > 0) stack.backward(theta, grad, acts(i), dh)
         i += 1
       }
     }

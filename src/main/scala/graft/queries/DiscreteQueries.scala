@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.automl.Hyperband
-import graft.model.{DeepHit, FittedDeepHit, FittedLogisticHazard, LogisticHazard}
+import graft.model.{CoxMlp, DeepHit, FittedCoxMlp, FittedDeepHit, FittedLogisticHazard, FittedLogisticHazardMlp, LogisticHazard, LogisticHazardMlp}
 import graft.surv.{ChurnView, DurationCuts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -179,6 +179,45 @@ object DiscreteQueries {
           (round(col("col.p"), 6) + lit(0.0)).as("pmf"),
           (round(col("col.sv"), 6) + lit(0.0)).as("s"))
         .orderBy("id", "k")
+    }),
+
+    // Neural logistic hazard: fixed-weight ReLU pair + per-bin
+    // sigmoid read-outs through the REAL FittedLogisticHazardMlp
+    // column path (hazards → running-product survival).
+    "q_loghaz_mlp_forward" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val cuts = DurationCuts.fit(ds.train, "t", K)
+      val base = betaBase(ds.encodedFeatures)
+      val wMat = Array.tabulate(K)(k =>
+        Array(0.3 * ((k + 1) / 5.0), -0.2 * ((k + 1) / 5.0)))
+      val fitted = FittedLogisticHazardMlp(
+        LogisticHazardMlp(K, hidden = Seq(2)), cuts, fixedB, wMat,
+        Seq((Array(base, base.map(-_)), Array(0.01, 0.02))))
+      val xd = transform(col("x"), _.cast("double"))
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .withColumn("hz", fitted.hazards(xd))
+        .select(col("id"),
+          posexplode(arrays_zip(col("hz").as("h"),
+            fitted.survFromHazards(col("hz")).as("sv"))))
+        .select(col("id"), col("pos").as("k"),
+          round(col("col.h"), 6).as("h"), round(col("col.sv"), 6).as("s"))
+        .orderBy("id", "k")
+    }),
+
+    // Neural-Cox (DeepSurv) risk head: fixed-weight ReLU pair +
+    // no-output-bias linear read-out through the REAL
+    // FittedCoxMlp.riskScore column path (identity scaler).
+    "q_cox_mlp_risk" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val base = betaBase(ds.encodedFeatures)
+      val l1 = (Array(base, base.map(-_)), Array(0.01, 0.02))
+      val fitted = FittedCoxMlp(CoxMlp(hidden = Seq(2)), Array(0.8, -0.6),
+        Seq(l1), Array.fill(base.length)(0.0), Array.fill(base.length)(1.0),
+        null)
+      val xd = transform(col("x"), _.cast("double"))
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .select(col("id"), round(exp(fitted.riskScore(xd)), 6).as("risk"))
+        .orderBy("id")
     }),
 
     // E6: pair-rank matrix of the first train batch [0, 128).
@@ -403,6 +442,33 @@ object DiscreteQueries {
          |             unnest([${(0 until K).map(k => s"s$k").mkString(", ")}]) AS s
          |      FROM mz5)
          |ORDER BY id, k""".stripMargin),
+
+    "q_loghaz_mlp_forward" -> (C + s", $splitSql,\n$mlpSelect,\n" + {
+      val w0 = (0 until K).map(k => 0.3 * ((k + 1) / 5.0))
+      val w1 = (0 until K).map(k => -0.2 * ((k + 1) / 5.0))
+      val hs = (0 until K).map(k =>
+        s"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-(" +
+          s"CAST(-2 AS DOUBLE) + CAST(0.25 AS DOUBLE) * $k" +
+          s" + (CAST(${w0(k)} AS DOUBLE) * h0 + CAST(${w1(k)} AS DOUBLE) * h1)" +
+          s"))) AS h$k").mkString(", ")
+      val ss = (0 until K).map { k =>
+        (0 to k).map(j => s"(CAST(1 AS DOUBLE) - h$j)").mkString(" * ")
+      }.zipWithIndex.map { case (e, k) => s"($e) AS s$k" }.mkString(", ")
+      s"""lmh AS (SELECT id, $hs FROM mh),
+         |lms AS (SELECT lmh.*, $ss FROM lmh)
+         |SELECT id, CAST(k AS INT) AS k, round(h, 6) AS h, round(s, 6) AS s
+         |FROM (SELECT id,
+         |             unnest([${(0 until K).mkString(", ")}]) AS k,
+         |             unnest([${(0 until K).map(k => s"h$k").mkString(", ")}]) AS h,
+         |             unnest([${(0 until K).map(k => s"s$k").mkString(", ")}]) AS s
+         |      FROM lms)
+         |ORDER BY id, k""".stripMargin
+    }),
+
+    "q_cox_mlp_risk" -> (C + s", $splitSql,\n$mlpSelect\n" +
+      """SELECT id, round(exp(CAST(0.8 AS DOUBLE) * h0
+        |  + CAST(-0.6 AS DOUBLE) * h1), 6) AS risk
+        |FROM mh ORDER BY id""".stripMargin),
 
     "q_deephit_mlp2_forward" -> (C + s", $splitSql,\n$mlpSelect,\n$mlp2Select\n" +
       s"""SELECT id, CAST(k AS INT) AS k,

@@ -1,0 +1,130 @@
+package graft.model
+
+import graft.SparkTestBase
+import graft.surv.SurvDataset
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class CoxMlpSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("batch partial likelihood matches a hand computation (ties included)") {
+    // linear head (no hidden): g = w·x; 3 rows, t = (5, 3, 3), events
+    // at rows 0 and 1. Risk sets: row0 {0}; row1 {0,1,2} (tie with
+    // row 2 included).
+    val w = Array(0.5, -0.25)
+    val batch = Array(
+      (0L, Array(1.0, 2.0), 5.0, 1),
+      (1L, Array(0.5, 1.0), 3.0, 1),
+      (2L, Array(-1.0, 0.0), 3.0, 0))
+    def g(x: Array[Double]) = w(0) * x(0) + w(1) * x(1)
+    val s0 = math.exp(g(batch(0)._2))
+    val s1 = s0 + math.exp(g(batch(1)._2)) + math.exp(g(batch(2)._2))
+    val want = (math.log(s0) - g(batch(0)._2)) + (math.log(s1) - g(batch(1)._2))
+    val acc = CoxMlp.PartitionAcc(2, w)
+    acc.addBatch(batch)
+    assert(math.abs(acc.loss - want) < 1e-12)
+    assert(acc.events == 2L)
+  }
+
+  test("gradient matches finite differences (two-layer stack)") {
+    val p = 2; val h = Seq(3, 2)
+    val rng = new Random(9)
+    val batch = Array.tabulate(7)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        // a few deliberate duration ties to exercise the tie algebra
+        (1 + i % 3).toDouble, rng.nextInt(2)))
+    val len = 2 + (3 * p + 3) + (2 * 3 + 2)
+    val theta = Array.fill(len)(rng.nextDouble() * 0.5 - 0.25)
+    def lossAt(th: Array[Double]): Double = {
+      val acc = CoxMlp.PartitionAcc(p, th, h)
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = CoxMlp.PartitionAcc(p, theta, h)
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("logistic-hazard MLP gradient matches finite differences") {
+    val k = 4; val p = 2; val h = Seq(3)
+    val rng = new Random(13)
+    val batch = Array.tabulate(6)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        rng.nextInt(k), rng.nextInt(2)))
+    val len = k + k * 3 + (3 * p + 3)
+    val theta = Array.fill(len)(rng.nextDouble() * 0.5 - 0.25)
+    def lossAt(th: Array[Double]): Double = {
+      val acc = LogisticHazardMlp.PartitionAcc(k, p, th, h)
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = LogisticHazardMlp.PartitionAcc(k, p, theta, h)
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("logistic-hazard MLP captures a nonlinear signal") {
+    import spark.implicits._
+    val rng = new Random(11)
+    val rows = (0 until 600).map { i =>
+      val x1 = 2 * rng.nextDouble() - 1
+      val x2 = 2 * rng.nextDouble() - 1
+      val rate = math.exp(3.0 * math.abs(x1) - 1.5) / 50.0
+      val tEvent = -math.log(rng.nextDouble()) / rate
+      val cens = 20 + rng.nextDouble() * 200
+      (i.toLong, x1, x2, math.max(math.min(tEvent, cens), 0.5),
+        if (tEvent <= cens) 1 else 0)
+    }
+    val d = SurvDataset.fromDataFrame(
+      rows.toDF("idx", "x1", "x2", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
+    val cLin = LogisticHazard(numDurations = 5).fit(d).score(d)("c_index")
+    val cMlp = LogisticHazardMlp(numDurations = 5, hidden = Seq(8),
+      epochs = 40, lr = 0.1).fit(d).score(d)("c_index")
+    assert(cMlp > cLin + 0.05, s"cMlp=$cMlp cLin=$cLin")
+    assert(cMlp > 0.6, s"cMlp=$cMlp")
+  }
+
+  test("neural Cox captures a nonlinear signal the linear Cox cannot") {
+    import spark.implicits._
+    // V-shaped risk lp = 3·|x1|: zero linear correlation with x1
+    val rng = new Random(11)
+    val rows = (0 until 600).map { i =>
+      val x1 = 2 * rng.nextDouble() - 1
+      val x2 = 2 * rng.nextDouble() - 1
+      val rate = math.exp(3.0 * math.abs(x1) - 1.5) / 50.0
+      val tEvent = -math.log(rng.nextDouble()) / rate
+      val cens = 20 + rng.nextDouble() * 200
+      (i.toLong, x1, x2, math.max(math.min(tEvent, cens), 0.5),
+        if (tEvent <= cens) 1 else 0)
+    }
+    val d = SurvDataset.fromDataFrame(
+      rows.toDF("idx", "x1", "x2", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
+    val fLin = CoxPH().fit(d)
+    val cLin = fLin.score(d)("c_index")
+    fLin.release()
+    val fMlp = CoxMlp(hidden = Seq(8), epochs = 40, lr = 0.05).fit(d)
+    val cMlp = fMlp.score(d)("c_index")
+    fMlp.release()
+    assert(cMlp > cLin + 0.05, s"cMlp=$cMlp cLin=$cLin")
+    assert(cMlp > 0.6, s"cMlp=$cMlp")
+  }
+}
