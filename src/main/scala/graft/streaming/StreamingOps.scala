@@ -159,6 +159,73 @@ object StreamingOps {
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
   }
 
+  /** Row-LOCAL MinHash signature band keys — the streaming-safe form
+    * of [[graft.ops.Dedup.minhashSignatureArr]]: everything (tokens →
+    * hashed 3-gram shingles → per-permutation minima → band keys) is
+    * one column expression, so the dedup stream below carries exactly
+    * ONE stateful operator. The permutation arithmetic is identical to
+    * the batch path (same (2i+3)x + (5i+7) mod P family); the
+    * array-lambda form re-derives the permuted values per hash — a
+    * numHashes× recompute that is the right trade here, buying
+    * shuffle-freedom for the per-row stage (the batch path, which can
+    * afford a shuffle, uses the groupBy form instead).
+    * Returns array< struct(band int, key string) >.
+    */
+  def minhashBandKeys(text: org.apache.spark.sql.Column, numHashes: Int = 16,
+                      rowsPerBand: Int = 4, n: Int = 3): org.apache.spark.sql.Column = {
+    val P = graft.ops.Dedup.P
+    val toks = graft.ops.TextAnalysis.tokens(text)
+    val grams = graft.functions.Let.bind(toks) { tk =>
+      when(size(tk) >= n,
+        array_distinct(transform(sequence(lit(1), size(tk) - lit(n - 1)), i =>
+          graft.ops.Dedup.shingleInt(concat_ws(" ",
+            (0 until n).map(o => element_at(tk, i + lit(o))): _*)) % lit(P))))
+        .otherwise(array().cast("array<long>"))
+    }
+    val nBands = numHashes / rowsPerBand
+    graft.functions.Let.bind(grams) { g =>
+      graft.functions.Let.bind(
+        transform(sequence(lit(0), lit(numHashes - 1)), h =>
+          array_min(transform(g, x =>
+            (x * (h * 2 + lit(3)) + (h * 5 + lit(7))) % lit(P))))) { sig =>
+        transform(sequence(lit(0), lit(nBands - 1)), b =>
+          struct(b.cast("int").as("band"),
+            concat_ws(",", transform(
+              slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
+              _.cast("string"))).as("key")))
+      }
+    }
+  }
+
+  /** Streaming near-duplicate CLAIMS: each document tries to claim
+    * its LSH band keys; `dropDuplicates` state awards every (band,
+    * key) to its FIRST claimant across the stream's lifetime. A
+    * document that claims ALL of its bands is novel; one that loses
+    * any band shares that band with an earlier document — the
+    * standard streaming-ingest near-dup gate, with the banding
+    * approximation inherited from MinHash-LSH. State is one entry per
+    * distinct band key — content-bounded, shuffle-keyed on the band
+    * key. Pair with [[nearDupKeep]] inside `foreachBatch`.
+    */
+  def nearDupClaims(docs: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 16, rowsPerBand: Int = 4,
+                    n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(minhashBandKeys(col(textCol), numHashes, rowsPerBand, n))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .dropDuplicates("band", "key")
+
+  /** Batch reduction for `foreachBatch` over [[nearDupClaims]]: the
+    * documents of this micro-batch that claimed ALL nBands of their
+    * band keys (no band shared with any earlier document).
+    */
+  def nearDupKeep(claims: DataFrame, numHashes: Int = 16,
+                  rowsPerBand: Int = 4): DataFrame =
+    claims.groupBy(col("doc_id")).agg(count(lit(1)).as("n_claims"))
+      .filter(col("n_claims") === (numHashes / rowsPerBand))
+      .select(col("doc_id"))
+
   /** 30-minute-gap sessions per user (batch form): session boundaries
     * by lag, ids by running sum, then per-session aggregates.
     */

@@ -226,4 +226,52 @@ class StreamingSpec extends AnyFunSuite {
     // all durations non-negative, sessions internally gap-bounded
     assert(sess.filter(col("duration_us") < 0).count() == 0)
   }
+
+  test("row-local minhash band keys equal the batch groupBy signature") {
+    // the streaming path must agree with Dedup.minhashSignatureArr on
+    // every document (same permutation family, same band layout)
+    val docs = Tables.load(spark, dir, "documents").limit(100)
+    val batchSig = graft.ops.Dedup.minhashSignatureArr(
+        graft.ops.Dedup.shingles(docs, "doc_id", "text"), 16)
+      .select(col("id"), posexplode(col("sig")).as(Seq("i", "v")))
+    val streamSig = docs.select(col("doc_id").as("id"),
+        posexplode(StreamingOps.minhashBandKeys(col("text"), 16, 4, 3))
+          .as(Seq("band", "bk")))
+      .select(col("id"), col("band"), col("bk.key").as("key"))
+    // reassemble the row-local signature from its band keys and diff
+    val fromBands = streamSig
+      .select(col("id"), col("band"), split(col("key"), ",").as("parts"))
+      .select(col("id"), col("band"), posexplode(col("parts")).as(Seq("j", "v")))
+      .select(col("id"), (col("band") * 4 + col("j")).as("i"),
+        col("v").cast("long").as("v"))
+    assert(batchSig.join(fromBands, Seq("id", "i"))
+      .filter(batchSig("v") =!= fromBands("v")).count() == 0)
+    assert(fromBands.count() == batchSig.count())
+  }
+
+  test("streaming near-dup gate suppresses band-sharing docs across batches") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val t3 = "red green blue cyan magenta yellow black white gray pink"
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val kept = scala.collection.concurrent.TrieMap.empty[Long, Unit]
+    val q = StreamingOps.nearDupClaims(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (claims: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        StreamingOps.nearDupKeep(claims).collect()
+          .foreach(r => kept.put(r.getLong(0), ()))
+      }
+      .start()
+    input.addData((1L, t1), (2L, t2))
+    q.processAllAvailable()
+    // 3 = exact repeat of doc 1 (all bands collide), 4 = novel
+    input.addData((3L, t1), (4L, t3))
+    q.processAllAvailable()
+    q.stop()
+    assert(kept.keySet == Set(1L, 2L, 4L), s"kept=${kept.keySet}")
+  }
 }
