@@ -28,3 +28,21 @@ object ParquetSource extends SourceProvider {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 }
+
+/** JSON-lines provider — a second REAL implementation of the seam
+  * (one `<name>.jsonl` file per table under `dir`), proving a
+  * connector needs nothing beyond `table()`. An explicit schema is
+  * required for engine parity: JSON inference widens ints to bigint
+  * and loses float32, so the provider reads with the schema the
+  * parquet layout declares (pass it per table via `schemas`, e.g.
+  * copied from the parquet files once at setup).
+  */
+final class JsonlSource(
+    schemas: Map[String, org.apache.spark.sql.types.StructType])
+    extends SourceProvider {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val reader = spark.read
+    schemas.get(name).foreach(reader.schema)
+    reader.json(s"$dir/$name.jsonl")
+  }
+}

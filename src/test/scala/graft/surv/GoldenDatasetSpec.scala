@@ -104,4 +104,27 @@ class GoldenDatasetSpec extends AnyFunSuite {
     // default (parquet) path restored for every other suite
     assert(Tables.load(spark, "/root/testdata/sf0.001", "nation").count() > 0)
   }
+
+  test("JsonlSource: a second real format behind the seam, engine-parity") {
+    import graft.core.Tables
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl_src").toString
+    docs.coalesce(1).write.json(s"$tmp/documents.jsonl")
+    Tables.registerProvider("jsonl",
+      new graft.core.JsonlSource(Map("documents" -> docs.schema)))
+    try {
+      spark.conf.set(Tables.SourceKey, "jsonl")
+      // run a REAL engine operator through the seam and compare to the
+      // parquet answer — identical rows, identical schema
+      val viaJson = graft.ops.Dedup.exactGroups(
+        Tables.load(spark, tmp, "documents"), "doc_id", "text")
+      spark.conf.unset(Tables.SourceKey)
+      val viaParquet = graft.ops.Dedup.exactGroups(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      assert(viaJson.schema == viaParquet.schema)
+      assert(viaJson.exceptAll(viaParquet).count() == 0)
+      assert(viaParquet.exceptAll(viaJson).count() == 0)
+    } finally spark.conf.unset(Tables.SourceKey)
+  }
 }
