@@ -215,6 +215,20 @@ object TextQueries {
           col("cum_tokens"))
         .orderBy("doc_id")),
 
+    // unicode canonicalization (custom codegen Expression — Spark has
+    // no builtin): NFC over a deterministically-decomposed suffix
+    // (combining acute) appended to the ASCII corpus text, so the
+    // normalizer provably fires (len_nfc = len_raw − 1)
+    "q_text_nfc" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 8), lit("e\u0301"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.UnicodeNormalize.nfc(raw).as("norm"),
+          length(raw).as("len_raw"),
+          length(graft.functions.UnicodeNormalize.nfc(raw)).as("len_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: 8 parallel hash-bucketed packing streams; a
     // new 512-token bin opens at each budget boundary (T5-style
     // concat-then-split packing); deterministic under repartitioning
@@ -564,6 +578,17 @@ object TextQueries {
         |                              WHEN 'fr' THEN 1000 WHEN 'zh' THEN 800
         |                              ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    // raw = first 8 chars + DECOMPOSED e-acute (chr(769) = U+0301);
+    // engine NFC must equal DuckDB nfc_normalize, merging the pair
+    "q_text_nfc" ->
+      """WITH r AS (SELECT doc_id,
+        |                  substr(text, 1, 8) || 'e' || chr(769) AS raw
+        |           FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |       CAST(length(raw) AS INT) AS len_raw,
+        |       CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // identical seed-7 hash, bucket mod, and prev-cumsum bin split as
     // Sampling.packSequences

@@ -428,6 +428,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains("HEAVY") && got("HEAVY") >= exact("HEAVY") - n / 9)
   }
 
+  test("unicode normalize: NFC merges combining marks, NFKC folds compat") {
+    import spark.implicits._
+    import graft.functions.UnicodeNormalize
+    val decomposed = "e\u0301cole" // 6 code points
+    val composed = "\u00e9cole"    // 5 code points
+    val ligature = "\ufb01sh"      // fi-ligature + "sh"
+    val rows = Seq(decomposed, "abc", ligature)
+      .toDF("s")
+      .select(col("s"), UnicodeNormalize.nfc(col("s")).as("nfc"),
+        UnicodeNormalize.nfkc(col("s")).as("nfkc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0)._2 == composed && rows(0)._3 == composed)
+    assert(rows(0)._1.length == 6 && rows(0)._2.length == 5)
+    assert(rows(1)._2 == "abc") // fast path: already normalized
+    assert(rows(2)._2 == ligature && rows(2)._3 == "fish") // NFKC folds
+    // idempotent
+    val again = Seq(decomposed).toDF("s")
+      .select(UnicodeNormalize.nfc(UnicodeNormalize.nfc(col("s"))))
+      .head().getString(0)
+    assert(again == composed)
+  }
+
   test("duplicate-span scrub: shared 3-grams drop, unique text survives") {
     import spark.implicits._
     val docs = Seq(
