@@ -37,5 +37,9 @@ object SqlViews {
     // foldable integer literal (validated — clear AnalysisException)
     bridge.registerFunction(spark, "heavy_hitters",
       functions.MisraGries.fromExprs)
+    bridge.registerFunction(spark, "nfc_normalize", exprs =>
+      functions.UnicodeNormalize(exprs.head, "NFC"))
+    bridge.registerFunction(spark, "nfkc_normalize", exprs =>
+      functions.UnicodeNormalize(exprs.head, "NFKC"))
   }
 }

@@ -43,6 +43,15 @@ class SqlViewsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT product(x) FROM VALUES (1.0) AS t(x) WHERE x > 5")
       .head().isNullAt(0))
+    // unicode canonicalization (DuckDB-parity nfc_normalize name);
+    // input e + COMBINING ACUTE (U+0301) must normalize to the
+    // precomposed U+00E9
+    val nfcIn = "e" + "\u0301"
+    val nfcWant = "\u00e9"
+    assert(spark.sql(s"SELECT nfc_normalize('$nfcIn')")
+      .head().getString(0) == nfcWant)
+    assert(spark.sql("SELECT nfkc_normalize('\ufb01sh')")
+      .head().getString(0) == "fish")
   }
 
   test("heavy_hitters rejects bad arguments with a readable analysis error") {
