@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -87,6 +87,26 @@ object TextAnalysis {
       .otherwise(array().cast("array<int>"))
     transform(idx, i => Dedup.shingleInt(
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+  }
+
+  /** Hashing-trick featurization (Weinberger et al. '09 — the
+    * fixed-width bag-of-words every large-scale linear/quality
+    * classifier trains on): token → bucket via the md5-derived
+    * shingle hash mod numFeatures; per (doc, bucket) counts in LONG
+    * form (id, bucket, cnt). One shuffle keyed on (id, bucket),
+    * map-side combined; no vocabulary fit, no broadcast dictionary —
+    * the property that makes the trick work at corpus scale.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     numFeatures: Int): DataFrame = {
+    require(numFeatures > 0)
+    docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        pmod(Dedup.shingleInt(col("tok")), lit(numFeatures.toLong))
+          .cast("int").as("bucket"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Raw-string word n-gram array — for per-row distinct counts and

@@ -215,6 +215,13 @@ object TextQueries {
           col("cum_tokens"))
         .orderBy("doc_id")),
 
+    // hashing-trick featurization: fixed-width bag-of-words, no
+    // vocabulary fit; one (id, bucket)-keyed shuffle
+    "q_text_hashing_trick" -> ((s, dir) =>
+      TA.hashedFeatures(Tables.load(s, dir, "documents"), "doc_id",
+          "text", numFeatures = 64)
+        .orderBy("id", "bucket")),
+
     // unicode canonicalization (custom codegen Expression — Spark has
     // no builtin): NFC over a deterministically-decomposed suffix
     // (combining acute) appended to the ASCII corpus text, so the
@@ -578,6 +585,15 @@ object TextQueries {
         |                              WHEN 'fr' THEN 1000 WHEN 'zh' THEN 800
         |                              ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_hashing_trick" ->
+      """SELECT doc_id AS id,
+        |       CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS INT)
+        |         AS bucket,
+        |       count(*) AS cnt
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY id, bucket""".stripMargin,
 
     // raw = first 8 chars + DECOMPOSED e-acute (chr(769) = U+0301);
     // engine NFC must equal DuckDB nfc_normalize, merging the pair
