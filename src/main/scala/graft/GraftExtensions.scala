@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("product", exprs =>
       functions.ProductAgg(exprs.head).toAggregateExpression())
     fn("heavy_hitters", functions.MisraGries.fromExprs)
+    fn("top_k", functions.TopKAgg.fromExprs)
     fn("nfc_normalize", exprs =>
       functions.UnicodeNormalize(exprs.head, "NFC"))
     fn("nfkc_normalize", exprs =>

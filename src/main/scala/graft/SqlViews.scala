@@ -37,6 +37,7 @@ object SqlViews {
     // foldable integer literal (validated — clear AnalysisException)
     bridge.registerFunction(spark, "heavy_hitters",
       functions.MisraGries.fromExprs)
+    bridge.registerFunction(spark, "top_k", functions.TopKAgg.fromExprs)
     bridge.registerFunction(spark, "nfc_normalize", exprs =>
       functions.UnicodeNormalize(exprs.head, "NFC"))
     bridge.registerFunction(spark, "nfkc_normalize", exprs =>

@@ -287,6 +287,19 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // grouped top-k via the bounded-heap aggregate (functions.TopKAgg):
+    // each task reduces to <= k pairs BEFORE the shuffle — no per-group
+    // sort anywhere, unlike the window-rank form (q_topk_per_group)
+    "q_topk_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.functions.TopKAgg.top_k(
+          col("c_acctbal").cast("double"), col("c_custkey"), 3).as("tk"))
+        .select(col("c_mktsegment"), posexplode(col("tk")).as(Seq("r", "e")))
+        .select(col("c_mktsegment"), (col("r") + 1).as("rank"),
+          col("e.id").as("c_custkey"), col("e.score").as("c_acctbal"))
+        .orderBy("c_mktsegment", "rank")),
+
     // §2.9 anti-join: lapsed customers (no order since the cutoff).
     // The filtered orders side reduces BEFORE the join; left-anti
     // shuffles on the key (or broadcasts the reduced side under AQE).
@@ -524,6 +537,17 @@ object RelationalQueries {
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
         |ORDER BY purchase_id""".stripMargin,
+
+    // identical total order (acctbal DESC, custkey) as TopKAgg
+    "q_topk_agg" ->
+      """SELECT c_mktsegment, CAST(rnk AS INT) AS rank, c_custkey,
+        |       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |             row_number() OVER (PARTITION BY c_mktsegment
+        |               ORDER BY CAST(c_acctbal AS DOUBLE) DESC, c_custkey)
+        |               AS rnk
+        |      FROM customer)
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c

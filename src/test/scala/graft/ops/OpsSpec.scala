@@ -428,6 +428,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains("HEAVY") && got("HEAVY") >= exact("HEAVY") - n / 9)
   }
 
+  test("top_k aggregate: equals window-rank answer, no sort in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    // deliberate score ties to exercise the (score DESC, id ASC) order
+    val rows = (1L to 5000L).map(i => (s"g${i % 7}", i, rnd.nextInt(50).toDouble))
+    val df = rows.toDF("g", "id", "s").repartition(11)
+    val viaAgg = df.groupBy(col("g"))
+      .agg(graft.functions.TopKAgg.top_k(col("s"), col("id"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("g"), col("r"), col("e.id"), col("e.score"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("g"), (col("rn") - 1).as("r"), col("id"), col("s"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    assert(viaAgg == viaWindow && viaAgg.size == 35)
+    // the aggregate path must not sort rows (ObjectHashAggregate, no
+    // Sort/Window operators anywhere in the plan)
+    val plan = df.groupBy(col("g"))
+      .agg(graft.functions.TopKAgg.top_k(col("s"), col("id"), 5).as("tk"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort") && !plan.contains("Window"), plan)
+  }
+
   test("unicode normalize: NFC merges combining marks, NFKC folds compat") {
     import spark.implicits._
     import graft.functions.UnicodeNormalize
