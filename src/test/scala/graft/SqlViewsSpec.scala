@@ -52,6 +52,16 @@ class SqlViewsSpec extends AnyFunSuite {
       .head().getString(0) == nfcWant)
     assert(spark.sql("SELECT nfkc_normalize('\ufb01sh')")
       .head().getString(0) == "fish")
+    // bounded-heap grouped top-k through SQL
+    val tk = spark.sql(
+      "SELECT e.id FROM (SELECT explode(top_k(CAST(x AS DOUBLE), " +
+        "CAST(id AS BIGINT), 2)) AS e " +
+        "FROM VALUES (1, 10.0), (2, 30.0), (3, 20.0) AS t(id, x))")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tk == Seq(2L, 3L))
+    assert(intercept[Exception](
+      spark.sql("SELECT top_k(1.0, 2) FROM customer").collect())
+      .getMessage.contains("exactly 3 arguments"))
   }
 
   test("heavy_hitters rejects bad arguments with a readable analysis error") {

@@ -428,6 +428,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains("HEAVY") && got("HEAVY") >= exact("HEAVY") - n / 9)
   }
 
+  test("span scrub invariants on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 120L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpans(df, "doc_id", "text",
+        n = 3, maxDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val in = docs.toMap
+    assert(out.size == in.size) // every doc present
+    out.foreach { case (id, (clean, kept, dropped)) =>
+      val src = in(id).split(" ")
+      assert(kept + dropped == src.length, s"doc $id count conservation")
+      val cleanToks = if (clean.isEmpty) Array.empty[String] else clean.split(" ")
+      assert(cleanToks.length == kept)
+      // surviving tokens are a subsequence of the source tokens
+      var j = 0
+      cleanToks.foreach { t =>
+        while (j < src.length && src(j) != t) j += 1
+        assert(j < src.length, s"doc $id: '$t' not in order")
+        j += 1
+      }
+    }
+  }
+
   test("top_k aggregate: equals window-rank answer, no sort in the plan") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
