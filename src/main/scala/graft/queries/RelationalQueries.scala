@@ -287,6 +287,19 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // §2.9 TPC-H Q6 shape: pure filter + global agg — the pushdown
+    // showcase (discount/quantity range predicates reach the parquet
+    // scan as PushedFilters; only 4 columns read); decimal revenue
+    // sum is order-independent and engine-exact
+    "q6_filter_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+          to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1998-01-01")) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
     // grouped top-k via the bounded-heap aggregate (functions.TopKAgg):
     // each task reduces to <= k pairs BEFORE the shuffle — no per-group
     // sort anywhere, unlike the window-rank form (q_topk_per_group)
@@ -537,6 +550,16 @@ object RelationalQueries {
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
         |ORDER BY purchase_id""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |         AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
 
     // identical total order (acctbal DESC, custkey) as TopKAgg
     "q_topk_agg" ->
