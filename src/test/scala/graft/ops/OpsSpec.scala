@@ -428,6 +428,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains("HEAVY") && got("HEAVY") >= exact("HEAVY") - n / 9)
   }
 
+  test("approx distinct (ES cardinality parity mode) tracks exact within rsd") {
+    import spark.implicits._
+    // A2: the reference's nunique is an ES cardinality HLL approx; the
+    // engine's oracle queries use EXACT countDistinct, with this as
+    // the documented approximate mode for 100-TB cardinalities
+    val df = (1L to 50000L).map(i => i % 9173L).toDF("v")
+    val exact = df.select(countDistinct(col("v"))).head().getLong(0)
+    val approx = df.select(approx_count_distinct(col("v"), rsd = 0.02))
+      .head().getLong(0)
+    assert(exact == 9173L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"approx=$approx exact=$exact")
+  }
+
   test("span scrub invariants on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
