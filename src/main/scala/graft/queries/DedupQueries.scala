@@ -81,6 +81,15 @@ object DedupQueries {
         .orderBy("node")
     }),
 
+    // the keep/drop DECISION table: every LSH band key awarded to its
+    // min doc id; a doc survives iff it wins all its bands (the
+    // batch-deterministic form of the streaming ingest gate)
+    "q_dedup_gate" -> ((s, dir) =>
+      graft.streaming.StreamingOps.nearDupKeepBatch(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          numHashes = 16, rowsPerBand = 4, n = 3)
+        .orderBy("doc_id")),
+
     // document-REWRITING dedup: C4/Lee-style duplicate-span scrub —
     // 3-grams in >4 documents are boilerplate; their token positions
     // are dropped and the text rebuilt
@@ -234,6 +243,22 @@ object DedupQueries {
         |SELECT i, j, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
         |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         |ORDER BY i, j""".stripMargin,
+
+    // band keys rebuilt from the same mod-P signature (sigSql); the
+    // string key is the ','-join of the 4 in-band minima in i order
+    "q_dedup_gate" -> (s"WITH $shSql,\n$sigSql,\n" +
+      """bands AS (SELECT id, i // 4 AS band,
+        |                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+        |          FROM sig GROUP BY id, i // 4),
+        |w AS (SELECT band, key, min(id) AS winner
+        |      FROM bands GROUP BY band, key),
+        |v AS (SELECT b.id AS doc_id, count(*) AS n_bands,
+        |             sum(CASE WHEN w.winner = b.id THEN 1 ELSE 0 END) AS n_won
+        |      FROM bands b JOIN w ON b.band = w.band AND b.key = w.key
+        |      GROUP BY b.id)
+        |SELECT doc_id, n_bands, n_won,
+        |       CASE WHEN n_won = n_bands THEN 1 ELSE 0 END AS keep
+        |FROM v ORDER BY doc_id""".stripMargin),
 
     // duplicate-span scrub: covered = any position inside a 3-gram
     // with document frequency > 4; text rebuilt from survivors

@@ -287,6 +287,22 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // cohort retention matrix: signup week × active week distinct
+    // users — two aggregations and an equi-join on user_id, the
+    // classic product-analytics rollup (no windows, no self-join)
+    "q_cohort_retention" -> ((s, dir) => {
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = weeks.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      weeks.distinct().join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("cohort_wk")).as("cohort_us"),
+          unix_micros(col("wk")).as("week_us"), col("n_users"))
+        .orderBy("cohort_us", "week_us")
+    }),
+
     // §2.9 TPC-H Q6 shape: pure filter + global agg — the pushdown
     // showcase (discount/quantity range predicates reach the parquet
     // scan as PushedFilters; only 4 columns read); decimal revenue
@@ -550,6 +566,17 @@ object RelationalQueries {
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |                  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        |           FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |d AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT epoch_us(cohort_wk) AS cohort_us, epoch_us(wk) AS week_us,
+        |       count(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY cohort_wk, wk ORDER BY cohort_us, week_us""".stripMargin,
 
     "q6_filter_agg" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))

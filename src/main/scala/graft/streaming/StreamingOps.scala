@@ -226,6 +226,32 @@ object StreamingOps {
       .filter(col("n_claims") === (numHashes / rowsPerBand))
       .select(col("doc_id"))
 
+  /** Deterministic BATCH form of the near-dup gate: every (band, key)
+    * is awarded to its MINIMUM doc id (the streaming path awards it
+    * to the first arrival; min-id is the batch-deterministic
+    * equivalent), and a document survives iff it wins ALL its bands.
+    * One groupBy on the band key + one equi-join back + one groupBy
+    * on the doc — content-keyed shuffles only. Conservative by
+    * construction: a random band collision between two novel docs
+    * drops the larger id, exactly like the streaming gate would.
+    * Returns (doc_id, n_bands, n_won, keep).
+    */
+  def nearDupKeepBatch(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 16, rowsPerBand: Int = 4,
+                       n: Int = 3): DataFrame = {
+    val claims = docs.select(col(idCol).as("doc_id"),
+        explode(minhashBandKeys(col(textCol), numHashes, rowsPerBand, n))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val winners = claims.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("winner"))
+    claims.join(winners, Seq("band", "key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("winner") === col("doc_id"), 1L).otherwise(0L)).as("n_won"))
+      .withColumn("keep", (col("n_won") === col("n_bands")).cast("int"))
+  }
+
   /** 30-minute-gap sessions per user (batch form): session boundaries
     * by lag, ids by running sum, then per-session aggregates.
     */
