@@ -239,10 +239,22 @@ object StreamingOps {
   def nearDupKeepBatch(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16, rowsPerBand: Int = 4,
                        n: Int = 3): DataFrame = {
-    val claims = docs.select(col(idCol).as("doc_id"),
-        explode(minhashBandKeys(col(textCol), numHashes, rowsPerBand, n))
-          .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // batch can afford the shuffle, so signatures come from the
+    // groupBy path (one min-agg pass over (id, shingle) rows) instead
+    // of the row-local expression — the row-local form re-derives the
+    // permuted values numHashes× per row, which the streaming gate
+    // accepts to stay single-stateful-operator but a batch sweep
+    // should not (measured 4× slower at sf0.1). The two signature
+    // paths are proven equal in StreamingSpec. Docs shorter than n
+    // tokens have no shingles and are absent (nothing to dedup).
+    val sig = graft.ops.Dedup.minhashSignatureArr(
+      graft.ops.Dedup.shingles(docs, idCol, textCol, n), numHashes)
+    val nBands = numHashes / rowsPerBand
+    val claims = sig.select(col("id").as("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        concat_ws(",", transform(
+          slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
+          _.cast("string"))))).as(Seq("band", "key")))
     val winners = claims.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("winner"))
     claims.join(winners, Seq("band", "key"))
