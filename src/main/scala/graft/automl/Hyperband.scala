@@ -47,6 +47,41 @@ object ModelFactory {
         regParam = params.getOrElse("reg_param", 1e-4).asInstanceOf[Double])
   }
   val defaults: Seq[ModelFactory] = Seq(coxPH, deepHit, logisticHazard)
+
+  /** The MLP flavors — the nets the reference actually searches
+    * (every reference seed wraps MLPVanilla). Not in [[defaults]]
+    * (the linear flavors keep the oracle surface deterministic and
+    * cheap), but first-class seeds: pass
+    * `new Hyperband(seeds = ModelFactory.mlpSeeds())` for a
+    * reference-shaped search. `hidden` sizes every net (reference
+    * default [32, 32]).
+    */
+  def mlpSeeds(hidden: Seq[Int] = Seq(32, 32)): Seq[ModelFactory] = Seq(
+    new ModelFactory {
+      val name = "cox_ph_mlp"
+      val space = graft.model.CoxMlp().hyperparameterSpace
+      def build(params: Map[String, Any], epochs: Int): SurvModel =
+        graft.model.CoxMlp(hidden = hidden, epochs = epochs,
+          lr = params.getOrElse("lr", 0.01).asInstanceOf[Double],
+          patience = params.getOrElse("patience", 10).asInstanceOf[Int])
+    },
+    new ModelFactory {
+      val name = "deephit_mlp"
+      val space = DeepHit().hyperparameterSpace
+      def build(params: Map[String, Any], epochs: Int): SurvModel =
+        DeepHit(hidden = hidden, epochs = epochs,
+          alpha = params.getOrElse("alpha", 0.2).asInstanceOf[Double],
+          sigma = params.getOrElse("sigma", 0.1).asInstanceOf[Double],
+          batchSize = params.getOrElse("batch_size", 128).asInstanceOf[Int])
+    },
+    new ModelFactory {
+      val name = "logistic_hazard_mlp"
+      val space = graft.model.LogisticHazardMlp().hyperparameterSpace
+      def build(params: Map[String, Any], epochs: Int): SurvModel =
+        graft.model.LogisticHazardMlp(hidden = hidden, epochs = epochs,
+          lr = params.getOrElse("lr", 0.05).asInstanceOf[Double],
+          patience = params.getOrElse("patience", 10).asInstanceOf[Int])
+    })
 }
 
 /** Hyperband successive halving — faithful port of the reference's

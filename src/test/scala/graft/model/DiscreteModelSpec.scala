@@ -190,6 +190,19 @@ class DiscreteModelSpec extends AnyFunSuite {
     assert(scores.contains("c_index") && scores.contains("brier_score"))
   }
 
+  test("Hyperband searches the MLP seeds (reference-shaped model list)") {
+    val d = ds(300)
+    val hb = new graft.automl.Hyperband(
+      seeds = graft.automl.ModelFactory.mlpSeeds(hidden = Seq(4)),
+      maxIter = 2, eta = 2, outputEpochs = 3)
+    val fitted = hb.selectModel(d)
+    assert(hb.bestScore > -1.0)
+    assert(Set("cox_ph_mlp", "deephit_mlp", "logistic_hazard_mlp")
+      .contains(hb.bestModel.map(_.name).getOrElse("")))
+    val scores = fitted.score(d)
+    assert(scores.contains("c_index") && scores("c_index") > 0.4)
+  }
+
   test("Hyperband schedule matches the reference float formulas") {
     // cross-check exact-integer schedule vs the float computation
     val sched = graft.automl.Hyperband.scheduleExact(81, 3)
