@@ -29,9 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.ProductAgg(exprs.head).toAggregateExpression())
     fn("heavy_hitters", functions.MisraGries.fromExprs)
     fn("top_k", functions.TopKAgg.fromExprs)
-    fn("nfc_normalize", exprs =>
-      functions.UnicodeNormalize(exprs.head, "NFC"))
-    fn("nfkc_normalize", exprs =>
-      functions.UnicodeNormalize(exprs.head, "NFKC"))
+    fn("nfc_normalize", functions.UnicodeNormalize.fromExprs("NFC"))
+    fn("nfkc_normalize", functions.UnicodeNormalize.fromExprs("NFKC"))
   }
 }

@@ -38,9 +38,9 @@ object SqlViews {
     bridge.registerFunction(spark, "heavy_hitters",
       functions.MisraGries.fromExprs)
     bridge.registerFunction(spark, "top_k", functions.TopKAgg.fromExprs)
-    bridge.registerFunction(spark, "nfc_normalize", exprs =>
-      functions.UnicodeNormalize(exprs.head, "NFC"))
-    bridge.registerFunction(spark, "nfkc_normalize", exprs =>
-      functions.UnicodeNormalize(exprs.head, "NFKC"))
+    bridge.registerFunction(spark, "nfc_normalize",
+      functions.UnicodeNormalize.fromExprs("NFC"))
+    bridge.registerFunction(spark, "nfkc_normalize",
+      functions.UnicodeNormalize.fromExprs("NFKC"))
   }
 }

@@ -47,13 +47,24 @@ case class TopKAgg(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))))
 
+  /** "a ranks strictly better than b": higher score first, ties to
+    * the smaller id. Comparison goes through java.lang.Double.compare
+    * — the IEEE-total-order Spark's own sort uses (NaN greater than
+    * everything, equal to itself) — so NaN rows rank exactly where the
+    * window-rank oracle puts them instead of poisoning `>` compares.
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
   /** Heap with the WORST pair at `head` (scala PriorityQueue is a
     * max-heap — head is the ordering's maximum, so the ordering must
-    * rank "worse" higher): maximize (-score, id) ⇒ head = lowest
-    * score, ties broken to the larger id.
+    * rank "worse" higher).
     */
   private def worstFirst: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+    (a: (Double, Long), b: (Double, Long)) =>
+      if (better(a, b)) -1 else if (better(b, a)) 1 else 0
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(worstFirst)
@@ -61,10 +72,7 @@ case class TopKAgg(
   private def add(buf: mutable.PriorityQueue[(Double, Long)],
                   s: Double, i: Long): Unit = {
     if (buf.size < k) buf.enqueue((s, i))
-    else {
-      val (ws, wi) = buf.head
-      if (s > ws || (s == ws && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
-    }
+    else if (better((s, i), buf.head)) { buf.dequeue(); buf.enqueue((s, i)) }
   }
 
   override def update(buf: mutable.PriorityQueue[(Double, Long)],
@@ -83,7 +91,7 @@ case class TopKAgg(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    val sorted = buf.toArray.sortWith(better)
     new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
   }
 
@@ -131,8 +139,10 @@ object TopKAgg {
     if (!exprs(2).foldable)
       bridge.analysisError("top_k k must be a literal integer")
     exprs(2).eval() match {
-      case n: Number => TopKAgg(exprs.head, exprs(1), n.intValue)
-        .toAggregateExpression()
+      case n: Number if n.intValue > 0 =>
+        TopKAgg(exprs.head, exprs(1), n.intValue).toAggregateExpression()
+      case n: Number => bridge.analysisError(
+        s"top_k k must be positive, got ${n.intValue}")
       case other => bridge.analysisError(
         s"top_k k must be a literal integer, got: $other")
     }

@@ -21,11 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB mirror (oracle): `nfc_normalize(s)` for the NFC form.
   */
 case class UnicodeNormalize(child: Expression, form: String)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(Seq("NFC", "NFKC", "NFD", "NFKD").contains(form),
     s"unsupported normalization form $form")
 
+  override def inputTypes: Seq[bridge.SqlAbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
@@ -61,4 +63,13 @@ object UnicodeNormalize {
     bridge.toColumn(UnicodeNormalize(bridge.toExpression(c), "NFC"))
   def nfkc(c: Column): Column =
     bridge.toColumn(UnicodeNormalize(bridge.toExpression(c), "NFKC"))
+
+  /** Validated SQL-registration builder for a given form. */
+  def fromExprs(form: String)(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      bridge.analysisError(
+        s"${form.toLowerCase}_normalize(s) takes exactly 1 argument, " +
+          s"got ${exprs.length}")
+    UnicodeNormalize(exprs.head, form)
+  }
 }

@@ -126,7 +126,12 @@ final case class CoxMlp(
         i += 1
       }
       theta = newTheta
-      if (loss < best - 1e-6) { best = loss; bestTheta = theta.clone(); badEpochs = 0 }
+      // snapshot the EVALUATED iterate (th), not the post-step theta:
+      // `loss` belongs to th — saving theta would return parameters
+      // whose loss was never measured (a final overshooting step
+      // would silently ship a worse model than the one that
+      // justified saving it)
+      if (loss < best - 1e-6) { best = loss; bestTheta = th.clone(); badEpochs = 0 }
       else badEpochs += 1
       epoch += 1
     }
@@ -279,13 +284,7 @@ final case class FittedCoxMlp(
     val xstd = zip_with(
       zip_with(x, array(mu.map(lit(_)): _*), (v, m) => v - m),
       array(sd.map(lit(_)): _*), (v, s) => v / s)
-    val f = layers.foldLeft(xstd) { case (acc, (a, b)) =>
-      graft.functions.Let.bind(acc) { h =>
-        array(a.indices.map(j =>
-          greatest(lit(0.0), lit(b(j)) + CoxPH.scoreCol(h, a(j)))): _*)
-      }
-    }
-    CoxPH.scoreCol(f, w)
+    CoxPH.scoreCol(MlpStack.stackCol(xstd, layers), w)
   }
 
   def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {

@@ -124,7 +124,12 @@ final case class DeepHit(
         i += 1
       }
       theta = newTheta
-      if (loss < best - 1e-6) { best = loss; bestTheta = theta.clone(); badEpochs = 0 }
+      // snapshot the EVALUATED iterate (th), not the post-step theta:
+      // `loss` belongs to th — saving theta would return parameters
+      // whose loss was never measured (a final overshooting step
+      // would silently ship a worse model than the one that
+      // justified saving it)
+      if (loss < best - 1e-6) { best = loss; bestTheta = th.clone(); badEpochs = 0 }
       else badEpochs += 1
       epoch += 1
     }
@@ -328,18 +333,10 @@ final case class FittedDeepHit(
     layers: Seq[(Array[Array[Double]], Array[Double])] = Nil)
     extends FittedSurvModel {
 
-  /** Head input f(x): identity or the folded ReLU layer stack. Every
-    * layer's input is let-bound so layer l evaluates ONCE per row —
-    * naively folded, each of layer l+1's h elements would re-embed
-    * (and re-evaluate) the whole layer-l expression.
+  /** Head input f(x): identity or the folded ReLU layer stack
+    * ([[MlpStack.stackCol]] — shared across the fitted models).
     */
-  private def featCol(x: Column): Column =
-    layers.foldLeft(x) { case (acc, (a, b)) =>
-      graft.functions.Let.bind(acc) { f =>
-        array(a.indices.map(j =>
-          greatest(lit(0.0), lit(b(j)) + CoxPH.scoreCol(f, a(j)))): _*)
-      }
-    }
+  private def featCol(x: Column): Column = MlpStack.stackCol(x, layers)
 
   /** PMF array softmax(z) with z_k = c_k + W_k·f(x) (max-shifted).
     * Every stage is let-bound ([[graft.functions.Let.bind]]) so f, z,

@@ -160,7 +160,12 @@ final case class LogisticHazardMlp(
         i += 1
       }
       theta = newTheta
-      if (loss < best - 1e-6) { best = loss; bestTheta = theta.clone(); badEpochs = 0 }
+      // snapshot the EVALUATED iterate (th), not the post-step theta:
+      // `loss` belongs to th — saving theta would return parameters
+      // whose loss was never measured (a final overshooting step
+      // would silently ship a worse model than the one that
+      // justified saving it)
+      if (loss < best - 1e-6) { best = loss; bestTheta = th.clone(); badEpochs = 0 }
       else badEpochs += 1
       epoch += 1
     }
@@ -241,13 +246,7 @@ final case class FittedLogisticHazardMlp(
     * h_k = sigmoid(b_k + W_k·f) with f evaluated once per row.
     */
   def hazards(x: Column): Column = {
-    val f = layers.foldLeft(x) { case (acc, (a, bb)) =>
-      graft.functions.Let.bind(acc) { h =>
-        array(a.indices.map(j =>
-          greatest(lit(0.0), lit(bb(j)) + CoxPH.scoreCol(h, a(j)))): _*)
-      }
-    }
-    graft.functions.Let.bind(f) { ff =>
+    graft.functions.Let.bind(MlpStack.stackCol(x, layers)) { ff =>
       array(b.indices.map(kk =>
         sigmoid(lit(b(kk)) + CoxPH.scoreCol(ff, w(kk)))): _*)
     }

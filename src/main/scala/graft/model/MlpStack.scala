@@ -1,5 +1,8 @@
 package graft.model
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{array, greatest, lit}
+
 /** Shared ReLU MLP stack algebra for the per-partition training
   * accumulators (DeepHit, CoxMlp, LogisticHazard's MLP flavor) — the
   * `tt.practical.MLPVanilla` hidden stack (reference:
@@ -112,4 +115,23 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int) {
       l += 1
     }
   }
+}
+
+object MlpStack {
+
+  /** f(x) through the ReLU stack as pure let-bound column algebra —
+    * the ONE shared prediction-path forward for every fitted model
+    * (FittedDeepHit / FittedCoxMlp / FittedLogisticHazardMlp). Each
+    * layer's input is bound once per row; naively folded, every
+    * element of layer l+1 would re-embed (and re-evaluate) the whole
+    * layer-l expression.
+    */
+  def stackCol(x: Column,
+               layers: Seq[(Array[Array[Double]], Array[Double])]): Column =
+    layers.foldLeft(x) { case (acc, (a, b)) =>
+      graft.functions.Let.bind(acc) { f =>
+        array(a.indices.map(j =>
+          greatest(lit(0.0), lit(b(j)) + CoxPH.scoreCol(f, a(j)))): _*)
+      }
+    }
 }

@@ -373,14 +373,21 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
       .groupBy(col("id")).agg(collect_set(col("p")).as("cov"))
+    // rebuild: surviving POSITIONS via array_except (hash-based,
+    // O(tokens + covered) — a per-token array_contains over the
+    // covered set would be O(tokens × covered), quadratic exactly on
+    // the boilerplate-heavy documents the scrub targets most), then
+    // one element_at gather in position order.
     base.join(cov, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cov"), array().cast("array<int>")).as("cov"),
         col("toks"))
+      .withColumn("keep_pos",
+        array_except(sequence(lit(1), size(col("toks"))), col("cov")))
       .select(col("id"),
-        concat_ws(" ", filter(col("toks"),
-          (t, i) => !array_contains(col("cov"), i + lit(1)))).as("text_clean"),
-        (size(col("toks")) - size(col("cov"))).cast("long").as("n_kept"),
+        concat_ws(" ", transform(col("keep_pos"),
+          p => element_at(col("toks"), p))).as("text_clean"),
+        size(col("keep_pos")).cast("long").as("n_kept"),
         size(col("cov")).cast("long").as("n_dropped"))
   }
 

@@ -342,14 +342,15 @@ object RelationalQueries {
     }),
 
     // §2.9 windows: lag/lead/ntile family — per-customer order gaps
-    // and spend quartile. Partitioned by custkey → fully parallel;
-    // all three window functions share ONE sort within the partition.
+    // and the order-SEQUENCE quartile (ntile over date order).
+    // Partitioned by custkey → fully parallel; all three window
+    // functions share ONE sort within the partition.
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_date"), col("o_orderkey"))
       Tables.load(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+          to_date(col("o_orderdate")).as("o_date"))
         .select(col("o_custkey"), col("o_orderkey"), col("o_date"),
           datediff(col("o_date"), lag(col("o_date"), 1).over(w)).as("gap_days"),
           datediff(lead(col("o_date"), 1).over(w), col("o_date")).as("next_gap_days"),

@@ -173,6 +173,8 @@ object StreamingOps {
     */
   def minhashBandKeys(text: org.apache.spark.sql.Column, numHashes: Int = 16,
                       rowsPerBand: Int = 4, n: Int = 3): org.apache.spark.sql.Column = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes $numHashes must be a multiple of rowsPerBand $rowsPerBand")
     val P = graft.ops.Dedup.P
     val toks = graft.ops.TextAnalysis.tokens(text)
     val grams = graft.functions.Let.bind(toks) { tk =>
@@ -183,17 +185,25 @@ object StreamingOps {
         .otherwise(array().cast("array<long>"))
     }
     val nBands = numHashes / rowsPerBand
+    // a doc shorter than n tokens has NO shingles and must claim NO
+    // bands (array_min over the empty gram set is null and concat_ws
+    // skips nulls, so without the guard every short doc would share
+    // the "" key on every band — the first one would then suppress
+    // all the others as fake near-dups). Empty bands == the batch
+    // gate's behavior (absent from the shingle table entirely).
     graft.functions.Let.bind(grams) { g =>
-      graft.functions.Let.bind(
-        transform(sequence(lit(0), lit(numHashes - 1)), h =>
-          array_min(transform(g, x =>
-            (x * (h * 2 + lit(3)) + (h * 5 + lit(7))) % lit(P))))) { sig =>
-        transform(sequence(lit(0), lit(nBands - 1)), b =>
-          struct(b.cast("int").as("band"),
-            concat_ws(",", transform(
-              slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
-              _.cast("string"))).as("key")))
-      }
+      when(size(g) === 0,
+        array().cast("array<struct<band:int,key:string>>"))
+        .otherwise(graft.functions.Let.bind(
+          transform(sequence(lit(0), lit(numHashes - 1)), h =>
+            array_min(transform(g, x =>
+              (x * (h * 2 + lit(3)) + (h * 5 + lit(7))) % lit(P))))) { sig =>
+          transform(sequence(lit(0), lit(nBands - 1)), b =>
+            struct(b.cast("int").as("band"),
+              concat_ws(",", transform(
+                slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
+                _.cast("string"))).as("key")))
+        })
     }
   }
 
@@ -210,6 +220,9 @@ object StreamingOps {
   def nearDupClaims(docs: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 16, rowsPerBand: Int = 4,
                     n: Int = 3): DataFrame =
+    // NOTE: nearDupKeep must be called with the SAME numHashes /
+    // rowsPerBand — it filters on claiming all numHashes/rowsPerBand
+    // bands, so mismatched parameters reject every document.
     docs.select(col(idCol).as("doc_id"),
         explode(minhashBandKeys(col(textCol), numHashes, rowsPerBand, n))
           .as("bk"))
@@ -221,10 +234,13 @@ object StreamingOps {
     * band keys (no band shared with any earlier document).
     */
   def nearDupKeep(claims: DataFrame, numHashes: Int = 16,
-                  rowsPerBand: Int = 4): DataFrame =
+                  rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes $numHashes must be a multiple of rowsPerBand $rowsPerBand")
     claims.groupBy(col("doc_id")).agg(count(lit(1)).as("n_claims"))
       .filter(col("n_claims") === (numHashes / rowsPerBand))
       .select(col("doc_id"))
+  }
 
   /** Deterministic BATCH form of the near-dup gate: every (band, key)
     * is awarded to its MINIMUM doc id (the streaming path awards it

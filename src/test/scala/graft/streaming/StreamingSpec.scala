@@ -268,8 +268,11 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     input.addData((1L, t1), (2L, t2))
     q.processAllAvailable()
-    // 3 = exact repeat of doc 1 (all bands collide), 4 = novel
-    input.addData((3L, t1), (4L, t3))
+    // 3 = exact repeat of doc 1 (all bands collide), 4 = novel;
+    // 5 and 6 are DISTINCT sub-n-token docs — they claim no bands at
+    // all (the empty-shingle guard), so neither may suppress the
+    // other, and having no claims they are not emitted as kept either
+    input.addData((3L, t1), (4L, t3), (5L, "hi there"), (6L, "bye now"))
     q.processAllAvailable()
     q.stop()
     assert(kept.keySet == Set(1L, 2L, 4L), s"kept=${kept.keySet}")
