@@ -229,29 +229,23 @@ object LogisticHazardMlp {
   }
 }
 
-/** Fitted neural logistic hazard: per-bin intercepts b, per-bin
-  * output weights W over the ReLU stack, and the stack layers. Same
-  * column-algebra prediction path as the linear flavor.
+/** Shared discrete-hazard prediction path: hazards → running-product
+  * survival fold → linear interpolation onto a grid. One
+  * implementation for both the linear and MLP fitted flavors; only
+  * `hazards` differs. The running product associates identically to
+  * per-k slice products, so values are bit-equal to the unshared
+  * form the oracles were pinned against.
   */
-final case class FittedLogisticHazardMlp(
-    model: LogisticHazardMlp,
-    cuts: DurationCuts,
-    b: Array[Double],
-    w: Array[Array[Double]],
-    layers: Seq[(Array[Array[Double]], Array[Double])]) extends FittedSurvModel {
+private[model] trait HazardCurvePredict extends FittedSurvModel {
+  def cuts: DurationCuts
+  def hazards(x: Column): Column
 
-  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+  protected def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
-  /** f(x) through the let-bound ReLU stack, then per-bin hazards
-    * h_k = sigmoid(b_k + W_k·f) with f evaluated once per row.
+  /** Survival S_k = Π_{j<=k}(1−h_j) over an already-computed hazards
+    * array column, as ONE running fold (K elements, not K
+    * aggregate(slice) passes).
     */
-  def hazards(x: Column): Column = {
-    graft.functions.Let.bind(MlpStack.stackCol(x, layers)) { ff =>
-      array(b.indices.map(kk =>
-        sigmoid(lit(b(kk)) + CoxPH.scoreCol(ff, w(kk)))): _*)
-    }
-  }
-
   def survFromHazards(h: Column): Column =
     aggregate(h,
       struct(lit(1.0).as("q"), array().cast("array<double>").as("out")),
@@ -279,6 +273,28 @@ final case class FittedLogisticHazardMlp(
   }
 }
 
+/** Fitted neural logistic hazard: per-bin intercepts b, per-bin
+  * output weights W over the ReLU stack, and the stack layers. Same
+  * column-algebra prediction path as the linear flavor.
+  */
+final case class FittedLogisticHazardMlp(
+    model: LogisticHazardMlp,
+    cuts: DurationCuts,
+    b: Array[Double],
+    w: Array[Array[Double]],
+    layers: Seq[(Array[Array[Double]], Array[Double])])
+    extends HazardCurvePredict {
+
+  /** f(x) through the let-bound ReLU stack, then per-bin hazards
+    * h_k = sigmoid(b_k + W_k·f) with f evaluated once per row.
+    */
+  def hazards(x: Column): Column =
+    graft.functions.Let.bind(MlpStack.stackCol(x, layers)) { ff =>
+      array(b.indices.map(kk =>
+        sigmoid(lit(b(kk)) + CoxPH.scoreCol(ff, w(kk)))): _*)
+    }
+}
+
 /** Fitted discrete hazard: interval intercepts b (one per cut) and the
   * shared covariate slope β, both in original feature space (MLlib LR
   * de-standardizes its coefficients).
@@ -287,9 +303,7 @@ final case class FittedLogisticHazard(
     model: LogisticHazard,
     cuts: DurationCuts,
     b: Array[Double],
-    beta: Array[Double]) extends FittedSurvModel {
-
-  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    beta: Array[Double]) extends HazardCurvePredict {
 
   /** Per-row array of hazards h_k = sigmoid(b_k + βᵀx); βᵀx let-bound
     * so the dot product runs once per row, not once per interval.
@@ -298,38 +312,4 @@ final case class FittedLogisticHazard(
     graft.functions.Let.bind(CoxPH.scoreCol(x, beta)) { bx =>
       transform(array(b.map(lit(_)): _*), bk => sigmoid(bk + bx))
     }
-
-  /** Per-row array of discrete survival values S_k = Π_{j<=k}(1−h_j)
-    * as ONE running fold (K elements, not K aggregate(slice) passes);
-    * the running product associates identically to the per-k slice
-    * products, so values are bit-equal to the old form. Callers that
-    * also need the hazards should compute them into a column and pass
-    * it to [[survFromHazards]].
-    */
-  def discreteSurv(x: Column): Column = survFromHazards(hazards(x))
-
-  /** [[discreteSurv]] over an already-computed hazards array column. */
-  def survFromHazards(h: Column): Column =
-    aggregate(h,
-      struct(lit(1.0).as("q"), array().cast("array<double>").as("out")),
-      (acc, hj) => {
-        val q = acc.getField("q") * (lit(1.0) - hj)
-        struct(q.as("q"),
-          concat(acc.getField("out"), array(q)).as("out"))
-      },
-      acc => acc.getField("out"))
-
-  def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
-    val spark = tensorized.sparkSession
-    import spark.implicits._
-    val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
-    val knots = 0.0 +: cuts.cuts.toSeq
-    val xd = transform(col("x"), _.cast("double"))
-    tensorized
-      .select(col("id"),
-        concat(array(lit(1.0)), discreteSurv(xd)).as("sv"))
-      .crossJoin(broadcast(g))
-      .select(col("id"), col("tau_idx"), col("tau"),
-        Interpolation.linearAt(col("tau"), knots.toArray, col("sv")).as("s"))
-  }
 }
