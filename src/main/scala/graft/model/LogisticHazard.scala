@@ -113,7 +113,7 @@ final case class LogisticHazardMlp(
     val stack = new MlpStack(p, hidden,
       k + k * (if (hidden.nonEmpty) hidden.last else p))
     val q = stack.outWidth
-    var theta = {
+    val theta = {
       val t = Array.fill(k + k * q + stack.size)(0.0)
       if (hidden.nonEmpty) {
         val rng = new scala.util.Random(seed)
@@ -124,19 +124,10 @@ final case class LogisticHazardMlp(
       }
       t
     }
-    val mAdam = Array.fill(theta.length)(0.0)
-    val vAdam = Array.fill(theta.length)(0.0)
-    var best = Double.MaxValue
-    var bestTheta = theta.clone()
-    var badEpochs = 0
-    val (b1, b2, eps) = (0.9, 0.999, 1e-8)
-    var step = 0
-    var epoch = 0
-    while (epoch < epochs && badEpochs < patience) {
-      val th = theta
-      val bs = batchSize
-      val hid = hidden
-      val (kk, pp) = (k, p)
+    val bs = batchSize
+    val hid = hidden
+    val (kk, pp) = (k, p)
+    val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
       val (lossSum, grad, cnt) = train.mapPartitions { it =>
         val acc = LogisticHazardMlp.PartitionAcc(kk, pp, th, hid)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
@@ -146,28 +137,8 @@ final case class LogisticHazardMlp(
         var i = 0; while (i < g.length) { g(i) += b._2(i); i += 1 }
         (a._1 + b._1, g, a._3 + b._3)
       }
-      val loss = lossSum / math.max(cnt, 1L).toDouble
-      step += 1
-      val newTheta = theta.clone()
-      var i = 0
-      while (i < theta.length) {
-        val g = grad(i) / math.max(cnt, 1L).toDouble
-        mAdam(i) = b1 * mAdam(i) + (1 - b1) * g
-        vAdam(i) = b2 * vAdam(i) + (1 - b2) * g * g
-        val mh = mAdam(i) / (1 - math.pow(b1, step))
-        val vh = vAdam(i) / (1 - math.pow(b2, step))
-        newTheta(i) = theta(i) - lr * mh / (math.sqrt(vh) + eps)
-        i += 1
-      }
-      theta = newTheta
-      // snapshot the EVALUATED iterate (th), not the post-step theta:
-      // `loss` belongs to th — saving theta would return parameters
-      // whose loss was never measured (a final overshooting step
-      // would silently ship a worse model than the one that
-      // justified saving it)
-      if (loss < best - 1e-6) { best = loss; bestTheta = th.clone(); badEpochs = 0 }
-      else badEpochs += 1
-      epoch += 1
+      val d = math.max(cnt, 1L).toDouble
+      (lossSum / d, grad.map(_ / d))
     }
     train.unpersist()
 
