@@ -227,6 +227,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess.filter(col("duration_us") < 0).count() == 0)
   }
 
+  test("checkpointed file sink: restart resumes exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (out, ckpt) = (s"$tmp/out", s"$tmp/ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    def start() = input.toDF().toDF("id", "v")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").start(out)
+    val q1 = start()
+    input.addData((1L, 1.0), (2L, 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart FROM THE CHECKPOINT: batch 1 must not be re-emitted,
+    // batch 2 must be picked up
+    input.addData((3L, 3.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)), got.toString)
+  }
+
   test("row-local minhash band keys equal the batch groupBy signature") {
     // the streaming path must agree with Dedup.minhashSignatureArr on
     // every document (same permutation family, same band layout)
