@@ -287,6 +287,40 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // §2.9 TPC-H Q5 shape: five-table star-chain with a region gate —
+    // the join-ORDERING showcase. region/nation broadcast (KB dims);
+    // customer⋈orders shuffles on custkey; the result joins lineitem
+    // on orderkey and supplier broadcast; the local-supplier predicate
+    // (c_nationkey = s_nationkey) closes at the end. Decimal revenue
+    // exact.
+    "q5_join_chain" -> ((s, dir) => {
+      val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name")
+    }),
+
     // cohort retention matrix: signup week × active week distinct
     // users — two aggregations and an equi-join on user_id, the
     // classic product-analytics rollup (no windows, no self-join)
@@ -567,6 +601,23 @@ object RelationalQueries {
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
         |ORDER BY purchase_id""".stripMargin,
+
+    "q5_join_chain" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |             AND s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id,
