@@ -321,6 +321,22 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // §2.9 TPC-H Q17 shape: correlated scalar subquery, decorrelated
+    // the way Catalyst itself would — per-key aggregate + equi-join
+    // back to the fact (one shuffle each on the SAME key, so the join
+    // reuses the aggregation's exchange). Per-part mean through the
+    // exact DECIMAL sum so the threshold is engine-identical.
+    "q17_subquery" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val pavg = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      li.join(pavg, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(dsum(col("l_extendedprice"), 2).as("total_rev"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // cohort retention matrix: signup week × active week distinct
     // users — two aggregations and an equi-join on user_id, the
     // classic product-analytics rollup (no windows, no self-join)
@@ -601,6 +617,18 @@ object RelationalQueries {
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
         |ORDER BY purchase_id""".stripMargin,
+
+    // decorrelated form with the identical DECIMAL-mean arithmetic
+    "q17_subquery" ->
+      """WITH pa AS (SELECT l_partkey,
+        |  0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(*)) AS half_avg
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_rev,
+        |       count(*) AS n_rows
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        |WHERE l.l_quantity < pa.half_avg""".stripMargin,
 
     "q5_join_chain" ->
       """SELECT n_name,
