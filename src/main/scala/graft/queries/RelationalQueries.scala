@@ -408,6 +408,27 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_date", "o_orderkey")
     }),
 
+    // RANGE-frame window: per-user 1-hour trailing event count and
+    // value sum at every event — the time-based rolling aggregate
+    // (rangeBetween on epoch micros, not row counts). Partitioned by
+    // user → fully parallel.
+    "q_window_range" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").cast(DecimalType(18, 6)).as("v"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("v")).over(w).cast("double").as("sum_1h"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_1h"), round(col("sum_1h"), 6).as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
     // conversion funnel over the events stream: first view → first
     // click AFTER it → first purchase AFTER that. Three chained
     // per-user window minima share ONE hash exchange (same
@@ -700,6 +721,18 @@ object RelationalQueries {
         |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
         |    AS seq_quartile
         |FROM o ORDER BY o_custkey, o_date, o_orderkey""".stripMargin,
+
+    "q_window_range" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  CAST(value AS DECIMAL(18,6)) AS v FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |       count(*) OVER w AS n_1h,
+        |       round(CAST(sum(v) OVER w AS DOUBLE), 6) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
