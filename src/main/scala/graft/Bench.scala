@@ -48,15 +48,24 @@ object Bench {
       // manager was full of dead cache (round-2's 138 s minhash outlier
       // was this — 13 s in a fresh JVM). Release each query's OWN
       // persists after measuring it; setup-level caches survive.
+      // Release goes through Pins.scoped (Dataset-level): the raw
+      // RDD.unpersist sweep used through round 6 left dead CacheManager
+      // entries that silently no-op'd any LATER persist of the same
+      // canonical plan — q_dedup_ngram_jaccard's warm runs measured
+      // SLOWER than cold because q_dedup_cc's sweep had killed their
+      // shared capped-shingle pin for the rest of the JVM. The RDD diff
+      // below stays as a fallback for persists that bypass Pins.
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet ++ setupIds
-      val (cold, warm) = try {
-        val c = once()
-        (c, math.min(once(), once()))
-      } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: $e")
-          (-1.0, -1.0)
+      val (cold, warm) = graft.core.Pins.scoped {
+        try {
+          val c = once()
+          (c, math.min(once(), once()))
+        } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: $e")
+            (-1.0, -1.0)
+        }
       }
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => persistedBefore(id) }

@@ -22,11 +22,18 @@ import org.apache.spark.sql.SparkSession
   * consume (collect/write/count) the result inside the scope; a lazily
   * held DataFrame remains valid afterwards but recomputes. Pre-existing
   * pins (e.g. the memoized churn dataset) are untouched.
+  *
+  * Release happens at the DATASET level via [[Pins]] — a raw
+  * `RDD.unpersist` sweep would leave the dead CacheManager entry that
+  * silently disables any later `.persist()` of the same canonical plan
+  * (see Pins' scaladoc for the measured failure). A `getPersistentRDDs`
+  * diff remains as a fallback for persists that bypassed [[Pins]];
+  * after the scoped release it normally matches nothing.
   */
 object CacheScope {
   def apply[T](spark: SparkSession)(f: => T): T = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    try f
+    try Pins.scoped(f)
     finally spark.sparkContext.getPersistentRDDs
       .filterNot { case (id, _) => before(id) }
       .values.foreach(_.unpersist(blocking = false))

@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Registry of operator cache pins, releasable at the DATASET level.
+  *
+  * Why this exists: operators persist load-bearing intermediates
+  * (shingle sets, minhash signatures, LSH candidates, fitted
+  * baselines). Sweeping those pins via `SparkContext.getPersistentRDDs`
+  * + `RDD.unpersist` — the shape CacheScope/Bench used through round 6
+  * — drops the cached blocks but leaves the entry in Catalyst's
+  * CacheManager. The entry is then poison twice over: a LATER identical
+  * plan's `.persist()` is a silent no-op ("already cached") against a
+  * relation whose storage level can never be re-enabled, and plan
+  * substitution keeps routing scans through the dead InMemoryRelation
+  * (recompute + columnar re-encode per scan, nothing stored). Measured:
+  * q_dedup_ngram_jaccard ran its WARM runs slower than cold (2.1 s vs
+  * 1.5 s) because q_dedup_cc — which pins the same capped-shingle plan
+  * — ran first and its sweep left the dead entry.
+  *
+  * `Dataset.unpersist` is the only release that removes the
+  * CacheManager entry, so pins must be released through the Dataset
+  * handle. Operators register every persist here ([[pin]]); sweeps
+  * release by scope ([[scoped]]) and a raw-RDD fallback stays in the
+  * sweeps only for persists that never touched the Dataset API.
+  *
+  * Scopes are a per-thread stack, so concurrently-evaluated Hyperband
+  * configs (each fit inside its own CacheScope on its own thread)
+  * release exactly their own pins.
+  */
+object Pins {
+
+  private sealed trait Pin { def release(): Unit }
+  private final case class DsPin(ds: Dataset[_]) extends Pin {
+    def release(): Unit = ds.unpersist(blocking = true)
+  }
+  private final case class RddPin(rdd: RDD[_]) extends Pin {
+    def release(): Unit = rdd.unpersist(blocking = true)
+  }
+
+  private final class Scope {
+    val pins = new java.util.concurrent.ConcurrentLinkedQueue[Pin]()
+  }
+
+  // Innermost active scope per thread; inherited so pins taken on
+  // short-lived child threads (parallel collections) still land in the
+  // spawning scope.
+  private val current = new InheritableThreadLocal[List[Scope]] {
+    override def initialValue(): List[Scope] = Nil
+  }
+
+  private def register(p: Pin): Unit = current.get() match {
+    case s :: _ => s.pins.add(p)
+    case Nil    => () // unscoped pin: caller owns the lifecycle
+  }
+
+  /** Persist `ds` and register it with the innermost scope on this
+    * thread (no scope → the caller owns the release).
+    */
+  def pin[T](ds: Dataset[T],
+             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    ds.persist(level)
+    register(DsPin(ds))
+    ds
+  }
+
+  /** RDD-level twin of [[pin]] for genuine RDD persists (per-partition
+    * training accumulators etc.), which never enter the CacheManager.
+    */
+  def pinRdd[T](rdd: RDD[T],
+                level: StorageLevel = StorageLevel.MEMORY_AND_DISK): RDD[T] = {
+    rdd.persist(level)
+    register(RddPin(rdd))
+    rdd
+  }
+
+  /** Run `f` in a fresh scope; every pin taken during `f` on this
+    * thread (or a thread it spawns) is released — Dataset-level, so the
+    * CacheManager entry goes too — when `f` finishes.
+    */
+  def scoped[T](f: => T): T = {
+    val s = new Scope
+    current.set(s :: current.get())
+    try f
+    finally {
+      current.set(current.get() match {
+        case `s` :: rest => rest
+        case other       => other.filterNot(_ eq s)
+      })
+      s.pins.forEach(_.release())
+      s.pins.clear()
+    }
+  }
+}

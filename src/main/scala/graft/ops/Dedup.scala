@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Pins
 import graft.functions.VecDot.vec_dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -68,12 +69,12 @@ object Dedup {
     // present in that many documents carries no dedup signal. One
     // extra groupBy on the shingle key the join shuffles on anyway.
     val shAll = shingles(docs, idCol, textCol, n)
-    val sh = (if (maxDocFreq == Int.MaxValue) shAll
+    val sh = Pins.pin(if (maxDocFreq == Int.MaxValue) shAll
       else {
         val freq = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDocFreq)
         shAll.join(freq.select(col("sh")), Seq("sh"))
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -122,10 +123,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, rowsPerBand: Int = 4,
                       n: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatureArr(sh, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = Pins.pin(shingles(docs, idCol, textCol, n))
+    val sig = Pins.pin(minhashSignatureArr(sh, numHashes))
     val nBands = numHashes / rowsPerBand
     val bands = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
@@ -134,11 +133,10 @@ object Dedup {
             _.cast("string"))))).as(Seq("band", "key")))
     // persisted: both the est and exact-Jaccard branches consume cand,
     // and without the pin the band self-join runs once per branch
-    val cand = bands.as("a").join(bands.as("b"),
+    val cand = Pins.pin(bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("a.id").as("i"), col("b.id").as("j")).distinct())
     // estimated similarity: fraction of agreeing minhashes (array zip)
     val est = cand
       .join(sig.select(col("id").as("i"), col("sig").as("sa")), Seq("i"))
@@ -358,11 +356,14 @@ object Dedup {
     val idx = when(size(col("toks")) >= n,
         sequence(lit(1), size(col("toks")) - lit(n - 1)))
       .otherwise(array().cast("array<int>"))
-    val grams = base.select(col("id"), col("toks"), explode(idx).as("i"))
+    // Pinned through Pins: both the df table and the coverage join
+    // consume grams. Lifecycle belongs to the caller's CacheScope —
+    // the scope's Dataset-level release is what keeps a long session
+    // from accumulating this pin (round-6 advisory).
+    val grams = Pins.pin(base.select(col("id"), col("toks"), explode(idx).as("i"))
       .select(col("id"), col("i"), shingleInt(concat_ws(" ",
         (0 until n).map(o => element_at(col("toks"), col("i") + lit(o))): _*))
-        .as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as("gh")))
     val dup = grams.select(col("id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)

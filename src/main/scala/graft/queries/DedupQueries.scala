@@ -253,7 +253,7 @@ object DedupQueries {
         |w AS (SELECT band, key, min(id) AS winner
         |      FROM bands GROUP BY band, key),
         |v AS (SELECT b.id AS doc_id, count(*) AS n_bands,
-        |             sum(CASE WHEN w.winner = b.id THEN 1 ELSE 0 END) AS n_won
+        |             CAST(sum(CASE WHEN w.winner = b.id THEN 1 ELSE 0 END) AS BIGINT) AS n_won
         |      FROM bands b JOIN w ON b.band = w.band AND b.key = w.key
         |      GROUP BY b.id)
         |SELECT doc_id, n_bands, n_won,
