@@ -216,9 +216,12 @@ object Dedup {
       val len = starts(k + 1) - starts(k)
       shiftright(v, starts(k)).bitwiseAND(lit((1L << len) - 1L))
     }
-    val blocks = sims.select(col("id"), col("simhash"),
+    // Pinned: the self-join consumes blocks on BOTH sides — without
+    // the pin the fingerprint subtree (tokenize + md5 + bit majority)
+    // computes twice per run. Same contract as minhashLshPairs' cand.
+    val blocks = Pins.pin(sims.select(col("id"), col("simhash"),
       posexplode(array((0 until nBlocks).map(blockOf(col("simhash"), _)): _*))
-        .as(Seq("blk", "key")))
+        .as(Seq("blk", "key"))))
     val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
     // 1-based index of the first bit-identical block of the pair
     val firstEq = array_position(
