@@ -24,11 +24,15 @@ import org.apache.spark.sql.functions._
   *     repartition on the bucket id (memory per task = bucket size,
   *     tunable via B).
   *
-  * Ordered windows here run over DISTINCT times (the assumption
-  * KM/Breslow previously shared); for continuous-time data at extreme
-  * scale they would switch to the three-pass range scan NOW
-  * IMPLEMENTED in [[KaplanMeier.curveExpr]] / `CoxPH.breslow` —
-  * kept windowed here so all four counts stay branches of ONE job.
+  * The comparable and ties counts need suffix sums over DISTINCT times
+  * (optionally within a risk / τ group). Those used ordered windows
+  * through round 6 — a global `Window.orderBy(t)` serializes on one
+  * partition when |distinct t| ≈ n (continuous time). They now use the
+  * same distributed three-pass range scan as [[KaplanMeier.curveExpr]]
+  * / `CoxPH.breslow`, generalized to keyed runs ([[evAfterDf]]): range
+  * partition by (keys, t desc), per-partition run summaries, driver
+  * carries (O(partitions) scalars), one seeded per-partition sweep.
+  * The final reduction of all four counts is still ONE job.
   */
 object ScalableConcordance {
 
@@ -56,22 +60,17 @@ object ScalableConcordance {
     val sb = s.withColumn("b", bucketCol)
 
     // ---- comparable: events at t × subjects with larger t ----
-    val wT = Window.orderBy(col("t"))
-    val comparableDf = s.groupBy(col("t"))
-      .agg(count(lit(1)).as("m"), sum(col("e")).as("ev"))
-      .withColumn("after",
-        coalesce(sum(col("m")).over(wT.rowsBetween(1, Window.unboundedFollowing)),
-          lit(0L)))
-      .agg(coalesce(sum(col("ev") * col("after")), lit(0L)).as("v"))
+    // (range-scan suffix counts — a global ordered window here would
+    // serialize on one partition for continuous-time data)
+    val comparableDf = evAfterDf(
+      s.groupBy(col("t")).agg(count(lit(1)).as("m"), sum(col("e")).as("ev")),
+      Nil)
 
     // ---- ties: same risk, larger t ----
-    val wRT = Window.partitionBy(col("r")).orderBy(col("t"))
-    val tiesDf = s.groupBy(col("r"), col("t"))
-      .agg(count(lit(1)).as("m"), sum(col("e")).as("ev"))
-      .withColumn("after",
-        coalesce(sum(col("m")).over(wRT.rowsBetween(1, Window.unboundedFollowing)),
-          lit(0L)))
-      .agg(coalesce(sum(col("ev") * col("after")), lit(0L)).as("v"))
+    val tiesDf = evAfterDf(
+      s.groupBy(col("r"), col("t"))
+        .agg(count(lit(1)).as("m"), sum(col("e")).as("ev")),
+      Seq("r"))
 
     // ---- cross-bucket at EVENT points only (no dense t × bucket
     // grid — see the antolini() comment for the union/prefix trick) ----
@@ -176,21 +175,18 @@ object ScalableConcordance {
     // then reads cache instead of racing to recompute it per branch.
     x.count()
 
-    val wTauT = Window.partitionBy(col("tau")).orderBy(col("t"))
-    val comparableDf = x.groupBy(col("tau"), col("t"))
-      .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev"))
-      .withColumn("after",
-        coalesce(sum(col("m")).over(wTauT.rowsBetween(1, Window.unboundedFollowing)),
-          lit(0L)))
-      .agg(coalesce(sum(col("ev") * col("after")), lit(0L)).as("v"))
+    // Suffix counts per τ (and per (τ, r) for ties) via the keyed range
+    // scan — a window partitioned by τ alone processes a whole n-row
+    // slice on one task, the same serialization the global-t window had.
+    val comparableDf = evAfterDf(
+      x.groupBy(col("tau"), col("t"))
+        .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev")),
+      Seq("tau"))
 
-    val wTauRT = Window.partitionBy(col("tau"), col("r")).orderBy(col("t"))
-    val tiesDf = x.groupBy(col("tau"), col("r"), col("t"))
-      .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev"))
-      .withColumn("after",
-        coalesce(sum(col("m")).over(wTauRT.rowsBetween(1, Window.unboundedFollowing)),
-          lit(0L)))
-      .agg(coalesce(sum(col("ev") * col("after")), lit(0L)).as("v"))
+    val tiesDf = evAfterDf(
+      x.groupBy(col("tau"), col("r"), col("t"))
+        .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev")),
+      Seq("tau", "r"))
 
     // b monotone in r: r = −s ∈ [−1, 0] → equal-width cells, clamped.
     val b = greatest(lit(0), least(lit(numBuckets - 1),
@@ -247,6 +243,94 @@ object ScalableConcordance {
     val concordant = cross + within + 0.5 * ties
     Seq((comparable, concordant, concordant / comparable.toDouble))
       .toDF("comparable", "concordant", "cindex")
+  }
+
+  /** Σ_cells ev · #{rows in same-key cells with strictly larger t},
+    * as a 1-row DataFrame("v") the caller unions into its single
+    * counting job.
+    *
+    * `cells` must be (keyCols..., t, m, ev) with one row per distinct
+    * (keys, t) — m subjects and ev events at that cell. This is the
+    * KaplanMeier.curveExpr three-pass range scan generalized to keyed
+    * runs: rows are range-partitioned and sorted by (keys asc, t DESC),
+    * so each key's run is contiguous (possibly spanning partitions) and
+    * "same key, larger t" = "earlier in the run". Pass 1 collects per-
+    * partition leading/trailing run summaries (4 scalars + the boundary
+    * keys per partition — never O(rows) on the driver); a driver scan
+    * turns them into per-partition carry-in counts; pass 2 seeds each
+    * partition with its carry and streams Σ ev·prefix in O(1) memory.
+    * Integer sums only — association-free, so the result is EXACTLY the
+    * ordered-window formulation it replaces.
+    */
+  private def evAfterDf(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val np = spark.sessionState.conf.numShufflePartitions
+    val k = keyCols.length
+    val sortExprs = keyCols.map(col(_).asc) :+ col("t").desc
+    val g = cells
+      .select((keyCols.map(col) :+ col("t").cast("double").as("t") :+
+        col("m").cast("long").as("m") :+ col("ev").cast("long").as("ev")): _*)
+      .repartitionByRange(np, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+    // RDD-level persist shared by object across both passes (same
+    // contract as KaplanMeier.curveExpr: one sampled partitioning, and
+    // ContextCleaner releases it — no CacheManager pin).
+    val rows = g.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def keyOf(r: Row): Seq[Any] = Seq.tabulate(k)(r.get)
+
+    // Pass 1: per-partition (leadKey, leadRunSum, trailKey, trailRunSum,
+    // singleRun) — the only state the cross-partition carries need.
+    val stats = rows.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var leadKey: Seq[Any] = null; var leadSum = 0L
+        var curKey: Seq[Any] = null; var curSum = 0L
+        var nRuns = 0
+        it.foreach { r =>
+          val key = keyOf(r)
+          if (curKey == null || key != curKey) {
+            if (nRuns == 1) { leadKey = curKey; leadSum = curSum }
+            curKey = key; curSum = 0L; nRuns += 1
+          }
+          curSum += r.getLong(k + 1)
+        }
+        if (nRuns == 1) { leadKey = curKey; leadSum = curSum }
+        Iterator.single((pid, leadKey, leadSum, curKey, curSum, nRuns == 1))
+      }
+    }.collect().sortBy(_._1)
+
+    // Driver scan, ascending partitions: a key's run spans consecutive
+    // partitions, so carry-in for p's leading run = the accumulated sum
+    // of the SAME key's rows in earlier partitions (earlier partitions
+    // sort before ⇒ same key with LARGER t there ⇒ they count).
+    val carry = new Array[Long](rows.getNumPartitions)
+    var openKey: Seq[Any] = null
+    var openSum = 0L
+    stats.foreach { case (pid, leadKey, leadSum, trailKey, trailSum, single) =>
+      val cont = openKey != null && leadKey == openKey
+      carry(pid) = if (cont) openSum else 0L
+      if (single && cont) openSum += leadSum
+      else if (single) { openKey = leadKey; openSum = leadSum }
+      else { openKey = trailKey; openSum = trailSum }
+    }
+
+    // Pass 2: seed each partition's first run with its carry; within a
+    // run (t strictly descending, cells unique) the streaming prefix of
+    // m IS the strict larger-t count for the current row.
+    rows.mapPartitionsWithIndex { (pid, it) =>
+      var acc = 0L
+      var curKey: Seq[Any] = null
+      var pref = 0L
+      it.foreach { r =>
+        val key = keyOf(r)
+        if (curKey == null) { curKey = key; pref = carry(pid) }
+        else if (key != curKey) { curKey = key; pref = 0L }
+        acc += r.getLong(k + 2) * pref
+        pref += r.getLong(k + 1)
+      }
+      Iterator.single(acc)
+    }.toDF("v").agg(coalesce(sum(col("v")), lit(0L)).as("v"))
   }
 
   /** Collect N independent single-scalar aggregates in ONE job: tag
