@@ -162,16 +162,23 @@ object CoxMlp {
       // tie groups in descending-t order
       val order = batch.indices.sortBy(i => -batch(i)._3)
       val dg = new Array[Double](b)
-      // pass 1 (desc t): S per group = running Σ e^g including the
+      // log-sum-exp shift: a divergent iterate (lr at the search-space
+      // edge) can push g past ~709 and overflow exp to Inf — subtract
+      // the batch max before exponentiating and add it back inside the
+      // log. e^{g_j}/S_i is shift-invariant, so dg is unchanged.
+      var mx = Double.NegativeInfinity
+      i = 0
+      while (i < b) { if (g(i) > mx) mx = g(i); i += 1 }
+      // pass 1 (desc t): S per group = running Σ e^{g−mx} including the
       // group itself; loss for the group's events
-      val groupS = new Array[Double](b) // S at each row's group
+      val groupS = new Array[Double](b) // shifted S at each row's group
       var S = 0.0
       var gi = 0
       while (gi < order.length) {
         var gj = gi
         val t0 = batch(order(gi))._3
         while (gj < order.length && batch(order(gj))._3 == t0) {
-          S += math.exp(g(order(gj))); gj += 1
+          S += math.exp(g(order(gj)) - mx); gj += 1
         }
         var k = gi
         while (k < gj) {
@@ -179,7 +186,7 @@ object CoxMlp {
           groupS(idx) = S
           if (batch(idx)._4 == 1) {
             events += 1
-            loss += math.log(S) - g(idx)
+            loss += mx + math.log(S) - g(idx)
           }
           k += 1
         }
@@ -204,7 +211,7 @@ object CoxMlp {
         k = gj + 1
         while (k <= gi) {
           val idx = order(k)
-          dg(idx) = math.exp(g(idx)) * Ainv -
+          dg(idx) = math.exp(g(idx) - mx) * Ainv -
             (if (batch(idx)._4 == 1) 1.0 else 0.0)
           k += 1
         }
