@@ -100,8 +100,11 @@ object ModelFactory {
   * (optimizer.py:172-174).
   *
   * Each config evaluation is a full Spark train+score; configs within
-  * a rung are embarrassingly parallel on a cluster (FAIR pools) — run
-  * sequentially here.
+  * a rung are embarrassingly parallel and evaluate concurrently
+  * (`parallelism` threads, one FAIR scheduler pool tag each — a
+  * session built with spark.scheduler.mode=FAIR interleaves their
+  * jobs; FIFO still overlaps stages). Selection is bit-identical to
+  * the sequential run: scores fold in config order.
   */
 object Hyperband {
 
@@ -132,7 +135,12 @@ final class Hyperband(
     maxIter: Int = 81, // optimizer.py:30
     eta: Int = 3, // optimizer.py:31
     outputEpochs: Int = 200, // optimizer.py:33
-    seedRng: Long = 42L) {
+    seedRng: Long = 42L,
+    // Concurrent config evaluations per rung (SURVEY §3.3). Results
+    // are identical to sequential by construction: config sampling and
+    // the best-tracking fold stay on the caller thread in config
+    // order; only the pure train+score work fans out. 1 = sequential.
+    parallelism: Int = 4) {
 
   private val rng = new Random(seedRng)
   private def logEta(x: Double): Double = math.log(x) / math.log(eta.toDouble)
@@ -168,20 +176,31 @@ final class Hyperband(
     out.toSeq
   }
 
+  /** One config's train+score — PURE (no search-state mutation), so
+    * rung configs can evaluate concurrently and the best-tracking fold
+    * stays a deterministic sequential pass ([[recordBest]]).
+    *
+    * Rung evaluations discard the fitted artifact (survivors re-fit at
+    * the next rung's epoch budget): release its pinned caches or every
+    * evaluated config leaks persisted blocks for the session. release()
+    * drops the DataFrame-level pins; the surrounding Pins scope
+    * releases the registered RDD-level ones too (Breslow's range-scan
+    * rows, each score()'s censoring-KM rows), which otherwise wait for
+    * ContextCleaner GC and pile up across a rung's many configs.
+    * TrainCache entries are exempt by construction (raw persists) —
+    * they outlive the config and are released when the search ends.
+    */
   private def evalParams(m: ModelFactory, ds: SurvDataset,
                          params: Map[String, Any], epochs: Int): Double = {
-    // Rung evaluations discard the fitted artifact (survivors re-fit
-    // at the next rung's epoch budget): release its pinned caches or
-    // every evaluated config leaks persisted blocks for the session.
-    // release() drops the DataFrame-level pins; the surrounding
-    // CacheScope sweeps the RDD-level ones too (Breslow's range-scan
-    // rows, each score()'s censoring-KM rows), which otherwise wait
-    // for ContextCleaner GC and pile up across a rung's many configs.
-    val scores = graft.core.CacheScope(ds.df.sparkSession) {
+    val scores = graft.core.Pins.scoped {
       val fitted = m.build(params, epochs).fit(ds)
       try fitted.score(ds) finally fitted.release()
     }
-    val score = scores("c_index") - scores("brier_score")
+    scores("c_index") - scores("brier_score")
+  }
+
+  private def recordBest(m: ModelFactory, params: Map[String, Any],
+                         score: Double): Unit = {
     if (score > bestScore) {
       bestScore = score
       bestModel = Some(m)
@@ -190,13 +209,51 @@ final class Hyperband(
       // reference — an intentionally faithful artifact.
       if (score > modelBestScore(m.name)) modelBestScore(m.name) = score
     }
-    score
+  }
+
+  /** Evaluate a rung's configs — concurrently when `parallelism` > 1
+    * (each on its own thread inside its own Pins scope, tagged with a
+    * FAIR scheduler pool so a FAIR-mode session interleaves their
+    * jobs). Scores come back in CONFIG ORDER regardless of completion
+    * order, so the best-tracking fold (and quirk H4) is bit-identical
+    * to the sequential run.
+    */
+  private def evalRung(ds: SurvDataset,
+                       configs: Seq[(ModelFactory, Map[String, Any])],
+                       epochs: Int): Seq[Double] = {
+    val scores =
+      if (parallelism <= 1 || configs.size <= 1)
+        configs.map { case (m, params) => evalParams(m, ds, params, epochs) }
+      else {
+        val sc = ds.df.sparkSession.sparkContext
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, configs.size))
+        try {
+          val futures = configs.zipWithIndex.map { case ((m, params), idx) =>
+            pool.submit(new java.util.concurrent.Callable[Double] {
+              def call(): Double = {
+                sc.setLocalProperty("spark.scheduler.pool", s"hyperband-$idx")
+                try evalParams(m, ds, params, epochs)
+                finally sc.setLocalProperty("spark.scheduler.pool", null)
+              }
+            })
+          }
+          futures.map(_.get())
+        } finally pool.shutdown()
+      }
+    configs.lazyZip(scores).foreach { case ((m, params), score) =>
+      recordBest(m, params, score)
+    }
+    scores
   }
 
   /** Runs the search and returns the winner re-fit with
-    * `outputEpochs` (H5).
+    * `outputEpochs` (H5). The whole search runs under one
+    * [[graft.model.TrainCache]] sharing scope: each model family's
+    * config-independent prep (tensorize + encode + persist) is built
+    * once and reused by every config and rung, then released.
     */
-  def selectModel(ds: SurvDataset): FittedSurvModel = {
+  def selectModel(ds: SurvDataset): FittedSurvModel = graft.model.TrainCache.sharing {
     for (s <- sMax to 0 by -1) {
       val n = math.ceil(bBudget.toDouble / maxIter / (s + 1) * math.pow(eta, s)).toInt
       val r = maxIter * math.pow(eta, -s)
@@ -206,9 +263,7 @@ final class Hyperband(
       while (i <= s && configs.nonEmpty) {
         val nConfigs = math.ceil(n * math.pow(eta, -i)).toInt
         val epochs = (r * math.pow(eta, i)).toInt
-        val scored = configs.map { case (m, params) =>
-          (evalParams(m, ds, params, epochs), (m, params))
-        }
+        val scored = evalRung(ds, configs, epochs).zip(configs)
         val saved = math.ceil(nConfigs.toDouble / eta).toInt
         configs = scored.sortBy(_._1).takeRight(saved).map(_._2)
         i += 1

@@ -44,10 +44,13 @@ object Pins {
     val pins = new java.util.concurrent.ConcurrentLinkedQueue[Pin]()
   }
 
-  // Innermost active scope per thread; inherited so pins taken on
-  // short-lived child threads (parallel collections) still land in the
-  // spawning scope.
-  private val current = new InheritableThreadLocal[List[Scope]] {
+  // Innermost active scope per thread. Plain ThreadLocal, NOT
+  // inheritable: pooled worker threads are created once and reused, so
+  // an inherited stack would freeze whatever scope happened to be
+  // active at thread creation and leak every later pin into it. Each
+  // worker opens its own scope (Hyperband's parallel rung evaluation
+  // wraps every config in CacheScope on its evaluation thread).
+  private val current = new ThreadLocal[List[Scope]] {
     override def initialValue(): List[Scope] = Nil
   }
 

@@ -50,11 +50,11 @@ object KaplanMeier {
     // RDD-level persist, shared BY OBJECT across the three passes: the
     // partitioning (RangePartitioner's sampled bounds) is computed once
     // for this one RDD, so the per-partition carries below can never
-    // disagree with the emit pass; and the ContextCleaner auto-
-    // unpersists it once the returned DataFrame is unreachable — no
-    // leak into long-lived sessions (a DataFrame-level persist is
-    // CacheManager-pinned until an explicit unpersist).
-    val rows = g.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // disagree with the emit pass. Registered with Pins so an enclosing
+    // cache scope (Hyperband config evaluation, bench query) releases
+    // it deterministically; outside a scope the ContextCleaner still
+    // auto-unpersists once the returned DataFrame is unreachable.
+    val rows = graft.core.Pins.pinRdd(g.rdd)
 
     // Pass 1: per-partition subject counts → suffix carries for n
     // (n_t = Σ_{t' >= t} m; integer sums — association-free).

@@ -274,9 +274,9 @@ object ScalableConcordance {
       .repartitionByRange(np, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
     // RDD-level persist shared by object across both passes (same
-    // contract as KaplanMeier.curveExpr: one sampled partitioning, and
-    // ContextCleaner releases it — no CacheManager pin).
-    val rows = g.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // contract as KaplanMeier.curveExpr: one sampled partitioning;
+    // Pins-scoped release, ContextCleaner as the unscoped fallback).
+    val rows = graft.core.Pins.pinRdd(g.rdd)
     def keyOf(r: Row): Seq[Any] = Seq.tabulate(k)(r.get)
 
     // Pass 1: per-partition (leadKey, leadRunSum, trailKey, trailRunSum,

@@ -52,30 +52,36 @@ final case class CoxMlp(
     val spark = ds.df.sparkSession
     import spark.implicits._
 
-    val raw = ds.tensorized(ds.train)
-      .select(col("rn"), col("t").cast("double").as("t"),
-        col("e").cast("int").as("e"),
-        transform(col("x"), _.cast("double")).as("x"))
+    // Config-independent prefix (tensorize + scaler fit + standardize
+    // + persist) — shared across a search's configs via TrainCache.
+    val ((train, mu, sd), owned) = TrainCache.acquire(
+      TrainCache.key("cox_mlp_std", ds)) {
+      val raw = ds.tensorized(ds.train)
+        .select(col("rn"), col("t").cast("double").as("t"),
+          col("e").cast("int").as("e"),
+          transform(col("x"), _.cast("double")).as("x"))
 
-    // train-fitted scaler (one job) — population std, zeros guarded
-    val stats = raw.select(posexplode(col("x")).as(Seq("idx", "xv")))
-      .groupBy("idx")
-      .agg(avg(col("xv")).as("mu"), stddev_pop(col("xv")).as("sd"))
-      .orderBy("idx").collect()
-    val mu = stats.map(_.getAs[Double]("mu"))
-    val sd = stats.map(r => math.max(r.getAs[Double]("sd"), 1e-12))
+      // train-fitted scaler (one job) — population std, zeros guarded
+      val stats = raw.select(posexplode(col("x")).as(Seq("idx", "xv")))
+        .groupBy("idx")
+        .agg(avg(col("xv")).as("mu"), stddev_pop(col("xv")).as("sd"))
+        .orderBy("idx").collect()
+      val mu0 = stats.map(_.getAs[Double]("mu"))
+      val sd0 = stats.map(r => math.max(r.getAs[Double]("sd"), 1e-12))
 
-    val muA = array(mu.map(lit(_)): _*)
-    val sdA = array(sd.map(lit(_)): _*)
-    val train = raw
-      .select(col("rn"),
-        zip_with(zip_with(col("x"), muA, (v, m) => v - m), sdA,
-          (v, s) => v / s).as("x"),
-        col("t"), col("e"))
-      .sortWithinPartitions("rn")
-      .as[(Long, Array[Double], Double, Int)]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    train.count()
+      val muA = array(mu0.map(lit(_)): _*)
+      val sdA = array(sd0.map(lit(_)): _*)
+      val tr = raw
+        .select(col("rn"),
+          zip_with(zip_with(col("x"), muA, (v, m) => v - m), sdA,
+            (v, s) => v / s).as("x"),
+          col("t"), col("e"))
+        .sortWithinPartitions("rn")
+        .as[(Long, Array[Double], Double, Int)]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      tr.count()
+      ((tr, mu0, sd0), () => { tr.unpersist(); () })
+    }
 
     val stack = new MlpStack(p, hidden, if (hidden.nonEmpty) hidden.last else p)
     val q = stack.outWidth
@@ -104,7 +110,7 @@ final case class CoxMlp(
       val d = math.max(evs, 1L).toDouble
       (lossSum / d, grad.map(_ / d))
     }
-    train.unpersist()
+    if (owned) { train.unpersist(); () }
 
     val w = bestTheta.take(q)
     val layers = stack.extract(bestTheta)

@@ -51,43 +51,53 @@ final case class CoxPH(
 
   def fit(ds: SurvDataset): FittedCoxPH = {
     val p = ds.numFeatures
-    val raw = ds.tensorized(ds.train)
-      .select(col("t").cast("double").as("t"), col("e").cast("int").as("e"),
-        transform(col("x"), _.cast("double")).as("x"))
 
-    // ---- scaler (one job): per-feature mean / population std ----
-    val stats = raw.select(posexplode(col("x")).as(Seq("idx", "xv")))
-      .groupBy("idx")
-      .agg(avg(col("xv")).as("mu"), stddev_pop(col("xv")).as("sd"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val mu = stats.map(_._2)
-    val sd = stats.map(s => if (s._3 == 0.0 || s._3.isNaN) 1.0 else s._3)
+    // Config-independent prefix (scaler + standardized train + the
+    // range-partitioned training rows) — shared across a search's
+    // configs via TrainCache (l2/maxIter touch none of it).
+    val ((train, sortedRows, mu, sd), owned) = TrainCache.acquire(
+      TrainCache.key("cox_ph_std", ds)) {
+      val raw = ds.tensorized(ds.train)
+        .select(col("t").cast("double").as("t"), col("e").cast("int").as("e"),
+          transform(col("x"), _.cast("double")).as("x"))
 
-    val xstd = zip_with(
-      zip_with(col("x"), array(mu.map(lit(_)): _*), (v, m) => v - m),
-      array(sd.map(lit(_)): _*), (v, s) => v / s)
-    val train = raw.select(col("t"), col("e"), xstd.as("x"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    train.count() // materialize once
+      // ---- scaler (one job): per-feature mean / population std ----
+      val stats = raw.select(posexplode(col("x")).as(Seq("idx", "xv")))
+        .groupBy("idx")
+        .agg(avg(col("xv")).as("mu"), stddev_pop(col("xv")).as("sd"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val mu0 = stats.map(_._2)
+      val sd0 = stats.map(s => if (s._3 == 0.0 || s._3.isNaN) 1.0 else s._3)
 
-    // ONE shuffle for the whole optimization: rows range-partitioned +
-    // sorted by t DESC (equal times co-partitioned by RangePartitioner
-    // semantics), pinned at the RDD level. Every L-BFGS iteration is
-    // then two passes over this cache with p+1 doubles of driver
-    // carries per partition — no per-iteration shuffle, no
-    // single-partition window, no (t,idx) explode+join (those were the
-    // last unpartitioned-window users in the training hot path; the
-    // evaluators moved to the same range-scan scheme in an earlier
-    // round). Suffix sums in t (the risk sets) become prefix carries
-    // in partition order, exactly like [[CoxPH.breslow]].
+      val xstd = zip_with(
+        zip_with(col("x"), array(mu0.map(lit(_)): _*), (v, m) => v - m),
+        array(sd0.map(lit(_)): _*), (v, s) => v / s)
+      val tr = raw.select(col("t"), col("e"), xstd.as("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      tr.count() // materialize once
+
+      // ONE shuffle for the whole optimization: rows range-partitioned
+      // + sorted by t DESC (equal times co-partitioned by
+      // RangePartitioner semantics), pinned at the RDD level. Every
+      // L-BFGS iteration is then two passes over this cache with p+1
+      // doubles of driver carries per partition — no per-iteration
+      // shuffle, no single-partition window, no (t,idx) explode+join
+      // (those were the last unpartitioned-window users in the
+      // training hot path; the evaluators moved to the same range-scan
+      // scheme in an earlier round). Suffix sums in t (the risk sets)
+      // become prefix carries in partition order, exactly like
+      // [[CoxPH.breslow]].
+      val np = tr.sparkSession.sessionState.conf.numShufflePartitions
+      val sorted = tr
+        .repartitionByRange(np, col("t").desc)
+        .sortWithinPartitions(col("t").desc)
+        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      sorted.count()
+      ((tr, sorted, mu0, sd0),
+        () => { sorted.unpersist(blocking = false); tr.unpersist(); () })
+    }
     val session = train.sparkSession
-    val np = session.sessionState.conf.numShufflePartitions
-    val sortedRows = train
-      .repartitionByRange(np, col("t").desc)
-      .sortWithinPartitions(col("t").desc)
-      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    sortedRows.count()
 
     val objective = new DiffFunction[DenseVector[Double]] {
       def calculate(beta: DenseVector[Double]): (Double, DenseVector[Double]) = {
@@ -99,7 +109,7 @@ final case class CoxPH(
     }
     val lbfgs = new LBFGS[DenseVector[Double]](maxIter, 7, tol)
     val beta = lbfgs.minimize(objective, DenseVector.zeros[Double](p))
-    sortedRows.unpersist(blocking = false)
+    if (owned) { sortedRows.unpersist(blocking = false); () }
 
     // ---- Breslow baseline on the FULL train split at final β ----
     // (deviation from the reference's last-batch artifact, SURVEY §4.2.1)
@@ -109,7 +119,7 @@ final case class CoxPH(
       .persist(StorageLevel.MEMORY_AND_DISK)
     baseline.count()
 
-    train.unpersist()
+    if (owned) { train.unpersist(); () }
     FittedCoxPH(this, beta.toArray, mu, sd, baseline)
   }
 
@@ -247,9 +257,10 @@ object CoxPH {
       .sortWithinPartitions(col("t").desc)
       .select(col("t"), col("w_t"), col("d"))
     // RDD-level persist shared by object across passes: pins one
-    // physical range partitioning and is ContextCleaner-released when
-    // the returned frame (or the fitted model holding it) is dropped.
-    val rows = g.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // physical range partitioning. Pins-scoped release (Hyperband
+    // config evaluation); ContextCleaner releases the unscoped case
+    // when the returned frame (or fitted model holding it) is dropped.
+    val rows = graft.core.Pins.pinRdd(g.rdd)
 
     // Pass 1: per-partition Σ w_t → descending-order S0 carries.
     val wParts = rows.mapPartitionsWithIndex { (pid, it) =>

@@ -52,20 +52,27 @@ final case class DeepHit(
     IntegerP("batch_size", 64, 256, 64))
 
   def fit(ds: SurvDataset): FittedDeepHit = {
-    val cuts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
-    val k = cuts.k
     val p = ds.numFeatures
     val spark = ds.df.sparkSession
     import spark.implicits._
 
-    val train = ds.tensorized(ds.train)
-      .select(col("rn"),
-        transform(col("x"), _.cast("double")).as("x"),
-        cuts.indexCol(col("t")).as("ti"), col("e"))
-      .sortWithinPartitions("rn")
-      .as[(Long, Array[Double], Int, Int)]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = train.count().toDouble
+    // Config-independent prefix (cuts + tensorize + persist) — shared
+    // with LogisticHazardMlp too (identical plan given numDurations).
+    val ((train, cuts, nRows), owned) = TrainCache.acquire(
+      TrainCache.key("discrete_ti", ds, s"$numDurations")) {
+      val cts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
+      val tr = ds.tensorized(ds.train)
+        .select(col("rn"),
+          transform(col("x"), _.cast("double")).as("x"),
+          cts.indexCol(col("t")).as("ti"), col("e"))
+        .sortWithinPartitions("rn")
+        .as[(Long, Array[Double], Int, Int)]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n0 = tr.count()
+      ((tr, cts, n0), () => { tr.unpersist(); () })
+    }
+    val k = cuts.k
+    val n = nRows.toDouble
 
     // θ layout: [c (K), W (K×q row-major), then per layer l (input
     // width in_l = p or h_{l-1}): A_l (h_l×in_l row-major), b_l
@@ -102,7 +109,7 @@ final case class DeepHit(
       val d = math.max(cnt, 1L).toDouble
       (lossSum / d, grad.map(_ / d))
     }
-    train.unpersist()
+    if (owned) { train.unpersist(); () }
 
     val c = bestTheta.take(k)
     val w = Array.tabulate(k, q)((kk, j) => bestTheta(k + kk * q + j))

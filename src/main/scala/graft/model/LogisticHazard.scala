@@ -95,20 +95,26 @@ final case class LogisticHazardMlp(
     IntegerP("patience", 10, 50, 10))
 
   def fit(ds: SurvDataset): FittedLogisticHazardMlp = {
-    val cuts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
-    val k = cuts.k
     val p = ds.numFeatures
     val spark = ds.df.sparkSession
     import spark.implicits._
 
-    val train = ds.tensorized(ds.train)
-      .select(col("rn"),
-        transform(col("x"), _.cast("double")).as("x"),
-        cuts.indexCol(col("t")).as("ti"), col("e"))
-      .sortWithinPartitions("rn")
-      .as[(Long, Array[Double], Int, Int)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    train.count()
+    // Same config-independent prefix (and TrainCache key) as DeepHit:
+    // the encoded train table is identical given numDurations.
+    val ((train, cuts, _), owned) = TrainCache.acquire(
+      TrainCache.key("discrete_ti", ds, s"$numDurations")) {
+      val cts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
+      val tr = ds.tensorized(ds.train)
+        .select(col("rn"),
+          transform(col("x"), _.cast("double")).as("x"),
+          cts.indexCol(col("t")).as("ti"), col("e"))
+        .sortWithinPartitions("rn")
+        .as[(Long, Array[Double], Int, Int)]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n0 = tr.count()
+      ((tr, cts, n0), () => { tr.unpersist(); () })
+    }
+    val k = cuts.k
 
     val stack = new MlpStack(p, hidden,
       k + k * (if (hidden.nonEmpty) hidden.last else p))
@@ -140,7 +146,7 @@ final case class LogisticHazardMlp(
       val d = math.max(cnt, 1L).toDouble
       (lossSum / d, grad.map(_ / d))
     }
-    train.unpersist()
+    if (owned) { train.unpersist(); () }
 
     val b = bestTheta.take(k)
     val w = Array.tabulate(k, q)((ki, j) => bestTheta(k + ki * q + j))
