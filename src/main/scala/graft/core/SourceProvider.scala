@@ -29,6 +29,37 @@ object ParquetSource extends SourceProvider {
     spark.read.parquet(s"$dir/$name.parquet")
 }
 
+/** ElasticSearch-shaped provider — the connector shape the reference's
+  * live scan would use (reference: src/elastic_surv/dataset.py:260,
+  * `ed.DataFrame(es_client, es_index_pattern)`): the public
+  * elasticsearch-hadoop Spark integration exposes indices as a
+  * DataSource (`spark.read.format("org.elasticsearch.spark.sql")`),
+  * through which Catalyst pushes projections and filters down into the
+  * ES query DSL — the same pushdown eland performs for the reference.
+  *
+  * `dir` plays the index-PREFIX role (the reference's
+  * `es_index_pattern`), so the provider maps table `name` under prefix
+  * `dir` to index `dir_name` (empty prefix ⇒ index = name); `options`
+  * carries the connection settings (`es.nodes`, `es.port`,
+  * `es.net.http.auth.*`, …) straight into the reader.
+  *
+  * COMPILE-ONLY in this sandbox: the elasticsearch-hadoop jar and a
+  * live cluster are unavailable (zero egress), so `table()` is
+  * exercised only by provider-selection tests that never call it
+  * against a real index. Everything up to the `format(...)` load — the
+  * registry, conf-keyed selection, option plumbing, index naming — is
+  * the real connector surface.
+  */
+final class ElasticsearchSource(
+    options: Map[String, String],
+    format: String = "org.elasticsearch.spark.sql")
+    extends SourceProvider {
+  def indexFor(dir: String, name: String): String =
+    if (dir == null || dir.isEmpty) name else s"${dir}_$name"
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.format(format).options(options).load(indexFor(dir, name))
+}
+
 /** JSON-lines provider — a second REAL implementation of the seam
   * (one `<name>.jsonl` file per table under `dir`), proving a
   * connector needs nothing beyond `table()`. An explicit schema is
