@@ -56,32 +56,44 @@ object ModelFactory {
     * reference-shaped search. `hidden` sizes every net (reference
     * default [32, 32]).
     */
-  def mlpSeeds(hidden: Seq[Int] = Seq(32, 32)): Seq[ModelFactory] = Seq(
-    new ModelFactory {
-      val name = "cox_ph_mlp"
-      val space = graft.model.CoxMlp().hyperparameterSpace
-      def build(params: Map[String, Any], epochs: Int): SurvModel =
-        graft.model.CoxMlp(hidden = hidden, epochs = epochs,
-          lr = params.getOrElse("lr", 0.01).asInstanceOf[Double],
-          patience = params.getOrElse("patience", 10).asInstanceOf[Int])
-    },
-    new ModelFactory {
-      val name = "deephit_mlp"
-      val space = DeepHit().hyperparameterSpace
-      def build(params: Map[String, Any], epochs: Int): SurvModel =
-        DeepHit(hidden = hidden, epochs = epochs,
-          alpha = params.getOrElse("alpha", 0.2).asInstanceOf[Double],
-          sigma = params.getOrElse("sigma", 0.1).asInstanceOf[Double],
-          batchSize = params.getOrElse("batch_size", 128).asInstanceOf[Int])
-    },
-    new ModelFactory {
-      val name = "logistic_hazard_mlp"
-      val space = graft.model.LogisticHazardMlp().hyperparameterSpace
-      def build(params: Map[String, Any], epochs: Int): SurvModel =
-        graft.model.LogisticHazardMlp(hidden = hidden, epochs = epochs,
-          lr = params.getOrElse("lr", 0.05).asInstanceOf[Double],
-          patience = params.getOrElse("patience", 10).asInstanceOf[Int])
-    })
+  def mlpSeeds(hidden: Seq[Int] = Seq(32, 32)): Seq[ModelFactory] = {
+    // the reference searches batch_norm per net (model_cox_ph.py:73-76);
+    // here it toggles MlpStack's affine frozen-stats flavor. Added at
+    // the SEED level so the linear parity seeds' sample streams (and
+    // their oracle-pinned quirk tests) stay untouched.
+    val bnParam = graft.model.CategoricalP("batch_norm", Seq(false, true))
+    def bnOf(params: Map[String, Any]): Boolean =
+      params.getOrElse("batch_norm", false).asInstanceOf[Boolean]
+    Seq(
+      new ModelFactory {
+        val name = "cox_ph_mlp"
+        val space = graft.model.CoxMlp().hyperparameterSpace :+ bnParam
+        def build(params: Map[String, Any], epochs: Int): SurvModel =
+          graft.model.CoxMlp(hidden = hidden, epochs = epochs,
+            lr = params.getOrElse("lr", 0.01).asInstanceOf[Double],
+            patience = params.getOrElse("patience", 10).asInstanceOf[Int],
+            batchNorm = bnOf(params))
+      },
+      new ModelFactory {
+        val name = "deephit_mlp"
+        val space = DeepHit().hyperparameterSpace :+ bnParam
+        def build(params: Map[String, Any], epochs: Int): SurvModel =
+          DeepHit(hidden = hidden, epochs = epochs,
+            alpha = params.getOrElse("alpha", 0.2).asInstanceOf[Double],
+            sigma = params.getOrElse("sigma", 0.1).asInstanceOf[Double],
+            batchSize = params.getOrElse("batch_size", 128).asInstanceOf[Int],
+            batchNorm = bnOf(params))
+      },
+      new ModelFactory {
+        val name = "logistic_hazard_mlp"
+        val space = graft.model.LogisticHazardMlp().hyperparameterSpace :+ bnParam
+        def build(params: Map[String, Any], epochs: Int): SurvModel =
+          graft.model.LogisticHazardMlp(hidden = hidden, epochs = epochs,
+            lr = params.getOrElse("lr", 0.05).asInstanceOf[Double],
+            patience = params.getOrElse("patience", 10).asInstanceOf[Int],
+            batchNorm = bnOf(params))
+      })
+  }
 }
 
 /** Hyperband successive halving — faithful port of the reference's

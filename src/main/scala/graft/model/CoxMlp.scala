@@ -23,8 +23,10 @@ import org.apache.spark.storage.StorageLevel
   * Semantics pinned deterministically (documented deviations from
   * torch internals): the batch risk set for an event at t is ALL
   * batch rows with t_j >= t (Breslow ties — pycox's sort-order tie
-  * behavior is nondeterministic under equal durations);
-  * batch-norm/dropout omitted engine-wide (exact gradients instead).
+  * behavior is nondeterministic under equal durations); `batchNorm`
+  * enables MlpStack's affine frozen-stats BN flavor (searchable),
+  * while batch-STATISTICS norm and dropout remain the documented
+  * deviation (exact gradients instead).
   * Features are standardized (train-fitted scaler) for conditioning,
   * like the linear [[CoxPH]].
   *
@@ -38,6 +40,7 @@ final case class CoxMlp(
     epochs: Int = 50,
     lr: Double = 0.01,
     patience: Int = 10,
+    batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
     seed: Long = 7L) extends SurvModel {
 
   def name: String = "cox_ph_mlp"
@@ -83,7 +86,8 @@ final case class CoxMlp(
       ((tr, mu0, sd0), () => { tr.unpersist(); () })
     }
 
-    val stack = new MlpStack(p, hidden, if (hidden.nonEmpty) hidden.last else p)
+    val stack = new MlpStack(p, hidden,
+      if (hidden.nonEmpty) hidden.last else p, bn = batchNorm)
     val q = stack.outWidth
     val theta = {
       val t = Array.fill(q + stack.size)(0.0)
@@ -96,10 +100,11 @@ final case class CoxMlp(
     }
     val bs = batchSize
     val hid = hidden
+    val bnFlag = batchNorm
     val pp = p
     val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
       val (lossSum, grad, evs) = train.mapPartitions { it =>
-        val acc = CoxMlp.PartitionAcc(pp, th, hid)
+        val acc = CoxMlp.PartitionAcc(pp, th, hid, bnFlag)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.events))
       }.reduce { (a, b) =>
@@ -140,12 +145,13 @@ object CoxMlp {
     * Σ 1/S over events seen so far and scores each row's dg.
     */
   final case class PartitionAcc(p: Int, theta: Array[Double],
-                                hidden: Seq[Int] = Nil) {
+                                hidden: Seq[Int] = Nil,
+                                bn: Boolean = false) {
     var loss = 0.0
     var events = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val stack = new MlpStack(p, hidden,
-      if (hidden.nonEmpty) hidden.last else p)
+      if (hidden.nonEmpty) hidden.last else p, bn = bn)
     private val q = stack.outWidth
     private val nL = stack.nL
 

@@ -18,9 +18,10 @@ import org.apache.spark.storage.StorageLevel
   * f(x) = relu(A_L·…relu(A_1·x + b_1)… + b_L) with `hidden` layer
   * widths — the `tt.practical.MLPVanilla` shape the reference wraps
   * (model_deephit.py:57-64; its default `hidden = Seq(32, 32)` is
-  * exactly reproducible here, M9; batch-norm/dropout are the
-  * documented deviation — omitted, exact deterministic gradients
-  * instead).
+  * exactly reproducible here, M9). `batchNorm` enables MlpStack's
+  * affine frozen-stats BN flavor (searchable, like the reference's
+  * `batch_norm` hyper); batch-STATISTICS norm and dropout remain the
+  * documented deviation — exact deterministic gradients instead.
   *
   *   L = −mean_i [ e_i·ln pmf_{k_i} + (1−e_i)·ln S(k_i) ]
   *     + alpha · (Σ_{ij} r_ij · exp((F_j(k_i) − F_i(k_i)) / sigma)) / Σ_{ij} r_ij
@@ -42,6 +43,7 @@ final case class DeepHit(
     lr: Double = 0.05,
     patience: Int = 5,
     hidden: Seq[Int] = Nil, // Nil = linear head; e.g. Seq(32, 32) = MLPVanilla default (M9)
+    batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
     seed: Long = 7L) extends SurvModel {
 
   def name: String = "deephit"
@@ -82,7 +84,7 @@ final case class DeepHit(
     // U(±1/√fan_in) (torch Linear default), seeded for reproducible
     // fits.
     val q = if (hidden.nonEmpty) hidden.last else p
-    val stack = new MlpStack(p, hidden, k + k * q)
+    val stack = new MlpStack(p, hidden, k + k * q, bn = batchNorm)
     val theta = {
       val t = Array.fill(k + k * q + stack.size)(0.0)
       if (hidden.nonEmpty) {
@@ -96,9 +98,10 @@ final case class DeepHit(
     }
     val bs = batchSize
     val hid = hidden
+    val bnFlag = batchNorm
     val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
       val (lossSum, grad, cnt) = train.mapPartitions { it =>
-        val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma, hid)
+        val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma, hid, bnFlag)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.count))
       }.reduce { (a, b) =>
@@ -128,13 +131,14 @@ object DeepHit {
     */
   final case class PartitionAcc(k: Int, p: Int, theta: Array[Double],
                                 alpha: Double, sigma: Double,
-                                hidden: Seq[Int] = Nil) {
+                                hidden: Seq[Int] = Nil,
+                                bn: Boolean = false) {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val q = // logit input width
       if (hidden.nonEmpty) hidden.last else p
-    private val stack = new MlpStack(p, hidden, k + k * q)
+    private val stack = new MlpStack(p, hidden, k + k * q, bn = bn)
     private val nL = stack.nL
 
     def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {

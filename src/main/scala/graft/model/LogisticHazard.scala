@@ -86,6 +86,7 @@ final case class LogisticHazardMlp(
     epochs: Int = 50,
     lr: Double = 0.05,
     patience: Int = 5,
+    batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
     seed: Long = 7L) extends SurvModel {
 
   def name: String = "logistic_hazard_mlp"
@@ -117,7 +118,7 @@ final case class LogisticHazardMlp(
     val k = cuts.k
 
     val stack = new MlpStack(p, hidden,
-      k + k * (if (hidden.nonEmpty) hidden.last else p))
+      k + k * (if (hidden.nonEmpty) hidden.last else p), bn = batchNorm)
     val q = stack.outWidth
     val theta = {
       val t = Array.fill(k + k * q + stack.size)(0.0)
@@ -132,10 +133,11 @@ final case class LogisticHazardMlp(
     }
     val bs = batchSize
     val hid = hidden
+    val bnFlag = batchNorm
     val (kk, pp) = (k, p)
     val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
       val (lossSum, grad, cnt) = train.mapPartitions { it =>
-        val acc = LogisticHazardMlp.PartitionAcc(kk, pp, th, hid)
+        val acc = LogisticHazardMlp.PartitionAcc(kk, pp, th, hid, bnFlag)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.count))
       }.reduce { (a, b) =>
@@ -161,12 +163,13 @@ object LogisticHazardMlp {
     * y_j = 1{j = ti ∧ e = 1}; dz_j = h_j − y_j (0 beyond ti).
     */
   final case class PartitionAcc(k: Int, p: Int, theta: Array[Double],
-                                hidden: Seq[Int] = Nil) {
+                                hidden: Seq[Int] = Nil,
+                                bn: Boolean = false) {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val stack = new MlpStack(p, hidden,
-      k + k * (if (hidden.nonEmpty) hidden.last else p))
+      k + k * (if (hidden.nonEmpty) hidden.last else p), bn = bn)
     private val q = stack.outWidth
     private val nL = stack.nL
 

@@ -6,38 +6,55 @@ import org.apache.spark.sql.functions.{array, greatest, lit}
 /** Shared ReLU MLP stack algebra for the per-partition training
   * accumulators (DeepHit, CoxMlp, LogisticHazard's MLP flavor) — the
   * `tt.practical.MLPVanilla` hidden stack (reference:
-  * model_cox_ph.py:50-57, model_deephit.py:57-64; batch-norm/dropout
-  * are the engine-wide documented deviation). Plain-array exact
-  * forward/backward; the caller owns θ and supplies the offset where
-  * the stack's parameters start.
+  * model_cox_ph.py:50-57, model_deephit.py:57-64).
+  *
+  * `bn = true` adds the AFFINE-ONLY (frozen-stats) batch-norm flavor:
+  * each block becomes Linear → γ⊙z+β → ReLU, i.e. torch's
+  * `BatchNorm1d` in eval mode with the running stats absorbed into
+  * (γ, β). The reference's nets train BN with BATCH statistics — the
+  * engine trades that for exact deterministic batch gradients (the
+  * engine-wide documented deviation, SURVEY §4.3); this flavor makes
+  * the reference's default net SHAPE representable and `batch_norm`
+  * searchable while keeping gradients exact. Mathematically the
+  * per-unit affine is absorbable into the linear layer — what it
+  * changes is the parameterization the optimizer walks, which is
+  * exactly what the reference's `batch_norm` hyperparameter toggles.
   *
   * θ slice layout from `off`: per layer l (input width in_l):
-  * A_l (h_l×in_l row-major), b_l (h_l).
+  * A_l (h_l×in_l row-major), b_l (h_l), then with bn: γ_l (h_l),
+  * β_l (h_l).
   */
-final class MlpStack(p: Int, hidden: Seq[Int], off: Int) {
+final class MlpStack(p: Int, hidden: Seq[Int], off: Int,
+                     bn: Boolean = false) {
   val widths: Array[Int] = hidden.toArray
   val nL: Int = widths.length
   val ins: Array[Int] =
     if (nL == 0) Array.empty else (p +: hidden.init).toArray
   /** Output width of the stack (p when there are no hidden layers). */
   val outWidth: Int = if (nL > 0) widths(nL - 1) else p
-  /** Per-layer offsets of A_l and b_l inside θ. */
-  val (offA, offB) = {
+  /** Per-layer offsets of A_l, b_l (and γ_l, β_l with bn) inside θ. */
+  val (offA, offB, offG, offBt) = {
     val oa = new Array[Int](nL); val ob = new Array[Int](nL)
+    val og = new Array[Int](nL); val obt = new Array[Int](nL)
     var o = off
     var l = 0
     while (l < nL) {
       oa(l) = o; ob(l) = o + widths(l) * ins(l)
-      o = ob(l) + widths(l); l += 1
+      o = ob(l) + widths(l)
+      if (bn) { og(l) = o; obt(l) = o + widths(l); o = obt(l) + widths(l) }
+      l += 1
     }
-    (oa, ob)
+    (oa, ob, og, obt)
   }
   /** Total parameter count of the stack. */
-  val size: Int =
-    widths.indices.map(l => widths(l) * ins(l) + widths(l)).sum
+  val size: Int = widths.indices.map(l =>
+    widths(l) * ins(l) + widths(l) + (if (bn) 2 * widths(l) else 0)).sum
 
-  /** Forward: acts(0) = x, acts(l+1) = relu(A_l·acts(l) + b_l). The
-    * returned activations array is what [[backward]] consumes.
+  /** Forward: acts(0) = x, acts(l+1) = relu(bn_l(A_l·acts(l) + b_l)).
+    * The returned activations array is what [[backward]] consumes.
+    * With bn, acts(l+1) has length 2·h_l: [post-relu out | pre-BN
+    * preactivation z] — consumers of the stack OUTPUT read only the
+    * first [[outWidth]] entries, backward needs z for ∂γ.
     */
   def forward(theta: Array[Double], x: Array[Double]): Array[Array[Double]] = {
     val acts = new Array[Array[Double]](nL + 1)
@@ -45,13 +62,18 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int) {
     var l = 0
     while (l < nL) {
       val in = acts(l)
-      val out = new Array[Double](widths(l))
+      val w = widths(l)
+      val out = new Array[Double](if (bn) 2 * w else w)
       var j = 0
-      while (j < widths(l)) {
+      while (j < w) {
         var s = theta(offB(l) + j)
         var m = 0
         while (m < ins(l)) { s += theta(offA(l) + j * ins(l) + m) * in(m); m += 1 }
-        if (s > 0.0) out(j) = s // relu; zeros stay zero
+        if (bn) {
+          out(w + j) = s
+          val y = theta(offG(l) + j) * s + theta(offBt(l) + j)
+          if (y > 0.0) out(j) = y // relu; zeros stay zero
+        } else if (s > 0.0) out(j) = s
         j += 1
       }
       acts(l + 1) = out
@@ -60,9 +82,9 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int) {
     acts
   }
 
-  /** Backward from dTop = ∂L/∂acts(nL): accumulates grad(A_l, b_l)
-    * into `grad` layer by layer through the relu stack. No-op when
-    * the stack is empty.
+  /** Backward from dTop = ∂L/∂acts(nL): accumulates grad(A_l, b_l, and
+    * with bn γ_l, β_l) into `grad` layer by layer through the relu
+    * stack. No-op when the stack is empty.
     */
   def backward(theta: Array[Double], grad: Array[Double],
                acts: Array[Array[Double]], dTop: Array[Double]): Unit = {
@@ -71,16 +93,23 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int) {
     while (l >= 0) {
       val out = acts(l + 1)
       val in = acts(l)
+      val w = widths(l)
       val dIn = if (l > 0) new Array[Double](ins(l)) else null
       var j = 0
-      while (j < widths(l)) {
-        // relu'(pre) = 1{pre > 0} ⟺ out(j) > 0 (exact zeros inactive)
+      while (j < w) {
+        // relu'(y) = 1{y > 0} ⟺ out(j) > 0 (exact zeros inactive)
         if (out(j) > 0.0 && dh(j) != 0.0) {
-          grad(offB(l) + j) += dh(j)
+          var d = dh(j)
+          if (bn) {
+            grad(offG(l) + j) += d * out(w + j) // ∂γ = d·z
+            grad(offBt(l) + j) += d // ∂β = d
+            d = d * theta(offG(l) + j) // ∂z = d·γ
+          }
+          grad(offB(l) + j) += d
           var m = 0
           while (m < ins(l)) {
-            grad(offA(l) + j * ins(l) + m) += dh(j) * in(m)
-            if (l > 0) dIn(m) += dh(j) * theta(offA(l) + j * ins(l) + m)
+            grad(offA(l) + j * ins(l) + m) += d * in(m)
+            if (l > 0) dIn(m) += d * theta(offA(l) + j * ins(l) + m)
             m += 1
           }
         }
@@ -91,27 +120,41 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int) {
     }
   }
 
-  /** Extract the (A_l, b_l) layer weights from a trained θ — the
-    * shape the fitted models' column-algebra forward passes consume.
+  /** Extract the (A_l, b_l) layer weights from a trained θ — the shape
+    * the fitted models' column-algebra forward passes consume. The bn
+    * affine folds in exactly (A' = γ⊙A rows, b' = γ⊙b + β): the
+    * prediction path ([[MlpStack.stackCol]]) stays bn-agnostic and
+    * bit-equal to the training forward.
     */
   def extract(theta: Array[Double]): Seq[(Array[Array[Double]], Array[Double])] =
     widths.indices.map { l =>
+      def g(j: Int): Double = if (bn) theta(offG(l) + j) else 1.0
+      def bt(j: Int): Double = if (bn) theta(offBt(l) + j) else 0.0
       (Array.tabulate(widths(l), ins(l))((j, m) =>
-        theta(offA(l) + j * ins(l) + m)),
-        Array.tabulate(widths(l))(j => theta(offB(l) + j)))
+        g(j) * theta(offA(l) + j * ins(l) + m)),
+        Array.tabulate(widths(l))(j => g(j) * theta(offB(l) + j) + bt(j)))
     }
 
   /** Seeded U(±1/√fan_in) init of the stack's θ slice (torch Linear
-    * default), using the supplied rng so the caller controls the
-    * draw order of the full parameter vector.
+    * default; BN affine starts at identity γ=1, β=0 like torch), using
+    * the supplied rng so the caller controls the draw order of the
+    * full parameter vector.
     */
   def init(theta: Array[Double], rng: scala.util.Random): Unit = {
     var l = 0
-    var i = if (nL > 0) offA(0) else off
     while (l < nL) {
       val lim = 1.0 / math.sqrt(ins(l).toDouble)
-      val end = offA(l) + widths(l) * ins(l) + widths(l)
+      var i = offA(l)
+      val end = offB(l) + widths(l)
       while (i < end) { theta(i) = (2 * rng.nextDouble() - 1) * lim; i += 1 }
+      if (bn) {
+        var j = 0
+        while (j < widths(l)) {
+          theta(offG(l) + j) = 1.0
+          theta(offBt(l) + j) = 0.0
+          j += 1
+        }
+      }
       l += 1
     }
   }

@@ -127,4 +127,75 @@ class CoxMlpSpec extends AnyFunSuite {
     assert(cMlp > cLin + 0.05, s"cMlp=$cMlp cLin=$cLin")
     assert(cMlp > 0.6, s"cMlp=$cMlp")
   }
+
+  test("batch-norm gradient matches finite differences (affine frozen-stats)") {
+    val p = 2; val h = Seq(3, 2)
+    val rng = new Random(17)
+    val batch = Array.tabulate(7)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        (1 + i % 3).toDouble, rng.nextInt(2)))
+    // θ = [w (2), A1(3×2)+b1(3)+γ1(3)+β1(3), A2(2×3)+b2(2)+γ2(2)+β2(2)]
+    val len = 2 + (3 * p + 3 + 6) + (2 * 3 + 2 + 4)
+    val theta = Array.fill(len)(rng.nextDouble() * 0.5 - 0.25)
+    def lossAt(th: Array[Double]): Double = {
+      val acc = CoxMlp.PartitionAcc(p, th, h, bn = true)
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = CoxMlp.PartitionAcc(p, theta, h, bn = true)
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("batch-norm folds exactly into the extracted prediction layers") {
+    val p = 3; val h = Seq(4, 2)
+    val rng = new Random(23)
+    val stack = new MlpStack(p, h, 0, bn = true)
+    val theta = new Array[Double](stack.size)
+    stack.init(theta, rng)
+    // perturb γ/β off identity so the fold is non-trivial
+    theta.indices.foreach(i => theta(i) += rng.nextDouble() * 0.3 - 0.15)
+    val x = Array.fill(p)(rng.nextDouble() * 2 - 1)
+    val trained = stack.forward(theta, x)(stack.nL).take(stack.outWidth)
+    // replay the folded layers with a PLAIN stack (the prediction shape)
+    val folded = stack.extract(theta)
+    var acc = x
+    folded.foreach { case (a, b) =>
+      acc = Array.tabulate(a.length)(j =>
+        math.max(0.0, b(j) + a(j).indices.map(m => a(j)(m) * acc(m)).sum))
+    }
+    trained.zip(acc).foreach { case (tr, pr) =>
+      assert(math.abs(tr - pr) < 1e-12, s"fold mismatch: $tr vs $pr")
+    }
+  }
+
+  test("Hyperband MLP search includes batch_norm and completes") {
+    import spark.implicits._
+    val rng = new Random(5)
+    val rows = (0 until 120).map { i =>
+      val x1 = 2 * rng.nextDouble() - 1
+      val rate = math.exp(1.2 * math.abs(x1) - 0.5)
+      val tEvent = -math.log(rng.nextDouble()) / rate
+      val cens = rng.nextDouble() * 3.0
+      (i.toLong, x1, math.min(tEvent, cens), if (tEvent <= cens) 1 else 0)
+    }
+    val d = SurvDataset.fromDataFrame(rows.toDF("idx", "x1", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1")))
+    val seeds = graft.automl.ModelFactory.mlpSeeds(hidden = Seq(4))
+    assert(seeds.forall(_.space.exists(_.name == "batch_norm")))
+    val hb = new graft.automl.Hyperband(seeds = seeds, maxIter = 3, eta = 3,
+      outputEpochs = 4, seedRng = 11L)
+    val fitted = hb.selectModel(d)
+    try {
+      assert(hb.bestScore > Double.NegativeInfinity)
+      assert(hb.bestModel.nonEmpty)
+    } finally fitted.release()
+  }
 }
