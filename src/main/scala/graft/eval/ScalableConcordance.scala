@@ -27,12 +27,14 @@ import org.apache.spark.sql.functions._
   * The comparable and ties counts need suffix sums over DISTINCT times
   * (optionally within a risk / τ group). Those used ordered windows
   * through round 6 — a global `Window.orderBy(t)` serializes on one
-  * partition when |distinct t| ≈ n (continuous time). They now use the
-  * same distributed three-pass range scan as [[KaplanMeier.curveExpr]]
-  * / `CoxPH.breslow`, generalized to keyed runs ([[evAfterDf]]): range
-  * partition by (keys, t desc), per-partition run summaries, driver
-  * carries (O(partitions) scalars), one seeded per-partition sweep.
-  * The final reduction of all four counts is still ONE job.
+  * partition when |distinct t| ≈ n (continuous time), and the keyed
+  * windows buffered whole groups. Now: KEYED suffixes hash-partition
+  * by key + sort within, so each branch streams in O(1) task memory as
+  * one lazy plan ([[evAfterKeyedDf]]); the one genuinely GLOBAL suffix
+  * (harrell's comparable) uses the [[KaplanMeier.curveExpr]]-style
+  * distributed range scan with driver carries ([[evAfterDf]]) over the
+  * small grouped distinct-time table. The final reduction of all four
+  * counts is still ONE job.
   */
 object ScalableConcordance {
 
@@ -60,14 +62,20 @@ object ScalableConcordance {
     val sb = s.withColumn("b", bucketCol)
 
     // ---- comparable: events at t × subjects with larger t ----
-    // (range-scan suffix counts — a global ordered window here would
-    // serialize on one partition for continuous-time data)
+    // GLOBAL suffix — the one case that genuinely needs the sampled
+    // range scan (a global ordered window serializes on one partition
+    // when |distinct t| ≈ n). Its cells are the grouped distinct-time
+    // table, so the scan's two prep jobs are small.
     val comparableDf = evAfterDf(
       s.groupBy(col("t")).agg(count(lit(1)).as("m"), sum(col("e")).as("ev")),
       Nil)
 
     // ---- ties: same risk, larger t ----
-    val tiesDf = evAfterDf(
+    // Keyed suffix: hash-partition BY KEY + sort within — every key's
+    // run lives inside one partition, so the count streams in O(1)
+    // memory as ONE lazy branch of the final job (no window buffering,
+    // no extra jobs, no carries).
+    val tiesDf = evAfterKeyedDf(
       s.groupBy(col("r"), col("t"))
         .agg(count(lit(1)).as("m"), sum(col("e")).as("ev")),
       Seq("r"))
@@ -175,15 +183,18 @@ object ScalableConcordance {
     // then reads cache instead of racing to recompute it per branch.
     x.count()
 
-    // Suffix counts per τ (and per (τ, r) for ties) via the keyed range
-    // scan — a window partitioned by τ alone processes a whole n-row
-    // slice on one task, the same serialization the global-t window had.
-    val comparableDf = evAfterDf(
+    // Suffix counts per τ (and per (τ, r) for ties) via the keyed
+    // streaming scan — hash-partitioned on the key, sorted within, so
+    // each branch stays one lazy plan inside the single counting job.
+    // Parallelism = #keys (≥ |active τ|, vs ONE partition for the old
+    // per-τ window), memory O(1) per task (the window buffered whole
+    // τ slices).
+    val comparableDf = evAfterKeyedDf(
       x.groupBy(col("tau"), col("t"))
         .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev")),
       Seq("tau"))
 
-    val tiesDf = evAfterDf(
+    val tiesDf = evAfterKeyedDf(
       x.groupBy(col("tau"), col("r"), col("t"))
         .agg(count(lit(1)).as("m"), sum(col("ei")).as("ev")),
       Seq("tau", "r"))
@@ -245,14 +256,49 @@ object ScalableConcordance {
       .toDF("comparable", "concordant", "cindex")
   }
 
+  /** KEYED form of [[evAfterDf]] as one LAZY plan: hash-partition the
+    * cells by the key columns and sort within by (keys asc, t desc) —
+    * a key's whole run is then contained in a single partition, so
+    * Σ ev · #(same key, larger t) streams per partition with O(1)
+    * state and no cross-partition carries, no window buffering, and
+    * no prep jobs. Parallelism is #distinct keys (τ / risk granular);
+    * the KEYLESS global suffix is the one case that needs the sampled
+    * range scan instead.
+    */
+  private def evAfterKeyedDf(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.length
+    val np = cells.sparkSession.sessionState.conf.numShufflePartitions
+    val sortExprs = keyCols.map(col(_).asc) :+ col("t").desc
+    cells
+      .select((keyCols.map(col) :+ col("t").cast("double").as("t") :+
+        col("m").cast("long").as("m") :+ col("ev").cast("long").as("ev")): _*)
+      .repartition(np, keyCols.map(col): _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .mapPartitions { it =>
+        var acc = 0L
+        var curKey: Seq[Any] = null
+        var pref = 0L
+        it.foreach { r =>
+          val key = Seq.tabulate(k)(r.get)
+          if (curKey == null || key != curKey) { curKey = key; pref = 0L }
+          acc += r.getLong(k + 2) * pref
+          pref += r.getLong(k + 1)
+        }
+        Iterator.single(acc)
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("v").agg(coalesce(sum(col("v")), lit(0L)).as("v"))
+  }
+
   /** Σ_cells ev · #{rows in same-key cells with strictly larger t},
     * as a 1-row DataFrame("v") the caller unions into its single
     * counting job.
     *
     * `cells` must be (keyCols..., t, m, ev) with one row per distinct
-    * (keys, t) — m subjects and ev events at that cell. This is the
-    * KaplanMeier.curveExpr three-pass range scan generalized to keyed
-    * runs: rows are range-partitioned and sorted by (keys asc, t DESC),
+    * (keys, t) — m subjects and ev events at that cell. Used with
+    * keys = Nil (the global suffix); the keyed-run machinery keeps the
+    * scheme correct for fine partition splits of one run too. This is
+    * the KaplanMeier.curveExpr three-pass range scan generalized to
+    * keyed runs: rows are range-partitioned and sorted by (keys asc, t DESC),
     * so each key's run is contiguous (possibly spanning partitions) and
     * "same key, larger t" = "earlier in the run". Pass 1 collects per-
     * partition leading/trailing run summaries (4 scalars + the boundary
@@ -268,9 +314,15 @@ object ScalableConcordance {
     val np = spark.sessionState.conf.numShufflePartitions
     val k = keyCols.length
     val sortExprs = keyCols.map(col(_).asc) :+ col("t").desc
-    val g = cells
+    // The grouped cell table is consumed TWICE by repartitionByRange
+    // (RangePartitioner's sampling job, then the shuffle write) — pin
+    // it across pass 1 so the groupBy aggregation runs once, release as
+    // soon as the sorted rows RDD below is materialized.
+    val cellsP = cells
       .select((keyCols.map(col) :+ col("t").cast("double").as("t") :+
         col("m").cast("long").as("m") :+ col("ev").cast("long").as("ev")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = cellsP
       .repartitionByRange(np, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
     // RDD-level persist shared by object across both passes (same
@@ -299,6 +351,8 @@ object ScalableConcordance {
         Iterator.single((pid, leadKey, leadSum, curKey, curSum, nRuns == 1))
       }
     }.collect().sortBy(_._1)
+    // pass 1 materialized `rows`; the unsorted cell cache is done
+    cellsP.unpersist(blocking = false)
 
     // Driver scan, ascending partitions: a key's run spans consecutive
     // partitions, so carry-in for p's leading run = the accumulated sum
