@@ -64,6 +64,18 @@ object TextAnalysis {
     (length(text) - (tokenCount(text) - lit(1))).cast("double") /
       tokenCount(text).cast("double")
 
+  /** round(x, 6) with EXPLICIT half-up ties, identical across
+    * engines: ratio-valued signals (integer counts / integer counts)
+    * can land exactly on a 7-decimal half (sf0.1 produced
+    * 333/640 = 0.5203125), where Spark's round (decimal HALF_UP) and
+    * DuckDB's round on DOUBLE (half-even) disagree. floor(x*1e6+0.5)
+    * is plain IEEE mul/add/floor, bit-identical in both engines; use
+    * it for every RATIONAL rounded output (exp/log outputs keep
+    * native round — their ties have measure zero).
+    */
+  def round6HalfUp(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Bounded heuristic quality score: rewards stopword density and
     * word lengths in a natural range, penalizes punctuation noise.
     */
@@ -162,13 +174,13 @@ object TextAnalysis {
       .groupBy(col("id")).agg(max(col("c")).as("top_bigram_cnt"))
     base.join(topBg, Seq("id"))
       .select(col("id"), col("n_tokens"), col("uniq_tokens"),
-        round((col("n_tokens") - col("uniq_tokens")).cast("double") /
-          col("n_tokens").cast("double"), 6).as("dup_tok_frac"),
+        round6HalfUp((col("n_tokens") - col("uniq_tokens")).cast("double") /
+          col("n_tokens").cast("double")).as("dup_tok_frac"),
         col("top_bigram_cnt"),
-        round(col("top_bigram_cnt").cast("double") /
-          col("n_bg").cast("double"), 6).as("top_bigram_frac"),
-        round((col("n_tg") - col("uniq_tg")).cast("double") /
-          col("n_tg").cast("double"), 6).as("dup_trigram_frac"))
+        round6HalfUp(col("top_bigram_cnt").cast("double") /
+          col("n_bg").cast("double")).as("top_bigram_frac"),
+        round6HalfUp((col("n_tg") - col("uniq_tg")).cast("double") /
+          col("n_tg").cast("double")).as("dup_trigram_frac"))
   }
 
   /** Sliding token-window document chunks — the standard context-

@@ -242,8 +242,12 @@ object DiscreteQueries {
        |rng4 AS (SELECT CAST(min(t) AS DOUBLE) AS tmin, CAST(max(t) AS DOUBLE) AS tmax,
        |                (max(t) - min(t)) / CAST(4 AS DOUBLE) AS step FROM trn)""".stripMargin
 
+  // id below is the STABLE ROW NUMBER, not the custkey: the engine's
+  // tensorized(test) carries rn, and the two diverge as soon as one
+  // customer has no orders (sf0.1 has exactly one such custkey —
+  // matching on raw id silently passed at sf0.01 where none do).
   private val tstSql =
-    s"""tst AS (SELECT id, CAST(t AS DOUBLE) AS t, e, $lpSql AS lp
+    s"""tst AS (SELECT rn AS id, CAST(t AS DOUBLE) AS t, e, $lpSql AS lp
        |        FROM churn_rn CROSS JOIN tl WHERE rn >= train_len)""".stripMargin
 
   private val hazSql =
@@ -277,8 +281,8 @@ object DiscreteQueries {
       val cum = (0 to k).map(j => s"p$j").mkString(" + ")
       s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
     }.mkString(", ")
-    s"""dh0 AS (SELECT id, $fracs FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),
-       |dh0b AS (SELECT dh0.id, $zs
+    s"""dh0 AS (SELECT rn, id, $fracs FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),
+       |dh0b AS (SELECT dh0.rn AS id, $zs
        |         FROM dh0 JOIN churn ON dh0.id = churn.id),
        |dh1 AS (SELECT id, $mx AS mx FROM dh0b),
        |dh2 AS (SELECT dh0b.id, $es FROM dh0b JOIN dh1 ON dh0b.id = dh1.id),
@@ -308,7 +312,7 @@ object DiscreteQueries {
       s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
     }.mkString(", ")
     val lp = lpSql.replaceAll("\n", " ")
-    s"""mh AS (SELECT id,
+    s"""mh AS (SELECT rn AS id,
        |             greatest(CAST(0 AS DOUBLE), CAST(0.01 AS DOUBLE) + ($lp)) AS h0,
        |             greatest(CAST(0 AS DOUBLE), CAST(0.02 AS DOUBLE) - ($lp)) AS h1
        |       FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),

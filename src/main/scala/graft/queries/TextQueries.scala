@@ -26,10 +26,10 @@ object TextQueries {
         .select(col("doc_id"),
           length(col("text")).as("n_chars"),
           TA.tokenCount(col("text")).as("n_tokens"),
-          round(TA.avgTokenLen(col("text")), 6).as("avg_tok_len"),
-          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
-          round(TA.qualityScore(col("text")), 6).as("quality"))
+          TA.round6HalfUp(TA.avgTokenLen(col("text"))).as("avg_tok_len"),
+          TA.round6HalfUp(TA.punctRatio(col("text"))).as("punct_ratio"),
+          TA.round6HalfUp(TA.stopwordRatio(col("text"))).as("stop_ratio"),
+          TA.round6HalfUp(TA.qualityScore(col("text"))).as("quality"))
         .orderBy("doc_id")),
 
     "q_text_langid" -> ((s, dir) =>
@@ -88,7 +88,8 @@ object TextQueries {
     "q_corpus_clean" -> ((s, dir) =>
       graft.ops.CorpusPipeline.clean(Tables.load(s, dir, "documents"),
           "doc_id", "text", minQuality = 0.55, langs = Seq("de", "en"))
-        .select(col("fp"), col("id"), round(col("quality"), 6).as("quality"),
+        .select(col("fp"), col("id"),
+          TA.round6HalfUp(col("quality")).as("quality"),
           col("lang_pred"), col("n_tokens"), col("n_dups"))
         .orderBy("id")),
 
@@ -300,12 +301,12 @@ object TextQueries {
         |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
         |  FROM t)
         |SELECT doc_id, n_chars, n_tokens,
-        |  round(avg_tok_len, 6) AS avg_tok_len,
-        |  round(punct_ratio, 6) AS punct_ratio,
-        |  round(stop_ratio, 6) AS stop_ratio,
-        |  round(stop_ratio * CAST(2 AS DOUBLE)
+        |  floor(avg_tok_len * 1e6 + 0.5) / 1e6 AS avg_tok_len,
+        |  floor(punct_ratio * 1e6 + 0.5) / 1e6 AS punct_ratio,
+        |  floor(stop_ratio * 1e6 + 0.5) / 1e6 AS stop_ratio,
+        |  floor((stop_ratio * CAST(2 AS DOUBLE)
         |        + LEAST(avg_tok_len / CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
-        |        - punct_ratio, 6) AS quality
+        |        - punct_ratio) * 1e6 + 0.5) / 1e6 AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {
@@ -386,7 +387,7 @@ object TextQueries {
          |g AS (SELECT * FROM sig
          |      WHERE quality >= CAST(0.55 AS DOUBLE) AND lang_pred IN ('de', 'en'))
          |SELECT fp, min(id) AS id,
-         |       round(min_by(quality, id), 6) AS quality,
+         |       floor(min_by(quality, id) * 1e6 + 0.5) / 1e6 AS quality,
          |       min_by(lang_pred, id) AS lang_pred,
          |       min_by(n_tokens, id) AS n_tokens,
          |       count(*) AS n_dups
@@ -489,13 +490,13 @@ object TextQueries {
         |                GROUP BY id, g)
         |          GROUP BY id)
         |SELECT s.id AS id, n_tokens, uniq_tokens,
-        |  round(CAST(n_tokens - uniq_tokens AS DOUBLE)
-        |        / CAST(n_tokens AS DOUBLE), 6) AS dup_tok_frac,
+        |  floor(CAST(n_tokens - uniq_tokens AS DOUBLE)
+        |        / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_tok_frac,
         |  top_bigram_cnt,
-        |  round(CAST(top_bigram_cnt AS DOUBLE)
-        |        / CAST(n_bg AS DOUBLE), 6) AS top_bigram_frac,
-        |  round(CAST(n_tg - uniq_tg AS DOUBLE)
-        |        / CAST(n_tg AS DOUBLE), 6) AS dup_trigram_frac
+        |  floor(CAST(top_bigram_cnt AS DOUBLE)
+        |        / CAST(n_bg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_bigram_frac,
+        |  floor(CAST(n_tg - uniq_tg AS DOUBLE)
+        |        / CAST(n_tg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
         |FROM s JOIN topbg ON s.id = topbg.id ORDER BY id""".stripMargin,
 
     "q_text_bm25" ->

@@ -57,6 +57,26 @@ class ScalableConcordanceSpec extends AnyFunSuite {
     }
   }
 
+  test("matches pair-join harrell on continuous time (range-scan carries)") {
+    import spark.implicits._
+    // continuous t: |distinct t| = n, so the global-suffix range scan
+    // gets multi-row partitions and non-trivial cross-partition
+    // carries (the tie-heavy fixture above has only 15 distinct times);
+    // continuous r makes every ties-branch run a singleton.
+    for ((n, seed) <- Seq((400, 7L), (250, 8L))) {
+      val rng = new Random(seed)
+      val df = (0 until n).map { _ =>
+        (rng.nextDouble() * 100.0, rng.nextInt(2), rng.nextDouble())
+      }.toDF("t", "e", "r")
+      val slow = Concordance.harrell(df, "t", "e", "r").head()
+      val fast = ScalableConcordance.harrell(df, "t", "e", "r", 8).head()
+      assert(fast.getLong(0) == slow.getLong(0),
+        s"comparable n=$n: ${fast.getLong(0)} != ${slow.getLong(0)}")
+      assert(fast.getDouble(1) == slow.getDouble(1),
+        s"concordant n=$n: ${fast.getDouble(1)} != ${slow.getDouble(1)}")
+    }
+  }
+
   test("local Fenwick sweep counts strict inversions correctly") {
     // hand case: rows (t, e, r)
     val rows = Seq((1.0, 1, 2.0), (2.0, 0, 1.0), (2.0, 1, 3.0), (3.0, 0, 2.5))
