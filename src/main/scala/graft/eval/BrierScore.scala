@@ -72,7 +72,11 @@ object BrierScore {
     * single-row (ibs).
     */
   def integrated(gridBs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tau_idx"))
+    // BOUNDED global window: gridBs has one row per grid point
+    // (<= 100 by construction) — constant partition key documents the
+    // boundedness and silences the WindowExec warning.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("tau_idx"))
     val withPrev = gridBs
       .withColumn("prev_bs", lag(col("bs"), 1).over(w))
       .withColumn("prev_tau", lag(col("tau"), 1).over(w))

@@ -50,8 +50,13 @@ object Search {
     val top = scored.groupBy(col("id"))
       .agg(round(sum(col("s")), 6).as("score"))
       .orderBy(col("score").desc, col("id")).limit(k)
+    // BOUNDED global window: `top` is post-limit (<= k rows), so the
+    // single partition is by construction, not a scale hazard — the
+    // constant partition key states that and silences the WindowExec
+    // "no partition defined" warning.
     top.withColumn("rnk",
-        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("score").desc, col("id"))))
       .orderBy("rnk")
   }
 
