@@ -64,34 +64,41 @@ object ModelFactory {
     val bnParam = graft.model.CategoricalP("batch_norm", Seq(false, true))
     def bnOf(params: Map[String, Any]): Boolean =
       params.getOrElse("batch_norm", false).asInstanceOf[Boolean]
+    // the reference's dropout domain (model_cox_ph.py:74:
+    // Categorical("dropout", [0, 0.1, 0.2])) — MlpStack's deterministic
+    // inverted-dropout flavor
+    val dropParam = graft.model.CategoricalP("dropout", Seq(0.0, 0.1, 0.2))
+    def dropOf(params: Map[String, Any]): Double =
+      params.getOrElse("dropout", 0.0).asInstanceOf[Double]
+    val netParams = Seq(bnParam, dropParam)
     Seq(
       new ModelFactory {
         val name = "cox_ph_mlp"
-        val space = graft.model.CoxMlp().hyperparameterSpace :+ bnParam
+        val space = graft.model.CoxMlp().hyperparameterSpace ++ netParams
         def build(params: Map[String, Any], epochs: Int): SurvModel =
           graft.model.CoxMlp(hidden = hidden, epochs = epochs,
             lr = params.getOrElse("lr", 0.01).asInstanceOf[Double],
             patience = params.getOrElse("patience", 10).asInstanceOf[Int],
-            batchNorm = bnOf(params))
+            batchNorm = bnOf(params), dropout = dropOf(params))
       },
       new ModelFactory {
         val name = "deephit_mlp"
-        val space = DeepHit().hyperparameterSpace :+ bnParam
+        val space = DeepHit().hyperparameterSpace ++ netParams
         def build(params: Map[String, Any], epochs: Int): SurvModel =
           DeepHit(hidden = hidden, epochs = epochs,
             alpha = params.getOrElse("alpha", 0.2).asInstanceOf[Double],
             sigma = params.getOrElse("sigma", 0.1).asInstanceOf[Double],
             batchSize = params.getOrElse("batch_size", 128).asInstanceOf[Int],
-            batchNorm = bnOf(params))
+            batchNorm = bnOf(params), dropout = dropOf(params))
       },
       new ModelFactory {
         val name = "logistic_hazard_mlp"
-        val space = graft.model.LogisticHazardMlp().hyperparameterSpace :+ bnParam
+        val space = graft.model.LogisticHazardMlp().hyperparameterSpace ++ netParams
         def build(params: Map[String, Any], epochs: Int): SurvModel =
           graft.model.LogisticHazardMlp(hidden = hidden, epochs = epochs,
             lr = params.getOrElse("lr", 0.05).asInstanceOf[Double],
             patience = params.getOrElse("patience", 10).asInstanceOf[Int],
-            batchNorm = bnOf(params))
+            batchNorm = bnOf(params), dropout = dropOf(params))
       })
   }
 }

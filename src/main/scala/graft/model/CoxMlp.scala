@@ -41,6 +41,7 @@ final case class CoxMlp(
     lr: Double = 0.01,
     patience: Int = 10,
     batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
+    dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
   def name: String = "cox_ph_mlp"
@@ -101,10 +102,18 @@ final case class CoxMlp(
     val bs = batchSize
     val hid = hidden
     val bnFlag = batchNorm
+    val dropQ = dropout
+    val seedV = seed
     val pp = p
+    // epoch counter: dropout masks re-draw every evaluated iterate,
+    // like torch's per-forward Bernoulli draw (driver-side, so the
+    // closure captures a fresh per-iteration key value)
+    var iterNo = 0L
     val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
+      iterNo += 1
+      val dropKey0 = MlpStack.mixKey(seedV, iterNo)
       val (lossSum, grad, evs) = train.mapPartitions { it =>
-        val acc = CoxMlp.PartitionAcc(pp, th, hid, bnFlag)
+        val acc = CoxMlp.PartitionAcc(pp, th, hid, bnFlag, dropQ, dropKey0)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.events))
       }.reduce { (a, b) =>
@@ -146,12 +155,14 @@ object CoxMlp {
     */
   final case class PartitionAcc(p: Int, theta: Array[Double],
                                 hidden: Seq[Int] = Nil,
-                                bn: Boolean = false) {
+                                bn: Boolean = false,
+                                dropout: Double = 0.0,
+                                dropKey0: Long = 0L) {
     var loss = 0.0
     var events = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val stack = new MlpStack(p, hidden,
-      if (hidden.nonEmpty) hidden.last else p, bn = bn)
+      if (hidden.nonEmpty) hidden.last else p, bn = bn, dropout = dropout)
     private val q = stack.outWidth
     private val nL = stack.nL
 
@@ -163,7 +174,9 @@ object CoxMlp {
       val g = new Array[Double](b)
       var i = 0
       while (i < b) {
-        acts(i) = stack.forward(theta, batch(i)._2)
+        // per-row mask key: (seed, iter) base mixed with the stable rn
+        acts(i) = stack.forward(theta, batch(i)._2,
+          MlpStack.mixKey(dropKey0, batch(i)._1))
         val f = acts(i)(nL)
         var s = 0.0
         var j = 0

@@ -44,6 +44,7 @@ final case class DeepHit(
     patience: Int = 5,
     hidden: Seq[Int] = Nil, // Nil = linear head; e.g. Seq(32, 32) = MLPVanilla default (M9)
     batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
+    dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
   def name: String = "deephit"
@@ -99,9 +100,15 @@ final case class DeepHit(
     val bs = batchSize
     val hid = hidden
     val bnFlag = batchNorm
+    val dropQ = dropout
+    val seedV = seed
+    var iterNo = 0L // per-iteration dropout mask re-draw (see CoxMlp.fit)
     val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
+      iterNo += 1
+      val dropKey0 = MlpStack.mixKey(seedV, iterNo)
       val (lossSum, grad, cnt) = train.mapPartitions { it =>
-        val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma, hid, bnFlag)
+        val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma, hid, bnFlag,
+          dropQ, dropKey0)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.count))
       }.reduce { (a, b) =>
@@ -132,13 +139,16 @@ object DeepHit {
   final case class PartitionAcc(k: Int, p: Int, theta: Array[Double],
                                 alpha: Double, sigma: Double,
                                 hidden: Seq[Int] = Nil,
-                                bn: Boolean = false) {
+                                bn: Boolean = false,
+                                dropout: Double = 0.0,
+                                dropKey0: Long = 0L) {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val q = // logit input width
       if (hidden.nonEmpty) hidden.last else p
-    private val stack = new MlpStack(p, hidden, k + k * q, bn = bn)
+    private val stack = new MlpStack(p, hidden, k + k * q, bn = bn,
+      dropout = dropout)
     private val nL = stack.nL
 
     def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {
@@ -154,7 +164,8 @@ object DeepHit {
       val dz = Array.ofDim[Double](b, k) // dLoss/dlogits accumulated
       var i = 0
       while (i < b) {
-        acts(i) = stack.forward(theta, batch(i)._2)
+        acts(i) = stack.forward(theta, batch(i)._2,
+          MlpStack.mixKey(dropKey0, batch(i)._1))
         val f = acts(i)(nL)
         var mx = Double.MinValue
         val z = new Array[Double](k)

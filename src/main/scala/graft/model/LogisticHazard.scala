@@ -87,6 +87,7 @@ final case class LogisticHazardMlp(
     lr: Double = 0.05,
     patience: Int = 5,
     batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
+    dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
   def name: String = "logistic_hazard_mlp"
@@ -134,10 +135,16 @@ final case class LogisticHazardMlp(
     val bs = batchSize
     val hid = hidden
     val bnFlag = batchNorm
+    val dropQ = dropout
+    val seedV = seed
     val (kk, pp) = (k, p)
+    var iterNo = 0L // per-iteration dropout mask re-draw (see CoxMlp.fit)
     val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
+      iterNo += 1
+      val dropKey0 = MlpStack.mixKey(seedV, iterNo)
       val (lossSum, grad, cnt) = train.mapPartitions { it =>
-        val acc = LogisticHazardMlp.PartitionAcc(kk, pp, th, hid, bnFlag)
+        val acc = LogisticHazardMlp.PartitionAcc(kk, pp, th, hid, bnFlag,
+          dropQ, dropKey0)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.count))
       }.reduce { (a, b) =>
@@ -164,12 +171,15 @@ object LogisticHazardMlp {
     */
   final case class PartitionAcc(k: Int, p: Int, theta: Array[Double],
                                 hidden: Seq[Int] = Nil,
-                                bn: Boolean = false) {
+                                bn: Boolean = false,
+                                dropout: Double = 0.0,
+                                dropKey0: Long = 0L) {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val stack = new MlpStack(p, hidden,
-      k + k * (if (hidden.nonEmpty) hidden.last else p), bn = bn)
+      k + k * (if (hidden.nonEmpty) hidden.last else p), bn = bn,
+      dropout = dropout)
     private val q = stack.outWidth
     private val nL = stack.nL
 
@@ -177,8 +187,8 @@ object LogisticHazardMlp {
       var i = 0
       while (i < batch.length) {
         count += 1
-        val (_, x, ti, e) = batch(i)
-        val acts = stack.forward(theta, x)
+        val (rn, x, ti, e) = batch(i)
+        val acts = stack.forward(theta, x, MlpStack.mixKey(dropKey0, rn))
         val f = acts(nL)
         val dTop = if (nL > 0) new Array[Double](q) else null
         var j = 0

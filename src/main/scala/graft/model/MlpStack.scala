@@ -20,12 +20,30 @@ import org.apache.spark.sql.functions.{array, greatest, lit}
   * changes is the parameterization the optimizer walks, which is
   * exactly what the reference's `batch_norm` hyperparameter toggles.
   *
+  * `dropout > 0` adds DETERMINISTIC inverted dropout after each
+  * block's ReLU (torch MLPVanilla order: Linear → BN → ReLU →
+  * Dropout, the reference's `dropout` hyperparameter,
+  * model_cox_ph.py:21,74). Each unit's keep/drop decision is a pure
+  * hash of (dropKey, layer, unit) — the caller derives dropKey from
+  * (model seed, iteration, row id) via [[MlpStack.mixKey]], so masks
+  * are reproducible, partitioning-independent, and re-drawn every
+  * iteration like torch's per-forward Bernoulli draw. Kept units
+  * scale by 1/(1−q) (inverted dropout), so the inference path
+  * ([[extract]]/[[MlpStack.stackCol]], which never masks) needs no
+  * rescaling. Masks don't depend on θ, so gradients through the
+  * masked net stay exact (finite-diff-checkable at fixed dropKey).
+  *
   * θ slice layout from `off`: per layer l (input width in_l):
   * A_l (h_l×in_l row-major), b_l (h_l), then with bn: γ_l (h_l),
   * β_l (h_l).
   */
 final class MlpStack(p: Int, hidden: Seq[Int], off: Int,
-                     bn: Boolean = false) {
+                     bn: Boolean = false, dropout: Double = 0.0) {
+  require(dropout >= 0.0 && dropout < 1.0, s"dropout=$dropout not in [0,1)")
+  /** Inverted-dropout keep scale; 1.0 when dropout is off, so the
+    * backward pass can multiply unconditionally.
+    */
+  private val dropScale: Double = if (dropout > 0.0) 1.0 / (1.0 - dropout) else 1.0
   val widths: Array[Int] = hidden.toArray
   val nL: Int = widths.length
   val ins: Array[Int] =
@@ -50,13 +68,19 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int,
   val size: Int = widths.indices.map(l =>
     widths(l) * ins(l) + widths(l) + (if (bn) 2 * widths(l) else 0)).sum
 
-  /** Forward: acts(0) = x, acts(l+1) = relu(bn_l(A_l·acts(l) + b_l)).
-    * The returned activations array is what [[backward]] consumes.
-    * With bn, acts(l+1) has length 2·h_l: [post-relu out | pre-BN
-    * preactivation z] — consumers of the stack OUTPUT read only the
-    * first [[outWidth]] entries, backward needs z for ∂γ.
+  /** Forward: acts(0) = x, acts(l+1) = drop(relu(bn_l(A_l·acts(l) +
+    * b_l))). The returned activations array is what [[backward]]
+    * consumes. With bn, acts(l+1) has length 2·h_l: [post-relu out |
+    * pre-BN preactivation z] — consumers of the stack OUTPUT read only
+    * the first [[outWidth]] entries, backward needs z for ∂γ.
+    *
+    * `dropKey` seeds the dropout masks (ignored when dropout == 0);
+    * kept active units carry y/(1−q), dropped ones are exactly 0 — so
+    * acts(l+1)(j) > 0 ⟺ "relu-active AND kept", the one predicate
+    * [[backward]] gates on.
     */
-  def forward(theta: Array[Double], x: Array[Double]): Array[Array[Double]] = {
+  def forward(theta: Array[Double], x: Array[Double],
+              dropKey: Long = 0L): Array[Array[Double]] = {
     val acts = new Array[Array[Double]](nL + 1)
     acts(0) = x
     var l = 0
@@ -69,11 +93,14 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int,
         var s = theta(offB(l) + j)
         var m = 0
         while (m < ins(l)) { s += theta(offA(l) + j * ins(l) + m) * in(m); m += 1 }
+        var y = s
         if (bn) {
           out(w + j) = s
-          val y = theta(offG(l) + j) * s + theta(offBt(l) + j)
-          if (y > 0.0) out(j) = y // relu; zeros stay zero
-        } else if (s > 0.0) out(j) = s
+          y = theta(offG(l) + j) * s + theta(offBt(l) + j)
+        }
+        if (y > 0.0 &&
+            (dropout == 0.0 || MlpStack.u01(dropKey, l, j) >= dropout))
+          out(j) = y * dropScale // relu (+ inverted-dropout keep scale)
         j += 1
       }
       acts(l + 1) = out
@@ -97,9 +124,12 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int,
       val dIn = if (l > 0) new Array[Double](ins(l)) else null
       var j = 0
       while (j < w) {
-        // relu'(y) = 1{y > 0} ⟺ out(j) > 0 (exact zeros inactive)
+        // relu'(y) = 1{y > 0} ⟺ out(j) > 0 (exact zeros inactive;
+        // dropped units are exactly 0, so the same gate skips them)
         if (out(j) > 0.0 && dh(j) != 0.0) {
-          var d = dh(j)
+          // o = y·scale for kept units ⇒ dL/dy = dh·scale (scale = 1
+          // when dropout is off)
+          var d = dh(j) * dropScale
           if (bn) {
             grad(offG(l) + j) += d * out(w + j) // ∂γ = d·z
             grad(offBt(l) + j) += d // ∂β = d
@@ -161,6 +191,24 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int,
 }
 
 object MlpStack {
+
+  /** splitmix64 finalizer — the mask/key hash core. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Derive a dropout key from two components (chain for more:
+    * mixKey(mixKey(seed, iter), rowId)). Order-sensitive, so
+    * (iter, row) and (row, iter) draw independent masks.
+    */
+  def mixKey(a: Long, b: Long): Long = mix64(a ^ (b * 0xC2B2AE3D27D4EB4FL))
+
+  /** U[0,1) keep-draw for (dropKey, layer, unit) — pure, θ-free. */
+  private[model] def u01(dropKey: Long, l: Int, j: Int): Double =
+    (mix64(dropKey ^ (l.toLong << 32) ^ j.toLong) >>> 11) * 1.1102230246251565e-16
 
   /** f(x) through the ReLU stack as pure let-bound column algebra —
     * the ONE shared prediction-path forward for every fitted model

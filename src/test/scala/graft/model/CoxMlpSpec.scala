@@ -176,6 +176,91 @@ class CoxMlpSpec extends AnyFunSuite {
     }
   }
 
+  test("dropout gradient matches finite differences (fixed mask key)") {
+    // masks are a pure hash of (dropKey, layer, unit) — θ-free — so
+    // the masked loss is still exactly differentiable at a fixed key
+    val p = 2; val h = Seq(3, 2)
+    val rng = new Random(29)
+    val batch = Array.tabulate(7)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        (1 + i % 3).toDouble, rng.nextInt(2)))
+    val len = 2 + (3 * p + 3) + (2 * 3 + 2)
+    val theta = Array.fill(len)(rng.nextDouble() * 0.5 - 0.25)
+    val key = MlpStack.mixKey(41L, 3L)
+    def lossAt(th: Array[Double]): Double = {
+      val acc = CoxMlp.PartitionAcc(p, th, h, dropout = 0.3, dropKey0 = key)
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = CoxMlp.PartitionAcc(p, theta, h, dropout = 0.3, dropKey0 = key)
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("dropout mask semantics: deterministic, scaled, inference-free") {
+    val p = 3; val h = Seq(16)
+    val rng = new Random(31)
+    val base = new MlpStack(p, h, 0)
+    val drop = new MlpStack(p, h, 0, dropout = 0.4)
+    val theta = new Array[Double](base.size)
+    base.init(theta, rng)
+    val x = Array.fill(p)(rng.nextDouble() * 2 - 1)
+    val plain = base.forward(theta, x)(1)
+    val key = MlpStack.mixKey(7L, 12L)
+    val masked = drop.forward(theta, x, key)
+    // same key → identical masks; every unit is either exactly 0
+    // (dropped or inactive) or the plain activation / (1−q)
+    assert(masked(1).sameElements(drop.forward(theta, x, key)(1)))
+    val scale = 1.0 / 0.6
+    var dropped = 0
+    plain.indices.foreach { j =>
+      if (masked(1)(j) == 0.0) { if (plain(j) > 0.0) dropped += 1 }
+      else assert(math.abs(masked(1)(j) - plain(j) * scale) < 1e-15)
+    }
+    assert(dropped > 0, "q=0.4 over 16 units should drop something")
+    // a different key draws a different mask (16 units at q=0.4)
+    val other = drop.forward(theta, x, MlpStack.mixKey(7L, 13L))(1)
+    assert(!other.sameElements(masked(1)))
+    // dropout = 0 through the same code path is bit-equal to base
+    val zero = new MlpStack(p, h, 0, dropout = 0.0).forward(theta, x, key)(1)
+    assert(zero.sameElements(plain))
+    // the prediction path (extract) never masks: same folded layers
+    drop.extract(theta).zip(base.extract(theta)).foreach { case ((a1, b1), (a2, b2)) =>
+      assert(b1.sameElements(b2))
+      a1.indices.foreach(j => assert(a1(j).sameElements(a2(j))))
+    }
+  }
+
+  test("dropout-regularized neural Cox still learns the nonlinear signal") {
+    import spark.implicits._
+    // same V-shaped risk as the plain MLP test; dropout = 0.1 is the
+    // reference's default (model_cox_ph.py:21)
+    val rng = new Random(11)
+    val rows = (0 until 600).map { i =>
+      val x1 = 2 * rng.nextDouble() - 1
+      val x2 = 2 * rng.nextDouble() - 1
+      val rate = math.exp(3.0 * math.abs(x1) - 1.5) / 50.0
+      val tEvent = -math.log(rng.nextDouble()) / rate
+      val cens = 20 + rng.nextDouble() * 200
+      (i.toLong, x1, x2, math.max(math.min(tEvent, cens), 0.5),
+        if (tEvent <= cens) 1 else 0)
+    }
+    val d = SurvDataset.fromDataFrame(
+      rows.toDF("idx", "x1", "x2", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
+    val f = CoxMlp(hidden = Seq(8), epochs = 40, lr = 0.05, dropout = 0.1).fit(d)
+    val c = f.score(d)("c_index")
+    f.release()
+    assert(c > 0.6, s"c=$c")
+  }
+
   test("Hyperband MLP search includes batch_norm and completes") {
     import spark.implicits._
     val rng = new Random(5)
@@ -190,6 +275,7 @@ class CoxMlpSpec extends AnyFunSuite {
       Seq(col("idx")), "time", "event", features = Some(Seq("x1")))
     val seeds = graft.automl.ModelFactory.mlpSeeds(hidden = Seq(4))
     assert(seeds.forall(_.space.exists(_.name == "batch_norm")))
+    assert(seeds.forall(_.space.exists(_.name == "dropout")))
     val hb = new graft.automl.Hyperband(seeds = seeds, maxIter = 3, eta = 3,
       outputEpochs = 4, seedRng = 11L)
     val fitted = hb.selectModel(d)
