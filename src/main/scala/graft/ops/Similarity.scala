@@ -76,31 +76,9 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, numCells: Int, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // deterministic coarse "training": per-dim means of id%cells groups
-    val cent = corpus
-      .select((col(idCol) % numCells).cast("int").as("cell"),
-        posexplode(col(vecCol)).as(Seq("j", "xv")))
-      .groupBy(col("cell"), col("j"))
-      .agg(round(avg(col("xv").cast("double")), 6).as("c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
-      .toMap
-    val centDf = broadcast(
-      (0 until numCells).map(b => (b, cent(b).toSeq)).toDF("cell", "carr"))
-
-    def assigned(df: DataFrame, id: String): DataFrame = {
-      val vv = vec_dot(col(vecCol), col(vecCol))
-      val scored = df.select(col(id), col(vecCol), vv.as("vv"))
-        .crossJoin(centDf)
-        .select(col(id), col(vecCol), col("cell"),
-          (col("vv") - lit(2.0) * vec_dot(col(vecCol), col("carr"))
-            + vec_dot(col("carr"), col("carr"))).as("dist"))
-      val w = Window.partitionBy(col(id)).orderBy(col("dist"), col("cell"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col(id), col(vecCol), col("cell"))
-    }
+    val centDf = ivfCentroids(corpus, idCol, vecCol, numCells)
+    def assigned(df: DataFrame, id: String): DataFrame =
+      ivfAssign(df, id, vecCol, centDf)
 
     val c = assigned(corpus, idCol)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
@@ -116,6 +94,86 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("cell"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic coarse quantizer "training": per-dim means of
+    * id%cells groups, rounded to 6dp so both engines see identical
+    * coordinates (a learned k-means quantizer slots into the same
+    * dataflow). The collect is bounded at cells×dims doubles; the
+    * returned table broadcasts.
+    */
+  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                           numCells: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = corpus
+      .select((col(idCol) % numCells).cast("int").as("cell"),
+        posexplode(col(vecCol)).as(Seq("j", "xv")))
+      .groupBy(col("cell"), col("j"))
+      .agg(round(avg(col("xv").cast("double")), 6).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
+      .toMap
+    broadcast((0 until numCells).map(b => (b, cent(b).toSeq)).toDF("cell", "carr"))
+  }
+
+  /** Nearest-centroid assignment (squared-L2 via the VecDot identity
+    * ‖x−c‖² = x·x − 2x·c + c·c, ties to the lowest cell) — a
+    * scan-fused projection against the broadcast centroid table.
+    */
+  private def ivfAssign(df: DataFrame, id: String, vecCol: String,
+                        centDf: DataFrame): DataFrame = {
+    val vv = vec_dot(col(vecCol), col(vecCol))
+    val scored = df.select(col(id), col(vecCol), vv.as("vv"))
+      .crossJoin(centDf)
+      .select(col(id), col(vecCol), col("cell"),
+        (col("vv") - lit(2.0) * vec_dot(col(vecCol), col("carr"))
+          + vec_dot(col("carr"), col("carr"))).as("dist"))
+    val w = Window.partitionBy(col(id)).orderBy(col("dist"), col("cell"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col(id), col(vecCol), col("cell"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with the coarse quantizer,
+    * then inside each cluster drop any vector that has an
+    * earlier-id neighbor with cosine ≥ `tau` (the deterministic
+    * greedy leader rule — the kept "leader" of a near-duplicate chain
+    * is the lowest id). Returns one row per input:
+    * (id, cell, keep 1/0, dup_of = lowest qualifying earlier id,
+    * NULL for keeps).
+    *
+    * 100-TB shape: the centroid table is tiny and broadcast;
+    * assignment is scan-fused; the witness search is a cell-keyed
+    * equi-join (shuffle keyed on cell, never all-pairs). Within-cell
+    * work is O(Σ|cell|²) — `numCells` is the knob that bounds it, so
+    * at scale size cells to ~10³ vectors. Comparisons gate on the
+    * 6dp-rounded cosine so the keep set is reproducible across
+    * engines (no boundary-ulp flips).
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               numCells: Int, tau: Double): DataFrame = {
+    val centDf = ivfCentroids(corpus, idCol, vecCol, numCells)
+    // assignment feeds both sides of the self-join and the final
+    // left-join spine — one materialization (Pins-scoped release)
+    val asgn = graft.core.Pins.pin(
+      ivfAssign(corpus, idCol, vecCol, centDf)
+        .select(col(idCol), col("cell"), col(vecCol).as("v"),
+          sqrt(vec_dot(col(vecCol), col(vecCol))).as("n")))
+    val a = asgn.select(col(idCol).as("i"), col("cell"),
+      col("v").as("iv"), col("n").as("inn"))
+    val b = asgn.select(col(idCol).as("j"), col("cell"),
+      col("v").as("jv"), col("n").as("jn"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("j") < col("i"))
+      .filter(round(vec_dot(col("iv"), col("jv")) / (col("inn") * col("jn")), 6)
+        >= lit(tau))
+      .groupBy(col("i")).agg(min(col("j")).as("dup_of"))
+    asgn.select(col(idCol), col("cell"))
+      .join(dup.withColumnRenamed("i", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        when(col("dup_of").isNull, lit(1)).otherwise(lit(0)).as("keep"),
+        col("dup_of"))
   }
 
   /** LSH-bucketed top-k: rank only within the query's bucket. */

@@ -68,7 +68,15 @@ object SimQueries {
           "vec_id", "embedding", dims = Dims, numPlanes = Planes, minCos = 0.4)
         .select(col("bucket"), col("i"), col("j"),
           round(col("cos"), 6).as("cos"))
-        .orderBy("i", "j")))
+        .orderBy("i", "j")),
+
+    // SemDeDup-style semantic dedup: coarse-quantizer clustering +
+    // within-cell greedy leader rule (keep = no earlier-id neighbor
+    // with cos >= tau); one verdict row per input vector
+    "q_sim_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", numCells = 8, tau = 0.4)
+        .orderBy("vec_id")))
 
   /** dot in fixed sequential order; mirrors Dedup.cosine exactly. */
   private val dotSql =
@@ -147,6 +155,35 @@ object SimQueries {
         |             / CAST(count(*) AS DOUBLE), 6) AS centroid,
         |       count(*) AS n
         |FROM x GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
+
+    "q_sim_semdedup" -> {
+      val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+      val dot = dotSql
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
+         |                round(avg(x[j + 1]), 6) AS c
+         |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |         GROUP BY 1, 2),
+         |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
+         |asgn AS (SELECT vec_id, x, cell FROM (
+         |  SELECT v.vec_id, v.x, ca.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |           (${vv.format("v.x")}
+         |            - 2 * ${dot.format("v.x", "ca.carr")}
+         |            + ${vv.format("ca.carr")}), ca.cell) AS rk
+         |  FROM v CROSS JOIN ca) WHERE rk = 1),
+         |dup AS (SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
+         |        FROM asgn a JOIN asgn b
+         |          ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |        WHERE round(${dot.format("a.x", "b.x")}
+         |              / (sqrt(${vv.format("a.x")}) * sqrt(${vv.format("b.x")})), 6)
+         |              >= CAST(0.4 AS DOUBLE)
+         |        GROUP BY 1)
+         |SELECT a.vec_id, a.cell,
+         |       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep, d.dup_of
+         |FROM asgn a LEFT JOIN dup d ON d.i = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
 
     "q_sim_ivf_topk" -> {
       val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"

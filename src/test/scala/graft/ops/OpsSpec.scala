@@ -75,6 +75,43 @@ class OpsSpec extends AnyFunSuite {
     assert(top(0).getLong(2) == 1L && math.abs(top(0).getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("semDedup: within-cell leader rule matches a local replica") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0, 0.0),
+      1L -> Seq(0.0, 1.0, 0.0),
+      2L -> Seq(0.99, 0.01, 0.0), // near-dup of 0
+      3L -> Seq(0.0, 0.98, 0.05), // near-dup of 1
+      4L -> Seq(0.0, 0.0, 1.0),
+      5L -> Seq(1.0, 0.01, 0.0)) // near-dup of 0 and 2
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+        numCells = 2, tau = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // local replica of the exact rule (6dp half-up like Spark round)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = vecs.groupBy { case (id, _) => (id % 2).toInt }
+      .map { case (c, vs) =>
+        c -> (0 until 3).map(j => r6(vs.map(_._2(j)).sum / vs.size)) }
+    val cellOf = vecs.map { case (id, x) =>
+      id -> cents.toSeq.map { case (c, ca) =>
+        (dot(x, x) - 2 * dot(x, ca) + dot(ca, ca), c) }.min._2 }.toMap
+    val expected = vecs.map { case (id, x) =>
+      val dups = vecs.filter { case (j, y) =>
+        j < id && cellOf(j) == cellOf(id) &&
+          r6(dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))) >= 0.9 }
+      (id, cellOf(id), if (dups.isEmpty) 1 else 0,
+        if (dups.isEmpty) -1L else dups.map(_._1).min)
+    }
+    assert(out.toSeq == expected)
+    assert(out.exists(_._3 == 0), "fixture should contain at least one drop")
+  }
+
   test("langid picks the language with most markers") {
     import spark.implicits._
     val df = Seq("le chat et le chien est la", "the cat and the dog is a")
