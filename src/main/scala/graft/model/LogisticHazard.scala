@@ -76,8 +76,9 @@ final case class LogisticHazard(
   *
   * Same distributed rhythm as [[DeepHit]]/[[CoxMlp]]: deterministic
   * rn-contiguous batches, exact per-batch gradients via [[MlpStack]],
-  * one reduce per epoch, Adam on the driver. Batch-norm/dropout
-  * omitted engine-wide (documented deviation).
+  * one reduce per epoch, Adam on the driver. `batchNorm` (affine
+  * frozen-stats) and `dropout` (deterministic inverted masks) are the
+  * engine's exact-gradient flavors of the reference's net options.
   */
 final case class LogisticHazardMlp(
     numDurations: Int = 10,

@@ -223,6 +223,18 @@ object TextQueries {
           "text", numFeatures = 64)
         .orderBy("id", "bucket")),
 
+    // CCNet/GPT-3-style linear quality filter scoring at fixed grid
+    // weights (training is MLlib LR, spec-checked; the scoring
+    // dataflow here is the production path: scan-fused weight lookup,
+    // one keyed DECIMAL-exact aggregate)
+    "q_text_quality_lr" -> ((s, dir) =>
+      graft.ops.QualityFilter.score(Tables.load(s, dir, "documents"),
+          "doc_id", "text", graft.ops.QualityFilter.gridWeights(64),
+          bias = -0.5)
+        .select(col("id"), round(col("logit"), 6).as("logit"),
+          round(col("prob"), 6).as("prob"))
+        .orderBy("id")),
+
     // unicode canonicalization (custom codegen Expression — Spark has
     // no builtin): NFC over a deterministically-decomposed suffix
     // (combining acute) appended to the ASCII corpus text, so the
@@ -284,6 +296,28 @@ object TextQueries {
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '${TA.BpePattern}')) AS INT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same bucket hash as q_text_hashing_trick; weights/bias are the
+    // engine's literal grid; DECIMAL sum keeps the logit order- and
+    // engine-exact (weights are one-decimal rationals)
+    "q_text_quality_lr" ->
+      """WITH t AS (SELECT doc_id,
+        |                  unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |             CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS INT)
+        |               AS bucket
+        |      FROM t),
+        |s AS (SELECT doc_id,
+        |             CAST(sum(CAST(CAST((bucket * 37 + 11) % 19 - 9 AS DOUBLE)
+        |                           / 10.0 AS DECIMAL(38,15))) AS DOUBLE) AS z
+        |      FROM b GROUP BY 1)
+        |SELECT d.doc_id AS id,
+        |       round(CAST(-0.5 AS DOUBLE) + coalesce(s.z, 0.0), 6) AS logit,
+        |       round(1.0 / (1.0 + exp(-(CAST(-0.5 AS DOUBLE)
+        |             + coalesce(s.z, 0.0)))), 6) AS prob
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (

@@ -112,6 +112,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out.exists(_._3 == 0), "fixture should contain at least one drop")
   }
 
+  test("quality filter: grid scoring matches a local replica; LR separates") {
+    import spark.implicits._
+    val good = Seq("the cat sat on the mat", "a dog and a cat played",
+      "the sun is warm and bright")
+    val spam = Seq("buy now cheap deal now", "click here buy cheap now",
+      "deal deal click buy")
+    val docs = (good.map((_, 1)) ++ spam.map((_, 0))).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "label")
+    // fixed-weight scoring vs an exact local replica of the bucket hash
+    val w = QualityFilter.gridWeights(64)
+    val got = QualityFilter.score(docs, "doc_id", "text", w, bias = -0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    got.foreach { case (id, logit) =>
+      val want = -0.5 +
+        texts(id).split(" ").map(t => BigDecimal(w(bucket(t)))).sum.toDouble
+      assert(math.abs(logit - want) < 1e-12, s"doc $id: $logit vs $want")
+    }
+    // training separates the two vocabularies
+    val (tw, tb) = QualityFilter.train(docs, "doc_id", "text", "label",
+      numFeatures = 64, maxIter = 50, regParam = 1e-3)
+    val probs = QualityFilter.score(docs, "doc_id", "text", tw, tb)
+      .orderBy("id").collect().map(_.getDouble(2))
+    val (gp, sp) = (probs.take(3), probs.drop(3))
+    assert(gp.min > sp.max,
+      s"good ${gp.toSeq} should all outrank spam ${sp.toSeq}")
+  }
+
   test("langid picks the language with most markers") {
     import spark.implicits._
     val df = Seq("le chat et le chien est la", "the cat and the dog is a")
