@@ -103,10 +103,17 @@ object Similarity {
     * returned table broadcasts.
     */
   private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                           numCells: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cent = corpus
+                           numCells: Int): DataFrame =
+    centDfOf(corpus.sparkSession,
+      initCentroidMap(corpus, idCol, vecCol, numCells))
+
+  /** Deterministic init: per-dim means of id%cells groups, rounded to
+    * 6dp. Driver carry is bounded at cells×dims doubles.
+    */
+  private def initCentroidMap(corpus: DataFrame, idCol: String,
+                              vecCol: String,
+                              numCells: Int): Map[Int, Array[Double]] =
+    corpus
       .select((col(idCol) % numCells).cast("int").as("cell"),
         posexplode(col(vecCol)).as(Seq("j", "xv")))
       .groupBy(col("cell"), col("j"))
@@ -114,8 +121,52 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
       .toMap
-    broadcast((0 until numCells).map(b => (b, cent(b).toSeq)).toDF("cell", "carr"))
+
+  private def centDfOf(spark: org.apache.spark.sql.SparkSession,
+                       cents: Map[Int, Array[Double]]): DataFrame = {
+    import spark.implicits._
+    broadcast(cents.toSeq.sortBy(_._1)
+      .map { case (b, c) => (b, c.toSeq) }.toDF("cell", "carr"))
   }
+
+  /** Lloyd-refined ("learned") coarse quantizer: `iters` rounds of
+    * assign → per-cell mean, from the deterministic id%cells init.
+    * Each round is ONE assignment pass against the broadcast centroid
+    * table + ONE map-side-combined (cell, dim) aggregate; the driver
+    * carries cells×dims doubles per round. Update means run through
+    * exact DECIMAL sums and round to 6dp, so the trajectory is
+    * row-order- and engine-independent (oracle-replayable); cells
+    * that lose every vector keep their previous centroid. Returns the
+    * (cell, carr) table the IVF/semDedup dataflows consume — the
+    * "learned k-means quantizer slots into the same dataflow" path.
+    */
+  def kmeansQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+                      numCells: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = initCentroidMap(corpus, idCol, vecCol, numCells)
+    var it = 0
+    while (it < iters) {
+      val updated = ivfAssign(corpus, idCol, vecCol, centDfOf(spark, cents))
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("j", "xv")))
+        .groupBy(col("cell"), col("j"))
+        .agg(round(
+          sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
+        .toMap
+      cents = cents ++ updated // absent cells keep the previous centroid
+      it += 1
+    }
+    centDfOf(spark, cents)
+  }
+
+  /** Nearest-centroid cell per row against a (cell, carr) quantizer
+    * table — the public face of the assignment dataflow.
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centDf: DataFrame): DataFrame =
+    ivfAssign(corpus, idCol, vecCol, centDf).select(col(idCol), col("cell"))
 
   /** Nearest-centroid assignment (squared-L2 via the VecDot identity
     * ‖x−c‖² = x·x − 2x·c + c·c, ties to the lowest cell) — a

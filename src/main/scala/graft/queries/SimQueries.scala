@@ -76,7 +76,19 @@ object SimQueries {
     "q_sim_semdedup" -> ((s, dir) =>
       Similarity.semDedup(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", numCells = 8, tau = 0.4)
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // learned coarse quantizer: one Lloyd round (assign -> DECIMAL-
+    // exact per-cell means, 6dp-rounded) from the deterministic init,
+    // then the final cell assignment — the k-means upgrade slot of
+    // the IVF/semDedup dataflow
+    "q_sim_kmeans" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = Similarity.kmeansQuantizer(emb, "vec_id", "embedding",
+        numCells = 8, iters = 1)
+      Similarity.assignCells(emb, "vec_id", "embedding", cent)
+        .orderBy("vec_id")
+    }))
 
   /** dot in fixed sequential order; mirrors Dedup.cosine exactly. */
   private val dotSql =
@@ -183,6 +195,37 @@ object SimQueries {
          |       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep, d.dup_of
          |FROM asgn a LEFT JOIN dup d ON d.i = a.vec_id
          |ORDER BY a.vec_id""".stripMargin
+    },
+
+    "q_sim_kmeans" -> {
+      val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+      val dot = dotSql
+      def argmin(ca: String, out: String) =
+        s"""$out AS (SELECT vec_id, x, cell FROM (
+           |  SELECT v.vec_id, v.x, $ca.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |           (${vv.format("v.x")}
+           |            - 2 * ${dot.format("v.x", s"$ca.carr")}
+           |            + ${vv.format(s"$ca.carr")}), $ca.cell) AS rk
+           |  FROM v CROSS JOIN $ca) WHERE rk = 1)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |cent0 AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
+         |                 round(avg(x[j + 1]), 6) AS c
+         |          FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |          GROUP BY 1, 2),
+         |ca0 AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent0 GROUP BY cell),
+         |${argmin("ca0", "a1")},
+         |cent1u AS (SELECT a1.cell, j,
+         |                  round(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15))) AS DOUBLE)
+         |                        / CAST(count(*) AS DOUBLE), 6) AS c
+         |           FROM a1 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |           GROUP BY 1, 2),
+         |cent1 AS (SELECT c0.cell, c0.j, coalesce(u.c, c0.c) AS c
+         |          FROM cent0 c0 LEFT JOIN cent1u u
+         |            ON u.cell = c0.cell AND u.j = c0.j),
+         |ca1 AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent1 GROUP BY cell),
+         |${argmin("ca1", "a2")}
+         |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin
     },
 
     "q_sim_ivf_topk" -> {

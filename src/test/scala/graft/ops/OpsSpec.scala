@@ -112,6 +112,46 @@ class OpsSpec extends AnyFunSuite {
     assert(out.exists(_._3 == 0), "fixture should contain at least one drop")
   }
 
+  test("kmeans quantizer: two Lloyd rounds match a local replica") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.1, 0.0),
+      2L -> Seq(0.95, 0.05, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0),
+      4L -> Seq(0.05, 0.9, 0.0),
+      5L -> Seq(0.0, 0.0, 1.0))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansQuantizer(df, "vec_id", "embedding",
+        numCells = 2, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    // local replica: same init, argmin, DECIMAL-exact means, 6dp round
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def meansOf(groups: Map[Int, Seq[Seq[Double]]]): Map[Int, Array[Double]] =
+      groups.view.mapValues { vs =>
+        (0 until 3).map(j =>
+          r6((vs.map(v => BigDecimal(v(j))).sum / vs.size).toDouble)).toArray
+      }.toMap
+    var cents = vecs.groupBy { case (id, _) => (id % 2).toInt }
+      .view.mapValues(vs =>
+        (0 until 3).map(j => r6(vs.map(_._2(j)).sum / vs.size)).toArray).toMap
+    (0 until 2).foreach { _ =>
+      val asgn = vecs.groupBy { case (_, x) =>
+        cents.toSeq.map { case (c, ca) =>
+          (dot(x, x) - 2 * dot(x, ca.toSeq) + dot(ca.toSeq, ca.toSeq), c)
+        }.min._2
+      }
+      cents = cents ++ meansOf(asgn.view.mapValues(_.map(_._2)).toMap)
+    }
+    assert(got.keySet == cents.keySet)
+    got.foreach { case (c, arr) =>
+      assert(arr.sameElements(cents(c)), s"cell $c: ${arr.toSeq} vs ${cents(c).toSeq}")
+    }
+  }
+
   test("quality filter: grid scoring matches a local replica; LR separates") {
     import spark.implicits._
     val good = Seq("the cat sat on the mat", "a dog and a cat played",
