@@ -30,11 +30,15 @@ object Similarity {
 
   /** Bucket id from sign bits of `numPlanes` integer hyperplanes.
     * Planes are literal double arrays → each dot is one codegen'd
-    * VecDot pass over the vector.
+    * VecDot pass over the vector. `planeOffset` selects an
+    * independent plane family (band b of a banded scheme uses offset
+    * b·numPlanes).
     */
-  def lshBucket(vec: Column, dims: Int, numPlanes: Int): Column = {
+  def lshBucket(vec: Column, dims: Int, numPlanes: Int,
+                planeOffset: Int = 0): Column = {
     val dots = (0 until numPlanes).map { b =>
-      val plane = array((0 until dims).map(j => lit(planeComponent(b, j))): _*)
+      val plane = array((0 until dims).map(j =>
+        lit(planeComponent(planeOffset + b, j))): _*)
       vec_dot(vec, plane)
     }
     dots.zipWithIndex.map { case (d, b) =>
@@ -203,8 +207,11 @@ object Similarity {
     * engines (no boundary-ulp flips).
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
-               numCells: Int, tau: Double): DataFrame = {
-    val centDf = ivfCentroids(corpus, idCol, vecCol, numCells)
+               numCells: Int, tau: Double, lloydIters: Int = 0): DataFrame = {
+    val centDf =
+      if (lloydIters > 0)
+        kmeansQuantizer(corpus, idCol, vecCol, numCells, lloydIters)
+      else ivfCentroids(corpus, idCol, vecCol, numCells)
     // assignment feeds both sides of the self-join and the final
     // left-join spine — one materialization (Pins-scoped release)
     val asgn = graft.core.Pins.pin(

@@ -78,6 +78,16 @@ object SimQueries {
           "vec_id", "embedding", numCells = 8, tau = 0.4)
         .orderBy("vec_id")),
 
+    // embedding near-dup ingest gate, batch-deterministic form:
+    // banded sign-LSH buckets (independent plane family per band),
+    // min-id wins each (band, bucket), survive iff all bands won —
+    // the vector analog of q_dedup_gate
+    "q_dedup_embed_gate" -> ((s, dir) =>
+      graft.streaming.StreamingOps.embedDupKeepBatch(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = Dims, planesPerBand = 4, numBands = 4)
+        .orderBy("vec_id")),
+
     // learned coarse quantizer: one Lloyd round (assign -> DECIMAL-
     // exact per-cell means, 6dp-rounded) from the deterministic init,
     // then the final cell assignment — the k-means upgrade slot of
@@ -195,6 +205,32 @@ object SimQueries {
          |       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep, d.dup_of
          |FROM asgn a LEFT JOIN dup d ON d.i = a.vec_id
          |ORDER BY a.vec_id""".stripMargin
+    },
+
+    // banded buckets rebuilt with the same plane family arithmetic
+    // (plane index = band*4 + p); key is internal to the join, the
+    // output is the per-vector verdict
+    "q_dedup_embed_gate" -> {
+      def dotp(p: Int) =
+        s"""list_reduce(list_transform(generate_series(0, ${Dims - 1}),
+           |  j -> x[j + 1] * CAST(((band * 4 + $p) * 37 + j * 101) % 19 - 9 AS DOUBLE)),
+           |  (p, q) -> p + q)""".stripMargin.replaceAll("\n", " ")
+      val key = (0 until 4).map(p =>
+        s"CASE WHEN ${dotp(p)} > CAST(0 AS DOUBLE) THEN ${1L << p} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |bands AS (SELECT vec_id, band, $key AS key
+         |          FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         |w AS (SELECT band, key, min(vec_id) AS winner
+         |      FROM bands GROUP BY band, key),
+         |g AS (SELECT b.vec_id, count(*) AS n_bands,
+         |             CAST(sum(CASE WHEN w.winner = b.vec_id THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS n_won
+         |      FROM bands b JOIN w ON b.band = w.band AND b.key = w.key
+         |      GROUP BY b.vec_id)
+         |SELECT vec_id, n_bands, n_won,
+         |       CASE WHEN n_won = n_bands THEN 1 ELSE 0 END AS keep
+         |FROM g ORDER BY vec_id""".stripMargin
     },
 
     "q_sim_kmeans" -> {

@@ -242,6 +242,67 @@ object StreamingOps {
       .select(col("doc_id"))
   }
 
+  /** Row-LOCAL banded LSH bucket keys for an EMBEDDING stream — the
+    * vector analog of [[minhashBandKeys]]: each of `numBands` bands
+    * hashes the vector with its own independent family of
+    * `planesPerBand` sign-random-projection hyperplanes
+    * ([[graft.ops.Similarity.lshBucket]] at planeOffset =
+    * band·planesPerBand). Pure column expression (every dot is one
+    * codegen'd VecDot against a literal plane), so the claims stream
+    * carries exactly ONE stateful operator. Every vector claims all
+    * bands (no empty case — unlike shingles, a vector always hashes).
+    * Returns array< struct(band int, key bigint) >.
+    */
+  def embedBandKeys(vec: org.apache.spark.sql.Column, dims: Int,
+                    planesPerBand: Int = 4, numBands: Int = 4): org.apache.spark.sql.Column =
+    array((0 until numBands).map(b =>
+      struct(lit(b).as("band"),
+        graft.ops.Similarity.lshBucket(vec, dims, planesPerBand,
+          planeOffset = b * planesPerBand).as("key"))): _*)
+
+  /** Streaming embedding near-dup CLAIMS: each vector claims its
+    * banded LSH buckets; `dropDuplicates` state awards every (band,
+    * key) to its FIRST claimant across the stream. State is one entry
+    * per distinct (band, bucket) — content-bounded, shuffle-keyed on
+    * the bucket. Pair with [[embedDupKeep]] inside `foreachBatch`.
+    */
+  def embedDupClaims(emb: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, planesPerBand: Int = 4,
+                     numBands: Int = 4): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        explode(embedBandKeys(col(vecCol), dims, planesPerBand, numBands))
+          .as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .dropDuplicates("band", "key")
+
+  /** Batch reduction for `foreachBatch` over [[embedDupClaims]]: the
+    * vectors of this micro-batch that claimed ALL their bands.
+    */
+  def embedDupKeep(claims: DataFrame, numBands: Int = 4): DataFrame =
+    claims.groupBy(col("vec_id")).agg(count(lit(1)).as("n_claims"))
+      .filter(col("n_claims") === numBands)
+      .select(col("vec_id"))
+
+  /** Deterministic BATCH form of the embedding gate (min-id wins each
+    * (band, bucket), survive iff all bands won — same award rule as
+    * [[nearDupKeepBatch]]). Returns (vec_id, n_bands, n_won, keep).
+    */
+  def embedDupKeepBatch(emb: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, planesPerBand: Int = 4,
+                        numBands: Int = 4): DataFrame = {
+    val claims = emb.select(col(idCol).as("vec_id"),
+        explode(embedBandKeys(col(vecCol), dims, planesPerBand, numBands))
+          .as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val winners = claims.groupBy(col("band"), col("key"))
+      .agg(min(col("vec_id")).as("winner"))
+    claims.join(winners, Seq("band", "key"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("winner") === col("vec_id"), 1L).otherwise(0L)).as("n_won"))
+      .withColumn("keep", (col("n_won") === col("n_bands")).cast("int"))
+  }
+
   /** Deterministic BATCH form of the near-dup gate: every (band, key)
     * is awarded to its MINIMUM doc id (the streaming path awards it
     * to the first arrival; min-id is the batch-deterministic

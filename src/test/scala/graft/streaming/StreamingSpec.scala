@@ -303,4 +303,39 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(kept.keySet == Set(1L, 2L, 4L), s"kept=${kept.keySet}")
   }
+
+  test("streaming embedding gate: exact dup suppressed, batch parity") {
+    import spark.implicits._
+    val dims = 8
+    val vA = Seq(1.0, 0.2, -0.5, 0.7, -0.1, 0.4, -0.9, 0.3)
+    val vB = Seq(-0.8, 0.9, 0.1, -0.6, 0.5, -0.3, 0.2, -0.7)
+    val vC = Seq(0.1, -0.9, 0.8, 0.2, -0.6, 0.7, 0.4, -0.2)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val kept = scala.collection.concurrent.TrieMap.empty[Long, Unit]
+    val q = StreamingOps.embedDupClaims(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dims = dims)
+      .writeStream.outputMode("append")
+      .foreachBatch { (claims: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        StreamingOps.embedDupKeep(claims).collect()
+          .foreach(r => kept.put(r.getLong(0), ()))
+      }
+      .start()
+    input.addData((1L, vA), (2L, vB))
+    q.processAllAvailable()
+    // 3 is an exact copy of 1: every band key collides -> suppressed
+    input.addData((3L, vA), (4L, vC))
+    q.processAllAvailable()
+    q.stop()
+    assert(kept.contains(1L) && !kept.contains(3L), s"kept=${kept.keySet}")
+    // ids arrive in order, so first-arrival == min-id: the streaming
+    // keeps must equal the deterministic batch gate over the union
+    val batchKeeps = StreamingOps.embedDupKeepBatch(
+        Seq((1L, vA), (2L, vB), (3L, vA), (4L, vC))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding", dims = dims)
+      .filter(col("keep") === 1).collect().map(_.getLong(0)).toSet
+    assert(kept.keySet == batchKeeps, s"${kept.keySet} vs $batchKeeps")
+  }
 }
