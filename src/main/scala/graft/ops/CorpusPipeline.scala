@@ -39,4 +39,46 @@ object CorpusPipeline {
       min_by(col("n_tokens"), col("id")).as("n_tokens"),
       count(lit(1)).as("n_dups"))
   }
+
+  /** The END-TO-END training-set build — every stage a real
+    * large-corpus curation step, chained as one lazy plan:
+    *
+    *   1. [[clean]]: quality + language gate, exact-dedup keep-first;
+    *   2. MinHash-LSH near-dup gate
+    *      ([[graft.streaming.StreamingOps.nearDupKeepBatch]] losers
+    *      removed by anti-join; sub-n-token docs claim no bands and
+    *      pass through, same convention as the gate itself);
+    *   3. trained-filter scoring ([[QualityFilter.score]]), keep
+    *      docs with 6dp-rounded P(quality) >= minProb.
+    *
+    * Returns (id, lang_pred, n_tokens, n_dups, prob).
+    *
+    * Scale shape: stage 1's only shuffle is the fingerprint groupBy;
+    * stage 2 shuffles on shingle/band content keys over the SURVIVORS
+    * only (each gate stage shrinks the data before the next pays for
+    * it); stage 3 is one (id)-keyed DECIMAL-exact aggregate. The text
+    * re-join after clean() and the anti/score joins are all id-keyed
+    * equi-joins — no window, no all-pairs anywhere.
+    */
+  def trainingSet(docs: DataFrame, idCol: String, textCol: String,
+                  minQuality: Double, langs: Seq[String],
+                  lrWeights: Array[Double], lrBias: Double,
+                  minProb: Double,
+                  numHashes: Int = 16, rowsPerBand: Int = 4,
+                  n: Int = 3): DataFrame = {
+    val surv = clean(docs, idCol, textCol, minQuality, langs)
+      .select(col("id"), col("lang_pred"), col("n_tokens"), col("n_dups"))
+      .join(docs.select(col(idCol).as("id"), col(textCol).as("text")),
+        Seq("id"))
+    val losers = graft.streaming.StreamingOps
+      .nearDupKeepBatch(surv, "id", "text", numHashes, rowsPerBand, n)
+      .filter(col("keep") === 0).select(col("doc_id").as("id"))
+    val afterGate = surv.join(losers, Seq("id"), "left_anti")
+    afterGate
+      .join(QualityFilter.score(afterGate, "id", "text", lrWeights, lrBias)
+        .select(col("id"), round(col("prob"), 6).as("prob")), Seq("id"))
+      .filter(col("prob") >= minProb)
+      .select(col("id"), col("lang_pred"), col("n_tokens"),
+        col("n_dups"), col("prob"))
+  }
 }

@@ -93,6 +93,17 @@ object TextQueries {
           col("lang_pred"), col("n_tokens"), col("n_dups"))
         .orderBy("id")),
 
+    // the END-TO-END training-set build: clean (quality+lang gate,
+    // exact dedup) -> MinHash-LSH near-dup gate over survivors ->
+    // trained-filter probability gate; each stage shrinks the corpus
+    // before the next pays for it
+    "q_corpus_training_set" -> ((s, dir) =>
+      graft.ops.CorpusPipeline.trainingSet(Tables.load(s, dir, "documents"),
+          "doc_id", "text", minQuality = 0.55, langs = Seq("de", "en"),
+          lrWeights = graft.ops.QualityFilter.gridWeights(64),
+          lrBias = -0.5, minProb = 0.5)
+        .orderBy("id")),
+
     // sliding-window chunking (40-token chunks every 30) — scan-fused
     // per-row explode, no shuffle
     "q_chunk_docs" -> ((s, dir) =>
@@ -426,6 +437,76 @@ object TextQueries {
          |       min_by(n_tokens, id) AS n_tokens,
          |       count(*) AS n_dups
          |FROM g GROUP BY fp ORDER BY id""".stripMargin
+    },
+
+    // composed from the proven piece oracles: q_corpus_clean's CTEs,
+    // q_dedup_gate's shingle/signature/band verdict (scoped to the
+    // clean survivors), q_text_quality_lr's bucket-weight sum
+    "q_corpus_training_set" -> {
+      val scores = TA.markers.map { case (l, _) =>
+        s"${scoreSql(l)} AS s_$l" }.mkString(",\n  ")
+      s"""WITH t AS (
+         |  SELECT doc_id AS id,
+         |    CAST(length(text) AS INT) AS n_chars,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         |    $scores
+         |  FROM documents),
+         |qsig AS (
+         |  SELECT id, fp, n_tokens,
+         |    CAST(s_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) * CAST(2 AS DOUBLE)
+         |      + LEAST((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |              / CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
+         |      - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS quality,
+         |    $predictedSql AS lang_pred
+         |  FROM t),
+         |g AS (SELECT * FROM qsig
+         |      WHERE quality >= CAST(0.55 AS DOUBLE) AND lang_pred IN ('de', 'en')),
+         |cleaned AS (SELECT min(id) AS id, min_by(lang_pred, id) AS lang_pred,
+         |                   min_by(n_tokens, id) AS n_tokens, count(*) AS n_dups
+         |            FROM g GROUP BY fp),
+         |sd AS (SELECT c.id, c.lang_pred, c.n_tokens, c.n_dups, d.text
+         |       FROM cleaned c JOIN documents d ON d.doc_id = c.id),
+         |sh AS (
+         |  SELECT id, unnest(list_distinct(
+         |    list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+         |      i -> ('0x' || substr(md5(
+         |             string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         |             || ' ' || string_split(text, ' ')[i+2]), 1, 15))::BIGINT))) AS sh
+         |  FROM sd WHERE len(string_split(text, ' ')) >= 3),
+         |msig AS (
+         |  SELECT id, i, min(h) AS mh FROM (
+         |    SELECT id,
+         |           unnest(generate_series(0, 15)) AS i,
+         |           unnest(list_transform(generate_series(0, 15),
+         |             i -> ((i * 2 + 3) * xp + (i * 5 + 7)) % 1000000007)) AS h
+         |    FROM (SELECT id, sh % 1000000007 AS xp FROM sh))
+         |  GROUP BY id, i),
+         |bands AS (SELECT id, i // 4 AS band,
+         |                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+         |          FROM msig GROUP BY id, i // 4),
+         |w AS (SELECT band, key, min(id) AS winner
+         |      FROM bands GROUP BY band, key),
+         |v AS (SELECT b.id, count(*) AS n_bands,
+         |             sum(CASE WHEN w.winner = b.id THEN 1 ELSE 0 END) AS n_won
+         |      FROM bands b JOIN w ON b.band = w.band AND b.key = w.key
+         |      GROUP BY b.id),
+         |ag AS (SELECT * FROM sd
+         |       WHERE id NOT IN (SELECT id FROM v WHERE n_won <> n_bands)),
+         |lb AS (SELECT id,
+         |              CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS INT) AS bucket
+         |       FROM (SELECT id, unnest(string_split(text, ' ')) AS tok FROM ag)),
+         |ls AS (SELECT id,
+         |              CAST(sum(CAST(CAST((bucket * 37 + 11) % 19 - 9 AS DOUBLE)
+         |                            / 10.0 AS DECIMAL(38,15))) AS DOUBLE) AS z
+         |       FROM lb GROUP BY 1),
+         |pr AS (SELECT a.id, a.lang_pred, a.n_tokens, a.n_dups,
+         |              round(1.0 / (1.0 + exp(-(CAST(-0.5 AS DOUBLE)
+         |                    + coalesce(ls.z, 0.0)))), 6) AS prob
+         |       FROM ag a LEFT JOIN ls ON ls.id = a.id)
+         |SELECT id, lang_pred, n_tokens, n_dups, prob
+         |FROM pr WHERE prob >= CAST(0.5 AS DOUBLE) ORDER BY id""".stripMargin
     },
 
     "q_chunk_docs" ->
