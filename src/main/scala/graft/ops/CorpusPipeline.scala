@@ -66,10 +66,13 @@ object CorpusPipeline {
                   minProb: Double,
                   numHashes: Int = 16, rowsPerBand: Int = 4,
                   n: Int = 3): DataFrame = {
-    val surv = clean(docs, idCol, textCol, minQuality, langs)
-      .select(col("id"), col("lang_pred"), col("n_tokens"), col("n_dups"))
-      .join(docs.select(col(idCol).as("id"), col(textCol).as("text")),
-        Seq("id"))
+    // consumed three times (gate claims, anti-join spine, score) —
+    // one materialization, released by the caller's Pins scope
+    val surv = graft.core.Pins.pin(
+      clean(docs, idCol, textCol, minQuality, langs)
+        .select(col("id"), col("lang_pred"), col("n_tokens"), col("n_dups"))
+        .join(docs.select(col(idCol).as("id"), col(textCol).as("text")),
+          Seq("id")))
     val losers = graft.streaming.StreamingOps
       .nearDupKeepBatch(surv, "id", "text", numHashes, rowsPerBand, n)
       .filter(col("keep") === 0).select(col("doc_id").as("id"))

@@ -290,10 +290,12 @@ object StreamingOps {
   def embedDupKeepBatch(emb: DataFrame, idCol: String, vecCol: String,
                         dims: Int, planesPerBand: Int = 4,
                         numBands: Int = 4): DataFrame = {
-    val claims = emb.select(col(idCol).as("vec_id"),
+    // same double-consumption as nearDupKeepBatch's claims: pin so
+    // the banded VecDot projections run once
+    val claims = graft.core.Pins.pin(emb.select(col(idCol).as("vec_id"),
         explode(embedBandKeys(col(vecCol), dims, planesPerBand, numBands))
           .as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")))
     val winners = claims.groupBy(col("band"), col("key"))
       .agg(min(col("vec_id")).as("winner"))
     claims.join(winners, Seq("band", "key"))
@@ -327,11 +329,14 @@ object StreamingOps {
     val sig = graft.ops.Dedup.minhashSignatureArr(
       graft.ops.Dedup.shingles(docs, idCol, textCol, n), numHashes)
     val nBands = numHashes / rowsPerBand
-    val claims = sig.select(col("id").as("doc_id"),
+    // claims feeds BOTH the winners groupBy and the verdict join —
+    // pin so the shingle/signature pipeline runs once (released by
+    // the caller's Pins scope)
+    val claims = graft.core.Pins.pin(sig.select(col("id").as("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
         concat_ws(",", transform(
           slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
-          _.cast("string"))))).as(Seq("band", "key")))
+          _.cast("string"))))).as(Seq("band", "key"))))
     val winners = claims.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("winner"))
     claims.join(winners, Seq("band", "key"))
