@@ -7,20 +7,43 @@ package graft.model
   * returns the NORMALIZED (per-row or per-event) loss and gradient;
   * the loop returns the best EVALUATED iterate (the θ whose loss was
   * actually measured, never the post-step parameters).
+  *
+  * Fault tolerance: the full optimizer state is a few KB of driver
+  * doubles, so [[runFrom]] exposes it as a [[AdamLoop.Checkpoint]]
+  * after every evaluated epoch (`onEpoch`) and resumes from one
+  * bit-exactly — a preempted 100-TB fit restarts at its last epoch
+  * instead of epoch 0 ([[save]]/[[load]] round-trip one through a
+  * local file). Resuming reproduces the uninterrupted run exactly
+  * when `lossGrad` is a pure function of θ; trainers whose loss
+  * depends on the epoch index (the dropout mask key) must re-seat
+  * their own counter from `Checkpoint.epoch`.
   */
 private[model] object AdamLoop {
 
+  /** Complete optimizer state after `epoch` evaluated iterates. */
+  final case class Checkpoint(epoch: Int, step: Int,
+                              theta: Array[Double],
+                              m: Array[Double], v: Array[Double],
+                              best: Double, bestTheta: Array[Double],
+                              badEpochs: Int)
+
   def run(theta0: Array[Double], epochs: Int, patience: Int, lr: Double)
-         (lossGrad: Array[Double] => (Double, Array[Double])): Array[Double] = {
-    var theta = theta0
-    val mAdam = Array.fill(theta.length)(0.0)
-    val vAdam = Array.fill(theta.length)(0.0)
-    var best = Double.MaxValue
-    var bestTheta = theta.clone()
-    var badEpochs = 0
+         (lossGrad: Array[Double] => (Double, Array[Double])): Array[Double] =
+    runFrom(None, theta0, epochs, patience, lr)(lossGrad)
+
+  def runFrom(resume: Option[Checkpoint],
+              theta0: Array[Double], epochs: Int, patience: Int, lr: Double,
+              onEpoch: Checkpoint => Unit = _ => ())
+             (lossGrad: Array[Double] => (Double, Array[Double])): Array[Double] = {
+    var theta = resume.map(_.theta.clone()).getOrElse(theta0)
+    val mAdam = resume.map(_.m.clone()).getOrElse(Array.fill(theta.length)(0.0))
+    val vAdam = resume.map(_.v.clone()).getOrElse(Array.fill(theta.length)(0.0))
+    var best = resume.map(_.best).getOrElse(Double.MaxValue)
+    var bestTheta = resume.map(_.bestTheta.clone()).getOrElse(theta.clone())
+    var badEpochs = resume.map(_.badEpochs).getOrElse(0)
     val (b1, b2, eps) = (0.9, 0.999, 1e-8)
-    var step = 0
-    var epoch = 0
+    var step = resume.map(_.step).getOrElse(0)
+    var epoch = resume.map(_.epoch).getOrElse(0)
     while (epoch < epochs && badEpochs < patience) {
       val th = theta
       val (loss, grad) = lossGrad(th)
@@ -41,7 +64,34 @@ private[model] object AdamLoop {
       if (loss < best - 1e-6) { best = loss; bestTheta = th.clone(); badEpochs = 0 }
       else badEpochs += 1
       epoch += 1
+      onEpoch(Checkpoint(epoch, step, theta.clone(), mAdam.clone(),
+        vAdam.clone(), best, bestTheta.clone(), badEpochs))
     }
     bestTheta
+  }
+
+  /** Write a checkpoint to a local file (driver-side, a few KB). */
+  def save(cp: Checkpoint, path: String): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path)))
+    try {
+      out.writeInt(cp.epoch); out.writeInt(cp.step)
+      out.writeDouble(cp.best); out.writeInt(cp.badEpochs)
+      out.writeInt(cp.theta.length)
+      Seq(cp.theta, cp.m, cp.v, cp.bestTheta)
+        .foreach(_.foreach(out.writeDouble))
+    } finally out.close()
+  }
+
+  def load(path: String): Checkpoint = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      val epoch = in.readInt(); val step = in.readInt()
+      val best = in.readDouble(); val badEpochs = in.readInt()
+      val len = in.readInt()
+      def arr() = Array.fill(len)(in.readDouble())
+      Checkpoint(epoch, step, arr(), arr(), arr(), best, arr(), badEpochs)
+    } finally in.close()
   }
 }
