@@ -88,6 +88,14 @@ object SimQueries {
           dims = Dims, planesPerBand = 4, numBands = 4)
         .orderBy("vec_id")),
 
+    // the composed flavor: semantic dedup over the Lloyd-refined
+    // quantizer (lloydIters = 1) — verifies the kmeans+semDedup
+    // wiring end to end
+    "q_sim_semdedup_kmeans" -> ((s, dir) =>
+      Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", numCells = 8, tau = 0.4, lloydIters = 1)
+        .orderBy("vec_id")),
+
     // learned coarse quantizer: one Lloyd round (assign -> DECIMAL-
     // exact per-cell means, 6dp-rounded) from the deterministic init,
     // then the final cell assignment — the k-means upgrade slot of
@@ -112,6 +120,41 @@ object SimQueries {
       s"CASE WHEN $dot > CAST(0 AS DOUBLE) THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }
     dots.mkString(" + ")
+  }
+
+  /** Shared Lloyd-round CTE chain (v → cent0/ca0 → a1 → cent1/ca1 →
+    * a2): the deterministic init, one argmin assignment, one
+    * DECIMAL-exact mean update with empty-cell fallback, and the
+    * final assignment — mirrors `kmeansQuantizer(iters = 1)` +
+    * `assignCells`.
+    */
+  private val lloydSql: String = {
+    val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+    def argmin(ca: String, out: String) =
+      s"""$out AS (SELECT vec_id, x, cell FROM (
+         |  SELECT v.vec_id, v.x, $ca.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |           (${vv.format("v.x")}
+         |            - 2 * ${dotSql.format("v.x", s"$ca.carr")}
+         |            + ${vv.format(s"$ca.carr")}), $ca.cell) AS rk
+         |  FROM v CROSS JOIN $ca) WHERE rk = 1)""".stripMargin
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |cent0 AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
+       |                 round(avg(x[j + 1]), 6) AS c
+       |          FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+       |          GROUP BY 1, 2),
+       |ca0 AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent0 GROUP BY cell),
+       |${argmin("ca0", "a1")},
+       |cent1u AS (SELECT a1.cell, j,
+       |                  round(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15))) AS DOUBLE)
+       |                        / CAST(count(*) AS DOUBLE), 6) AS c
+       |           FROM a1 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+       |           GROUP BY 1, 2),
+       |cent1 AS (SELECT c0.cell, c0.j, coalesce(u.c, c0.c) AS c
+       |          FROM cent0 c0 LEFT JOIN cent1u u
+       |            ON u.cell = c0.cell AND u.j = c0.j),
+       |ca1 AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent1 GROUP BY cell),
+       |${argmin("ca1", "a2")}""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -233,35 +276,25 @@ object SimQueries {
          |FROM g ORDER BY vec_id""".stripMargin
     },
 
-    "q_sim_kmeans" -> {
+    "q_sim_kmeans" ->
+      s"""WITH $lloydSql
+         |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // Lloyd CTEs + the semDedup leader rule over the refined cells
+    "q_sim_semdedup_kmeans" -> {
       val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
-      val dot = dotSql
-      def argmin(ca: String, out: String) =
-        s"""$out AS (SELECT vec_id, x, cell FROM (
-           |  SELECT v.vec_id, v.x, $ca.cell,
-           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |           (${vv.format("v.x")}
-           |            - 2 * ${dot.format("v.x", s"$ca.carr")}
-           |            + ${vv.format(s"$ca.carr")}), $ca.cell) AS rk
-           |  FROM v CROSS JOIN $ca) WHERE rk = 1)""".stripMargin
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         |cent0 AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
-         |                 round(avg(x[j + 1]), 6) AS c
-         |          FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
-         |          GROUP BY 1, 2),
-         |ca0 AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent0 GROUP BY cell),
-         |${argmin("ca0", "a1")},
-         |cent1u AS (SELECT a1.cell, j,
-         |                  round(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15))) AS DOUBLE)
-         |                        / CAST(count(*) AS DOUBLE), 6) AS c
-         |           FROM a1 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
-         |           GROUP BY 1, 2),
-         |cent1 AS (SELECT c0.cell, c0.j, coalesce(u.c, c0.c) AS c
-         |          FROM cent0 c0 LEFT JOIN cent1u u
-         |            ON u.cell = c0.cell AND u.j = c0.j),
-         |ca1 AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent1 GROUP BY cell),
-         |${argmin("ca1", "a2")}
-         |SELECT vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin
+      s"""WITH $lloydSql,
+         |dup AS (SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
+         |        FROM a2 a JOIN a2 b
+         |          ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |        WHERE round(${dotSql.format("a.x", "b.x")}
+         |              / (sqrt(${vv.format("a.x")}) * sqrt(${vv.format("b.x")})), 6)
+         |              >= CAST(0.4 AS DOUBLE)
+         |        GROUP BY 1)
+         |SELECT a.vec_id, a.cell,
+         |       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep, d.dup_of
+         |FROM a2 a LEFT JOIN dup d ON d.i = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
     },
 
     "q_sim_ivf_topk" -> {
