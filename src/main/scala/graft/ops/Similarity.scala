@@ -80,9 +80,9 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, numCells: Int, k: Int): DataFrame = {
-    val centDf = ivfCentroids(corpus, idCol, vecCol, numCells)
+    val cents = initCentroidMap(corpus, idCol, vecCol, numCells)
     def assigned(df: DataFrame, id: String): DataFrame =
-      ivfAssign(df, id, vecCol, centDf)
+      ivfAssign(df, id, vecCol, cents)
 
     val c = assigned(corpus, idCol)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
@@ -99,17 +99,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("cell"), col("rank"), col("vec_id"), col("cos"))
   }
-
-  /** Deterministic coarse quantizer "training": per-dim means of
-    * id%cells groups, rounded to 6dp so both engines see identical
-    * coordinates (a learned k-means quantizer slots into the same
-    * dataflow). The collect is bounded at cells×dims doubles; the
-    * returned table broadcasts.
-    */
-  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                           numCells: Int): DataFrame =
-    centDfOf(corpus.sparkSession,
-      initCentroidMap(corpus, idCol, vecCol, numCells))
 
   /** Deterministic init: per-dim means of id%cells groups, rounded to
     * 6dp. Driver carry is bounded at cells×dims doubles.
@@ -129,8 +118,10 @@ object Similarity {
   private def centDfOf(spark: org.apache.spark.sql.SparkSession,
                        cents: Map[Int, Array[Double]]): DataFrame = {
     import spark.implicits._
-    broadcast(cents.toSeq.sortBy(_._1)
-      .map { case (b, c) => (b, c.toSeq) }.toDF("cell", "carr"))
+    // no broadcast hint: the quantizer table is consumed by collecting
+    // back to a driver map (assignCells), never by a join
+    cents.toSeq.sortBy(_._1)
+      .map { case (b, c) => (b, c.toSeq) }.toDF("cell", "carr")
   }
 
   /** Lloyd-refined ("learned") coarse quantizer: `iters` rounds of
@@ -145,12 +136,20 @@ object Similarity {
     * "learned k-means quantizer slots into the same dataflow" path.
     */
   def kmeansQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
-                      numCells: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
+                      numCells: Int, iters: Int): DataFrame =
+    centDfOf(corpus.sparkSession,
+      kmeansMap(corpus, idCol, vecCol, numCells, iters))
+
+  /** Driver-map form of [[kmeansQuantizer]] — each Lloyd round is ONE
+    * scan-fused assignment (no join, no shuffle beyond the update agg)
+    * + ONE map-side-combined (cell, dim) aggregate.
+    */
+  private def kmeansMap(corpus: DataFrame, idCol: String, vecCol: String,
+                        numCells: Int, iters: Int): Map[Int, Array[Double]] = {
     var cents = initCentroidMap(corpus, idCol, vecCol, numCells)
     var it = 0
     while (it < iters) {
-      val updated = ivfAssign(corpus, idCol, vecCol, centDfOf(spark, cents))
+      val updated = ivfAssign(corpus, idCol, vecCol, cents)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("j", "xv")))
         .groupBy(col("cell"), col("j"))
         .agg(round(
@@ -162,31 +161,73 @@ object Similarity {
       cents = cents ++ updated // absent cells keep the previous centroid
       it += 1
     }
-    centDfOf(spark, cents)
+    cents
   }
 
   /** Nearest-centroid cell per row against a (cell, carr) quantizer
-    * table — the public face of the assignment dataflow.
+    * table — the public face of the assignment dataflow. The table is
+    * driver-bounded by construction (cells × dims), so it collapses to
+    * a literal centroid array and the assignment scan-fuses.
     */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                   centDf: DataFrame): DataFrame =
-    ivfAssign(corpus, idCol, vecCol, centDf).select(col(idCol), col("cell"))
+    ivfAssign(corpus, idCol, vecCol, centMapOf(centDf))
+      .select(col(idCol), col("cell"))
+
+  /** (cell, carr) table → driver map; bounded at cells×dims doubles. */
+  private def centMapOf(centDf: DataFrame): Map[Int, Array[Double]] =
+    centDf.collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Double](1).toArray)
+      .toMap
 
   /** Nearest-centroid assignment (squared-L2 via the VecDot identity
-    * ‖x−c‖² = x·x − 2x·c + c·c, ties to the lowest cell) — a
-    * scan-fused projection against the broadcast centroid table.
+    * ‖x−c‖² = x·x − 2x·c + c·c, ties to the lowest cell) — ONE
+    * scan-fused `aggregate()` fold over the literal centroid array:
+    * no row explosion, no shuffle, no window. At 100 TB with
+    * numCells ~10⁴ this is the difference between a numCells× corpus
+    * blow-up + full re-sort and a pure map stage. Fold order is
+    * ascending cell with a strict `<`, so ties keep the lowest cell —
+    * identical to the retired (dist, cell) window ranking; c·c is
+    * pre-accumulated on the driver with VecDot's own sequential
+    * double loop, so distances are bit-equal to the joined form.
     */
   private def ivfAssign(df: DataFrame, id: String, vecCol: String,
-                        centDf: DataFrame): DataFrame = {
-    val vv = vec_dot(col(vecCol), col(vecCol))
-    val scored = df.select(col(id), col(vecCol), vv.as("vv"))
-      .crossJoin(centDf)
-      .select(col(id), col(vecCol), col("cell"),
-        (col("vv") - lit(2.0) * vec_dot(col(vecCol), col("carr"))
-          + vec_dot(col("carr"), col("carr"))).as("dist"))
-    val w = Window.partitionBy(col(id)).orderBy(col("dist"), col("cell"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col(id), col(vecCol), col("cell"))
+                        cents: Map[Int, Array[Double]]): DataFrame = {
+    val scored = df.select(col(id), col(vecCol),
+      vec_dot(col(vecCol), col(vecCol)).as("vv"))
+    scored.select(col(id), col(vecCol),
+      nearestCell(col(vecCol), col("vv"), cents).as("cell"))
+  }
+
+  /** The fold expression: carry (bestCell, bestDist) across the
+    * centroid structs; dist = (vv − 2·x·c) + c·c in the exact
+    * arithmetic order of the retired join formulation.
+    */
+  private def nearestCell(vec: Column, vv: Column,
+                          cents: Map[Int, Array[Double]]): Column = {
+    val centArr = array(cents.toSeq.sortBy(_._1).map { case (cell, c) =>
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      struct(lit(cell).as("cell"),
+        array(c.toSeq.map(lit(_)): _*).as("carr"),
+        lit(cc).as("cc"))
+    }: _*)
+    // transform computes each distance exactly once; the fold then
+    // only compares (cell, dist) structs — dims-length work is 1×
+    // per cell per row, not 2× (a CASE merge would re-evaluate the
+    // distance in its THEN branch).
+    val dists = transform(centArr, cent =>
+      struct(cent.getField("cell").as("cell"),
+        (vv - lit(2.0) * vec_dot(vec, cent.getField("carr")) +
+          cent.getField("cc")).as("dist")))
+    aggregate(
+      dists,
+      struct(lit(-1).as("cell"), lit(Double.PositiveInfinity).as("dist")),
+      (acc, cd) =>
+        when(cd.getField("dist") < acc.getField("dist"), cd).otherwise(acc),
+      acc => acc.getField("cell"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
@@ -208,14 +249,14 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                numCells: Int, tau: Double, lloydIters: Int = 0): DataFrame = {
-    val centDf =
+    val cents =
       if (lloydIters > 0)
-        kmeansQuantizer(corpus, idCol, vecCol, numCells, lloydIters)
-      else ivfCentroids(corpus, idCol, vecCol, numCells)
+        kmeansMap(corpus, idCol, vecCol, numCells, lloydIters)
+      else initCentroidMap(corpus, idCol, vecCol, numCells)
     // assignment feeds both sides of the self-join and the final
     // left-join spine — one materialization (Pins-scoped release)
     val asgn = graft.core.Pins.pin(
-      ivfAssign(corpus, idCol, vecCol, centDf)
+      ivfAssign(corpus, idCol, vecCol, cents)
         .select(col(idCol), col("cell"), col(vecCol).as("v"),
           sqrt(vec_dot(col(vecCol), col(vecCol))).as("n")))
     val a = asgn.select(col(idCol).as("i"), col("cell"),
