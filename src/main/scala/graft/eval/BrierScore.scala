@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *   otherwise 0        (and 0 whenever the G weight is 0)
   * BS(τ) = Σ contrib / N.
   *
-  * Scale shape: censoring KM reduces to |distinct t| rows and is
-  * broadcast; the subjects×grid expansion is a broadcast cross join
-  * (grid is 100 literal rows); one final groupBy(τ). No driver
-  * collect anywhere; two broadcast lookups replace the reference's
-  * client-side numpy.
+  * Scale shape: the censoring KM reduces to |distinct test t| rows —
+  * at continuous-time scale that is ~n_test, far past broadcast
+  * range, so BOTH step lookups run through [[KaplanMeier.lookup]]'s
+  * distributed range-scan (no broadcast of the curve, no nested-loop
+  * join). G(τ) then attaches to the subject×grid long form by a
+  * 100-row broadcast hash join on τ, G(t_i⁻) by a keyed equi-join on
+  * the subject id, N by a scalar subquery; one final groupBy(τ).
   */
 object BrierScore {
 
@@ -50,10 +52,12 @@ object BrierScore {
       col(eCol).cast("int").as("e"))
     val gAtTi = KaplanMeier.lookup(base, "t", cens, strict = true, "g_ti")
 
-    val joined = gAtTi
-      .crossJoin(broadcast(gAtTau))
-      .join(surv.select(col(idCol).as("id"), col("tau"), col("s")),
-        Seq("id", "tau"))
+    // surv is already the subject×grid long form, so no cross join is
+    // needed anywhere: G(τ) attaches by a broadcast HASH join on the
+    // grid time and G(t_i⁻) by a keyed equi-join on the subject id.
+    val joined = surv.select(col(idCol).as("id"), col("tau"), col("s"))
+      .join(broadcast(gAtTau), Seq("tau"))
+      .join(gAtTi, Seq("id"))
 
     val contrib =
       when(col("t") <= col("tau") && col("e") === 1 && col("g_ti") > 0.0,
@@ -62,10 +66,10 @@ object BrierScore {
         (lit(1.0) - col("s")) * (lit(1.0) - col("s")) / col("g_tau"))
       .otherwise(0.0)
 
+    // N divides in as a scalar subquery (1-row, 1-col — no join)
     joined.groupBy(col("tau_idx"), col("tau"))
       .agg(sum(contrib).as("_c"))
-      .crossJoin(broadcast(nDf))
-      .select(col("tau_idx"), col("tau"), (col("_c") / col("_n")).as("bs"))
+      .select(col("tau_idx"), col("tau"), (col("_c") / nDf.scalar()).as("bs"))
   }
 
   /** Trapezoid-integrated Brier score normalized by grid span —

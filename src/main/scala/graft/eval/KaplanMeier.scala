@@ -102,19 +102,66 @@ object KaplanMeier {
   }
 
   /** Step-function lookup value of `curve` at each `at` time:
-    * s(max curve.t <= at), 1.0 before the first time. `curve` is
-    * expected to be small (distinct times) and is broadcast.
+    * s(max curve.t <= at) — `<` when `strict` — and 1.0 before the
+    * first curve time (null `at` likewise yields 1.0, mirroring the
+    * no-match of the SQL formulation).
     *
-    * NOTE: the result is grouped by ALL columns of `points`, so rows
-    * of `points` must be unique (e.g. carry a unique id) — fully
-    * duplicate input rows would be collapsed into one output row.
+    * This is a KEYLESS backward as-of join, so the keyed
+    * [[graft.ops.AsofJoin]] union-scan degenerates to one partition
+    * here; instead it gets the same distributed 3-pass range-scan
+    * shape as [[curveExpr]]: union the tagged sides, ONE
+    * repartitionByRange on (t, tag), per-partition last-curve-value
+    * summaries, a driver carry (bounded at numPartitions), and a
+    * seeded emit scan. Linear in |points|+|curve| with no broadcast —
+    * at 100 TB the censoring curve is ~|distinct test times| rows,
+    * far past broadcast range. Strictness is the tag order: the curve
+    * row at t == at sorts before the point (inclusive) or after it
+    * (strict), so the running value seen by the point is exactly the
+    * `<=` / `<` step value.
     */
   def lookup(points: DataFrame, atCol: String, curve: DataFrame,
              strict: Boolean, out: String): DataFrame = {
-    val c = broadcast(curve.select(col("t").as("_kt"), col("s").as("_ks")))
-    val cond = if (strict) col("_kt") < col(atCol) else col("_kt") <= col(atCol)
-    val joined = points.join(c, cond, "left")
-    joined.groupBy(points.columns.map(col): _*)
-      .agg(coalesce(max_by(col("_ks"), col("_kt")), lit(1.0)).as(out))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = points.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val pCols = points.columns.toSeq
+    val pSchema = pCols.foldLeft(new StructType())((st, c) =>
+      st.add(points.schema(c)))
+    val (cTag, pTag) = if (strict) (1, 0) else (0, 1)
+    val c = curve.select(col("t").cast("double").as("_t"),
+      lit(cTag).as("_tag"), col("s").as("_ks"),
+      lit(null).cast(pSchema).as("_pp"))
+    val p = points.select(col(atCol).cast("double").as("_t"),
+      lit(pTag).as("_tag"), lit(null).cast("double").as("_ks"),
+      struct(pCols.map(col): _*).as("_pp"))
+    val u = (c unionByName p)
+      .repartitionByRange(np, col("_t"), col("_tag"))
+      .sortWithinPartitions(col("_t"), col("_tag"))
+    // shared BY OBJECT across both passes (see curveExpr: the sampled
+    // range bounds must agree between summary and emit)
+    val rows = graft.core.Pins.pinRdd(u.rdd)
+    // Pass 1: last curve value per partition (curve rows have _tag ==
+    // cTag; a null `at` point sorts first and sees no curve row).
+    val lastS = rows.mapPartitionsWithIndex { (pid, it) =>
+      var s = Option.empty[Double]
+      it.foreach { r => if (r.getInt(1) == cTag) s = Some(r.getDouble(2)) }
+      Iterator.single(pid -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val carry = lastS.scanLeft(Option.empty[Double])((acc, cur) =>
+      cur.orElse(acc)).init
+    // Pass 2: emit — running step value seeded with the carry.
+    val outRows = rows.mapPartitionsWithIndex { (pid, it) =>
+      var s = carry(pid)
+      it.flatMap { r =>
+        if (r.getInt(1) == cTag) { s = Some(r.getDouble(2)); Iterator.empty }
+        else {
+          val pp = r.getStruct(3)
+          Iterator.single(Row.fromSeq(pp.toSeq :+ s.getOrElse(1.0)))
+        }
+      }
+    }
+    spark.createDataFrame(outRows,
+      StructType(pSchema.fields :+ StructField(out, DoubleType)))
   }
 }

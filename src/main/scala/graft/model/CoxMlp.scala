@@ -1,5 +1,6 @@
 package graft.model
 
+import graft.core.Attach.AttachOps
 import graft.surv.SurvDataset
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -295,7 +296,7 @@ final case class FittedCoxMlp(
     val h0g = CoxPH.baselineAtGrid(baseline, g)
     val xd = transform(col("x"), _.cast("double"))
     tensorized.select(col("id"), riskScore(xd).as("sc"))
-      .crossJoin(broadcast(h0g))
+      .attach(h0g)
       .select(col("id"), col("tau_idx"), col("tau"),
         exp(-col("h0") * exp(col("sc"))).as("s"))
   }

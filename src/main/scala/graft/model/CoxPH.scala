@@ -1,5 +1,6 @@
 package graft.model
 
+import graft.core.Attach.AttachOps
 import breeze.linalg.{norm, DenseVector}
 import breeze.optimize.{DiffFunction, LBFGS}
 import graft.surv.SurvDataset
@@ -369,7 +370,7 @@ final case class FittedCoxPH(
     val h0g = CoxPH.baselineAtGrid(baseline, g)
     val xd = transform(col("x"), _.cast("double"))
     tensorized.select(col("id"), riskScore(xd).as("sc"))
-      .crossJoin(broadcast(h0g))
+      .attach(h0g)
       .select(col("id"), col("tau_idx"), col("tau"),
         exp(-col("h0") * exp(col("sc"))).as("s"))
   }

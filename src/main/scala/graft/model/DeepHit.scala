@@ -371,14 +371,14 @@ final case class FittedDeepHit(
       acc => acc.getField("out"))
 
   def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
-    val spark = tensorized.sparkSession
-    import spark.implicits._
-    val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
+    // driver-known grid → scan-fused posexplode of a literal array
+    // (no join of any kind for the subject×grid expansion)
     val knots = 0.0 +: cuts.cuts.toSeq
     val xd = transform(col("x"), _.cast("double"))
     tensorized
       .select(col("id"), concat(array(lit(1.0)), discreteSurv(xd)).as("sv"))
-      .crossJoin(broadcast(g))
+      .select(col("id"), col("sv"),
+        posexplode(lit(grid)).as(Seq("tau_idx", "tau")))
       .select(col("id"), col("tau_idx"), col("tau"),
         Interpolation.linearAt(col("tau"), knots.toArray, col("sv")).as("s"))
   }

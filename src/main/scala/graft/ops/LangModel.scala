@@ -41,7 +41,7 @@ object LangModel {
     docBg
       .join(c2, Seq("bg"))
       .join(c1, Seq("w1"))
-      .crossJoin(broadcast(v))
+      .withColumn("v", v.scalar())
       .select(col("id"),
         log((col("c2").cast("double") + lit(1.0)) /
           (col("c1").cast("double") + col("v").cast("double"))).as("lp"))

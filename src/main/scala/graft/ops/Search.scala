@@ -28,8 +28,12 @@ object Search {
                k: Int = 20): DataFrame = {
     val lens = docs.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
+    // 1-row corpus stats attach as ONE struct-valued scalar subquery
+    // (multi-column scalar; no join)
+    val stats = docs.agg(struct(
+      count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("sum_dl"))
+      .as("_st"))
     val tf = docs.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .filter(col("tok").isin(terms: _*))
@@ -45,7 +49,9 @@ object Search {
     val scored = tf
       .join(broadcast(dfT), Seq("tok"))
       .join(lens, Seq("id"))
-      .crossJoin(broadcast(stats))
+      .withColumn("_st", stats.scalar())
+      .withColumn("n_docs", col("_st.n_docs"))
+      .withColumn("sum_dl", col("_st.sum_dl"))
       .select(col("id"), (idf * (tfD * lit(k1 + 1.0) / norm)).as("s"))
     val top = scored.groupBy(col("id"))
       .agg(round(sum(col("s")), 6).as("score"))

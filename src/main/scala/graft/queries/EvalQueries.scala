@@ -37,15 +37,15 @@ object EvalQueries {
       riskCol.as("r"))
   }
 
-  /** Parametric long-form survival over a grid (id, tau, s). */
-  private def parametricSurv(test: DataFrame, grid: Array[Double]): DataFrame = {
-    val spark = test.sparkSession
-    import spark.implicits._
-    val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
-    test.crossJoin(broadcast(g))
+  /** Parametric long-form survival over a grid (id, tau, s). The grid
+    * is driver-known, so the subject×grid expansion is a scan-fused
+    * posexplode of a 100-element literal array — no join of any kind.
+    */
+  private def parametricSurv(test: DataFrame, grid: Array[Double]): DataFrame =
+    test.select(col("id"), col("r"),
+        posexplode(lit(grid)).as(Seq("tau_idx", "tau")))
       .select(col("id"), col("tau_idx"), col("tau"),
         exp(-exp(col("r")) * col("tau") / lit(1000.0)).as("s"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.7 KM over the full churn view.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Attach.AttachOps
 import graft.model.CoxPH
 import graft.surv.{ChurnView, DurationCuts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -62,7 +63,7 @@ object ModelQueries {
       val h0g = gridH0(s, dir)
       val ds = ChurnView.dataset(s, dir)
       ds.test.select(col("id"), lpCol.as("lp"))
-        .crossJoin(broadcast(h0g))
+        .attach(h0g)
         .select(col("id"), col("tau_idx"), col("tau"),
           round(exp(-col("h0") * exp(col("lp"))), 6).as("s"))
         .orderBy("id", "tau_idx")
@@ -74,7 +75,7 @@ object ModelQueries {
       val h0g = gridH0(s, dir)
       val ds = ChurnView.dataset(s, dir)
       ds.test.select(col("id"), lpCol.as("lp"))
-        .crossJoin(broadcast(h0g))
+        .attach(h0g)
         .select(col("tau_idx"), col("tau"),
           exp(-col("h0") * exp(col("lp"))).as("s"))
         .groupBy(col("tau_idx"), col("tau"))

@@ -126,7 +126,7 @@ object TextQueries {
       val tf = tok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfT, Seq("tok"))
-        .crossJoin(broadcast(n))
+        .withColumn("n_docs", n.scalar())
         .select(col("lang"), col("tok"), col("tf"), col("df"),
           round(col("tf").cast("double") *
             log(col("n_docs").cast("double") / col("df").cast("double")), 6)

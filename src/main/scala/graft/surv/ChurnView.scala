@@ -43,9 +43,12 @@ object ChurnView {
       sum(col("o_totalprice").cast(DecimalType(18, 2)))
         .cast("double").as("total_spent"))
 
+    // global max order date: a SCALAR SUBQUERY — planned as its own
+    // tiny subquery job whose 1-row result substitutes as a literal,
+    // so the main scan carries no join at all (not even a broadcast)
     val mx = co.agg(max(col("last_order")).as("max_date"))
 
-    co.crossJoin(broadcast(mx))
+    co.withColumn("max_date", mx.scalar())
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(
