@@ -37,29 +37,37 @@ object Bench {
     // `queries_cold` so differently-measured rounds stay comparable.
     // A failed query reports -1 and is excluded from the total so the
     // headline can't improve when queries crash.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Operators persist intermediates (shingle sets, signatures, …)
-      // and those blocks outlive the query: by late bench the block
-      // manager was full of dead cache (round-2's 138 s minhash outlier
-      // was this — 13 s in a fresh JVM). Release each query's OWN
-      // persists after measuring it; setup-level caches survive.
-      // Release goes through Pins.scoped (Dataset-level): the raw
-      // RDD.unpersist sweep used through round 6 left dead CacheManager
-      // entries that silently no-op'd any LATER persist of the same
-      // canonical plan — q_dedup_ngram_jaccard's warm runs measured
-      // SLOWER than cold because q_dedup_cc's sweep had killed their
-      // shared capped-shingle pin for the rest of the JVM. The RDD diff
-      // below stays as a fallback for persists that bypass Pins.
-      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet ++ setupIds
-      val (cold, warm) = graft.core.Pins.scoped {
+    // Operators persist intermediates (shingle sets, signatures, …)
+    // and those blocks outlive the query: by late bench the block
+    // manager was full of dead cache (round-2's 138 s minhash outlier
+    // was this — 13 s in a fresh JVM). Release each query's OWN
+    // persists after measuring it; setup-level caches survive.
+    // Release goes through Pins.scoped (Dataset-level): the raw
+    // RDD.unpersist sweep used through round 6 left dead CacheManager
+    // entries that silently no-op'd any LATER persist of the same
+    // canonical plan — q_dedup_ngram_jaccard's warm runs measured
+    // SLOWER than cold because q_dedup_cc's sweep had killed their
+    // shared capped-shingle pin for the rest of the JVM. The RDD diff
+    // below stays as a fallback for persists that bypass Pins.
+    def swept[T](f: => T): T = {
+      val persistedBefore =
+        spark.sparkContext.getPersistentRDDs.keySet ++ setupIds
+      val out = graft.core.Pins.scoped(f)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => persistedBefore(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      out
+    }
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val measured = SparkEntry.queries.map { case (name, _) =>
+      val (cold, warm) = swept {
         try {
-          val c = once()
-          (c, math.min(once(), once()))
+          val c = once(name)
+          (c, math.min(once(name), once(name)))
         } catch {
           case e: Throwable =>
             failed += name
@@ -67,10 +75,33 @@ object Bench {
             (-1.0, -1.0)
         }
       }
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => persistedBefore(id) }
-        .values.foreach(_.unpersist(blocking = true))
+      // cache-state drift diagnostic: entry count after the sweep
+      // should stay flat at the setup-cache size for the whole run
+      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f " +
+        s"cacheEntries=${spark.sparkContext.getPersistentRDDs.size}")
       name -> (cold, warm)
+    }
+    // Outlier guard: warm-min-of-2 cannot reject a transient (GC / IO /
+    // co-tenant pressure) that spans BOTH warm runs — round 7 recorded
+    // q_cindex at 8.91 s where identical code re-ran at 0.45 s. A warm
+    // min that exceeds max(2×cold, cold+1 s) is physically suspect
+    // (warm has strictly less work than cold: JIT and codegen caches
+    // are hot), so those queries get ONE re-measure at the END of the
+    // run — far from whatever disturbed their window — and report the
+    // min of all observations.
+    val results = measured.map { case (name, (cold, warm)) =>
+      if (cold >= 0 && warm > math.max(2.0 * cold, cold + 1.0)) {
+        val re = swept {
+          try once(name)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name re-measure FAILED: $e")
+            Double.MaxValue
+          }
+        }
+        System.err.println(f"[bench] $name warm outlier " +
+          f"(cold=$cold%.2f warm=$warm%.2f) re-measured=$re%.2f")
+        name -> (cold, math.min(warm, re))
+      } else name -> (cold, warm)
     } ++ Map("_setup" -> (setupSec, setupSec))
     // Two decimals keeps the headline line short: the driver recovers
     // the metric line from a bounded (~2 kB) tail of stdout, and the

@@ -61,11 +61,20 @@ object Pins {
 
   /** Persist `ds` and register it with the innermost scope on this
     * thread (no scope → the caller owns the release).
+    *
+    * Idempotent per canonical plan: if the plan already has a
+    * CacheManager entry (a sibling operator or the shared setup
+    * already pinned it), the persist is skipped and the EXISTING
+    * owner keeps the release — a second `.persist()` would no-op
+    * with a "Asked to cache already cached data" warning while this
+    * scope wrongly believed it held a pin to drop.
     */
   def pin[T](ds: Dataset[T],
              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
-    ds.persist(level)
-    register(DsPin(ds))
+    if (!org.apache.spark.sql.graft.bridge.isCached(ds)) {
+      ds.persist(level)
+      register(DsPin(ds))
+    }
     ds
   }
 
@@ -79,9 +88,12 @@ object Pins {
     rdd
   }
 
-  /** Run `f` in a fresh scope; every pin taken during `f` on this
-    * thread (or a thread it spawns) is released — Dataset-level, so the
-    * CacheManager entry goes too — when `f` finishes.
+  /** Run `f` in a fresh scope; every pin taken during `f` on THIS
+    * thread is released — Dataset-level, so the CacheManager entry
+    * goes too — when `f` finishes. Pins taken on other threads
+    * (including threads `f` spawns) are NOT scoped here: `current` is
+    * deliberately non-inheritable (see its comment), so each worker
+    * thread opens its own scope.
     */
   def scoped[T](f: => T): T = {
     val s = new Scope

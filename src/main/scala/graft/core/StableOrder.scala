@@ -44,11 +44,13 @@ object StableOrder {
     // different partitionings — numbering would then be wrong. Caching
     // pins one physical partitioning for both passes. (At 100 TB you
     // don't do this on the fly at all: materialize rn once at ingest.)
-    val sorted = df
+    // ownership-aware: two stable orders over the SAME canonical plan
+    // (a dataset built twice over one source) must share the one
+    // cached partitioning — a raw second persist would warn + no-op.
+    val (sorted, _) = Caches.acquire(df
       .repartitionByRange(np, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_pid", spark_partition_id()))
     val counts = sorted.groupBy("_pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init

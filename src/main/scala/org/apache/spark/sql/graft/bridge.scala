@@ -23,6 +23,17 @@ object bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Whether `ds`'s canonical plan already has a CacheManager entry
+    * (live or being built). Used by graft.core.Pins to make pin()
+    * idempotent: a second persist of an already-cached plan would log
+    * "Asked to cache already cached data" and silently no-op, leaving
+    * two owners believing they hold the release.
+    */
+  def isCached(ds: org.apache.spark.sql.Dataset[_]): Boolean = {
+    val d = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    d.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
+  }
+
   /** Raise a user-facing AnalysisException from a function builder —
     * bad SQL arguments should fail analysis with a readable message,
     * not surface as IndexOutOfBounds/ClassCast from planner internals.
