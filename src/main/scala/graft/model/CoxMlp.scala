@@ -25,9 +25,11 @@ import org.apache.spark.storage.StorageLevel
   * torch internals): the batch risk set for an event at t is ALL
   * batch rows with t_j >= t (Breslow ties — pycox's sort-order tie
   * behavior is nondeterministic under equal durations); `batchNorm`
-  * enables MlpStack's affine frozen-stats BN flavor (searchable),
-  * while batch-STATISTICS norm and dropout remain the documented
-  * deviation (exact gradients instead).
+  * trains true batch-STATISTICS BatchNorm1d (the reference default,
+  * model_cox_ph.py:50-57) with the exact batch-coupled gradient —
+  * deterministic because batches are rn-contiguous chunks — and
+  * predicts with full-train population stats instead of torch's
+  * momentum EMA (MlpStack scaladoc).
   * Features are standardized (train-fitted scaler) for conditioning,
   * like the linear [[CoxPH]].
   *
@@ -41,7 +43,7 @@ final case class CoxMlp(
     epochs: Int = 50,
     lr: Double = 0.01,
     patience: Int = 10,
-    batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
+    batchNorm: Boolean = false, // batch-statistics BN, MlpStack bnBatch
     dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
@@ -76,16 +78,15 @@ final case class CoxMlp(
 
       val muA = array(mu0.map(lit(_)): _*)
       val sdA = array(sd0.map(lit(_)): _*)
-      val tr = raw
+      val (tr, ownTr) = graft.core.Caches.acquire(raw
         .select(col("rn"),
           zip_with(zip_with(col("x"), muA, (v, m) => v - m), sdA,
             (v, s) => v / s).as("x"),
           col("t"), col("e"))
         .sortWithinPartitions("rn")
-        .as[(Long, Array[Double], Double, Int)]
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .as[(Long, Array[Double], Double, Int)])
       tr.count()
-      ((tr, mu0, sd0), () => { tr.unpersist(); () })
+      ((tr, mu0, sd0), () => if (ownTr) { tr.unpersist(); () })
     }
 
     val stack = new MlpStack(p, hidden,
@@ -114,7 +115,8 @@ final case class CoxMlp(
       iterNo += 1
       val dropKey0 = MlpStack.mixKey(seedV, iterNo)
       val (lossSum, grad, evs) = train.mapPartitions { it =>
-        val acc = CoxMlp.PartitionAcc(pp, th, hid, bnFlag, dropQ, dropKey0)
+        val acc = CoxMlp.PartitionAcc(pp, th, hid, bnFlag, dropQ, dropKey0,
+          bnBatch = bnFlag)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.events))
       }.reduce { (a, b) =>
@@ -125,10 +127,16 @@ final case class CoxMlp(
       val d = math.max(evs, 1L).toDouble
       (lossSum / d, grad.map(_ / d))
     }
+    // eval-mode BN calibration (torch running-stats replacement) runs
+    // against the still-cached train rows, BEFORE the cache release
+    val bnStats =
+      if (batchNorm && hidden.nonEmpty)
+        Some(MlpStack.populationStats(train.rdd.map(_._2), stack, bestTheta))
+      else None
     if (owned) { train.unpersist(); () }
 
     val w = bestTheta.take(q)
-    val layers = stack.extract(bestTheta)
+    val layers = stack.extract(bestTheta, bnStats)
     val fitted0 = FittedCoxMlp(this, w, layers, mu, sd, null)
     // Breslow baseline over the train split with the neural score —
     // the same distributed range-scan build the linear model uses
@@ -158,27 +166,29 @@ object CoxMlp {
                                 hidden: Seq[Int] = Nil,
                                 bn: Boolean = false,
                                 dropout: Double = 0.0,
-                                dropKey0: Long = 0L) {
+                                dropKey0: Long = 0L,
+                                bnBatch: Boolean = false) {
     var loss = 0.0
     var events = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val stack = new MlpStack(p, hidden,
-      if (hidden.nonEmpty) hidden.last else p, bn = bn, dropout = dropout)
+      if (hidden.nonEmpty) hidden.last else p, bn = bn, dropout = dropout,
+      bnBatch = bnBatch)
     private val q = stack.outWidth
     private val nL = stack.nL
 
     def addBatch(batch: Array[(Long, Array[Double], Double, Int)]): Unit = {
       val b = batch.length
       if (b == 0) return
-      // forward
-      val acts = new Array[Array[Array[Double]]](b)
+      // forward (whole batch — bnBatch couples rows through the batch
+      // statistics; per-row mask keys: (seed, iter) base mixed with rn)
+      val st = stack.forwardBatch(theta,
+        Array.tabulate(b)(i => batch(i)._2),
+        Array.tabulate(b)(i => MlpStack.mixKey(dropKey0, batch(i)._1)))
       val g = new Array[Double](b)
       var i = 0
       while (i < b) {
-        // per-row mask key: (seed, iter) base mixed with the stable rn
-        acts(i) = stack.forward(theta, batch(i)._2,
-          MlpStack.mixKey(dropKey0, batch(i)._1))
-        val f = acts(i)(nL)
+        val f = st.top(i)
         var s = 0.0
         var j = 0
         while (j < q) { s += theta(j) * f(j); j += 1 }
@@ -243,12 +253,15 @@ object CoxMlp {
         }
         gi = gj
       }
-      // backprop dg → grad(w) and through the stack
+      // backprop dg → grad(w), then ONE whole-batch pass through the
+      // stack (null dTop rows = zero head-grad; with bnBatch they
+      // still receive gradient through the batch statistics)
+      val dTops = if (nL > 0) new Array[Array[Double]](b) else null
       i = 0
       while (i < b) {
         val d = dg(i)
         if (d != 0.0) {
-          val f = acts(i)(nL)
+          val f = st.top(i)
           val dTop = if (nL > 0) new Array[Double](q) else null
           var j = 0
           while (j < q) {
@@ -256,10 +269,11 @@ object CoxMlp {
             if (nL > 0) dTop(j) = d * theta(j)
             j += 1
           }
-          if (nL > 0) stack.backward(theta, grad, acts(i), dTop)
+          if (nL > 0) dTops(i) = dTop
         }
         i += 1
       }
+      if (nL > 0) stack.backwardBatch(theta, grad, st, dTops)
     }
   }
 }

@@ -74,8 +74,8 @@ final case class CoxPH(
       val xstd = zip_with(
         zip_with(col("x"), array(mu0.map(lit(_)): _*), (v, m) => v - m),
         array(sd0.map(lit(_)): _*), (v, s) => v / s)
-      val tr = raw.select(col("t"), col("e"), xstd.as("x"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (tr, ownTr) = graft.core.Caches.acquire(
+        raw.select(col("t"), col("e"), xstd.as("x")))
       tr.count() // materialize once
 
       // ONE shuffle for the whole optimization: rows range-partitioned
@@ -96,7 +96,11 @@ final case class CoxPH(
         .rdd.persist(StorageLevel.MEMORY_AND_DISK)
       sorted.count()
       ((tr, sorted, mu0, sd0),
-        () => { sorted.unpersist(blocking = false); tr.unpersist(); () })
+        () => {
+          sorted.unpersist(blocking = false)
+          if (ownTr) tr.unpersist()
+          ()
+        })
     }
     val session = train.sparkSession
 

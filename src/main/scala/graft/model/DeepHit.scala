@@ -18,10 +18,10 @@ import org.apache.spark.storage.StorageLevel
   * f(x) = relu(A_L·…relu(A_1·x + b_1)… + b_L) with `hidden` layer
   * widths — the `tt.practical.MLPVanilla` shape the reference wraps
   * (model_deephit.py:57-64; its default `hidden = Seq(32, 32)` is
-  * exactly reproducible here, M9). `batchNorm` enables MlpStack's
-  * affine frozen-stats BN flavor (searchable, like the reference's
-  * `batch_norm` hyper); batch-STATISTICS norm and dropout remain the
-  * documented deviation — exact deterministic gradients instead.
+  * exactly reproducible here, M9). `batchNorm` (the reference's
+  * `batch_norm` hyper) trains true batch-statistics BatchNorm1d with
+  * the exact batch-coupled gradient; `dropout` is the deterministic
+  * inverted mask — both finite-diff-checkable (MlpStack scaladoc).
   *
   *   L = −mean_i [ e_i·ln pmf_{k_i} + (1−e_i)·ln S(k_i) ]
   *     + alpha · (Σ_{ij} r_ij · exp((F_j(k_i) − F_i(k_i)) / sigma)) / Σ_{ij} r_ij
@@ -43,7 +43,7 @@ final case class DeepHit(
     lr: Double = 0.05,
     patience: Int = 5,
     hidden: Seq[Int] = Nil, // Nil = linear head; e.g. Seq(32, 32) = MLPVanilla default (M9)
-    batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
+    batchNorm: Boolean = false, // batch-statistics BN, MlpStack bnBatch
     dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
@@ -64,15 +64,14 @@ final case class DeepHit(
     val ((train, cuts, nRows), owned) = TrainCache.acquire(
       TrainCache.key("discrete_ti", ds, s"$numDurations")) {
       val cts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
-      val tr = ds.tensorized(ds.train)
+      val (tr, ownTr) = graft.core.Caches.acquire(ds.tensorized(ds.train)
         .select(col("rn"),
           transform(col("x"), _.cast("double")).as("x"),
           cts.indexCol(col("t")).as("ti"), col("e"))
         .sortWithinPartitions("rn")
-        .as[(Long, Array[Double], Int, Int)]
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .as[(Long, Array[Double], Int, Int)])
       val n0 = tr.count()
-      ((tr, cts, n0), () => { tr.unpersist(); () })
+      ((tr, cts, n0), () => if (ownTr) { tr.unpersist(); () })
     }
     val k = cuts.k
     val n = nRows.toDouble
@@ -108,7 +107,7 @@ final case class DeepHit(
       val dropKey0 = MlpStack.mixKey(seedV, iterNo)
       val (lossSum, grad, cnt) = train.mapPartitions { it =>
         val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma, hid, bnFlag,
-          dropQ, dropKey0)
+          dropQ, dropKey0, bnBatch = bnFlag)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.count))
       }.reduce { (a, b) =>
@@ -119,11 +118,16 @@ final case class DeepHit(
       val d = math.max(cnt, 1L).toDouble
       (lossSum / d, grad.map(_ / d))
     }
+    // eval-mode BN calibration before the cache release (see CoxMlp)
+    val bnStats =
+      if (batchNorm && hidden.nonEmpty)
+        Some(MlpStack.populationStats(train.rdd.map(_._2), stack, bestTheta))
+      else None
     if (owned) { train.unpersist(); () }
 
     val c = bestTheta.take(k)
     val w = Array.tabulate(k, q)((kk, j) => bestTheta(k + kk * q + j))
-    FittedDeepHit(this, cuts, c, w, stack.extract(bestTheta))
+    FittedDeepHit(this, cuts, c, w, stack.extract(bestTheta, bnStats))
   }
 }
 
@@ -141,32 +145,32 @@ object DeepHit {
                                 hidden: Seq[Int] = Nil,
                                 bn: Boolean = false,
                                 dropout: Double = 0.0,
-                                dropKey0: Long = 0L) {
+                                dropKey0: Long = 0L,
+                                bnBatch: Boolean = false) {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val q = // logit input width
       if (hidden.nonEmpty) hidden.last else p
     private val stack = new MlpStack(p, hidden, k + k * q, bn = bn,
-      dropout = dropout)
+      dropout = dropout, bnBatch = bnBatch)
     private val nL = stack.nL
 
     def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {
       val b = batch.length
       if (b == 0) return
       count += b
-      // forward: (hidden stack), logits, pmf, cumsum F. acts(i)(0) is
-      // the input row; acts(i)(l+1) the ReLU output of layer l (kept
-      // for the backward pass).
-      val acts = new Array[Array[Array[Double]]](b)
+      // forward: (hidden stack — whole batch, bnBatch couples rows
+      // through the batch statistics), logits, pmf, cumsum F.
+      val st = stack.forwardBatch(theta,
+        Array.tabulate(b)(i => batch(i)._2),
+        Array.tabulate(b)(i => MlpStack.mixKey(dropKey0, batch(i)._1)))
       val pmf = Array.ofDim[Double](b, k)
       val cum = Array.ofDim[Double](b, k)
       val dz = Array.ofDim[Double](b, k) // dLoss/dlogits accumulated
       var i = 0
       while (i < b) {
-        acts(i) = stack.forward(theta, batch(i)._2,
-          MlpStack.mixKey(dropKey0, batch(i)._1))
-        val f = acts(i)(nL)
+        val f = st.top(i)
         var mx = Double.MinValue
         val z = new Array[Double](k)
         var kk = 0
@@ -262,10 +266,12 @@ object DeepHit {
         }
       }
 
-      // backprop dz → grad(c, W), then through the relu stack
+      // backprop dz → grad(c, W), then ONE whole-batch pass through
+      // the relu stack
+      val dTops = if (nL > 0) new Array[Array[Double]](b) else null
       i = 0
       while (i < b) {
-        val f = acts(i)(nL)
+        val f = st.top(i)
         val dh = if (nL > 0) new Array[Double](q) else null
         var kk = 0
         while (kk < k) {
@@ -281,9 +287,10 @@ object DeepHit {
           }
           kk += 1
         }
-        if (nL > 0) stack.backward(theta, grad, acts(i), dh)
+        if (nL > 0) dTops(i) = dh
         i += 1
       }
+      if (nL > 0) stack.backwardBatch(theta, grad, st, dTops)
     }
 
     /** batch-mean weighting for the rank term: scale so the term is

@@ -76,9 +76,10 @@ final case class LogisticHazard(
   *
   * Same distributed rhythm as [[DeepHit]]/[[CoxMlp]]: deterministic
   * rn-contiguous batches, exact per-batch gradients via [[MlpStack]],
-  * one reduce per epoch, Adam on the driver. `batchNorm` (affine
-  * frozen-stats) and `dropout` (deterministic inverted masks) are the
-  * engine's exact-gradient flavors of the reference's net options.
+  * one reduce per epoch, Adam on the driver. `batchNorm` trains true
+  * batch-statistics BatchNorm1d (reference default) with the exact
+  * batch-coupled gradient; `dropout` is the deterministic inverted
+  * mask — both finite-diff-checkable (MlpStack scaladoc).
   */
 final case class LogisticHazardMlp(
     numDurations: Int = 10,
@@ -87,7 +88,7 @@ final case class LogisticHazardMlp(
     epochs: Int = 50,
     lr: Double = 0.05,
     patience: Int = 5,
-    batchNorm: Boolean = false, // affine frozen-stats flavor, MlpStack
+    batchNorm: Boolean = false, // batch-statistics BN, MlpStack bnBatch
     dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
@@ -107,15 +108,14 @@ final case class LogisticHazardMlp(
     val ((train, cuts, _), owned) = TrainCache.acquire(
       TrainCache.key("discrete_ti", ds, s"$numDurations")) {
       val cts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
-      val tr = ds.tensorized(ds.train)
+      val (tr, ownTr) = graft.core.Caches.acquire(ds.tensorized(ds.train)
         .select(col("rn"),
           transform(col("x"), _.cast("double")).as("x"),
           cts.indexCol(col("t")).as("ti"), col("e"))
         .sortWithinPartitions("rn")
-        .as[(Long, Array[Double], Int, Int)]
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as[(Long, Array[Double], Int, Int)])
       val n0 = tr.count()
-      ((tr, cts, n0), () => { tr.unpersist(); () })
+      ((tr, cts, n0), () => if (ownTr) { tr.unpersist(); () })
     }
     val k = cuts.k
 
@@ -145,7 +145,7 @@ final case class LogisticHazardMlp(
       val dropKey0 = MlpStack.mixKey(seedV, iterNo)
       val (lossSum, grad, cnt) = train.mapPartitions { it =>
         val acc = LogisticHazardMlp.PartitionAcc(kk, pp, th, hid, bnFlag,
-          dropQ, dropKey0)
+          dropQ, dropKey0, bnBatch = bnFlag)
         it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
         Iterator.single((acc.loss, acc.grad, acc.count))
       }.reduce { (a, b) =>
@@ -156,11 +156,16 @@ final case class LogisticHazardMlp(
       val d = math.max(cnt, 1L).toDouble
       (lossSum / d, grad.map(_ / d))
     }
+    // eval-mode BN calibration before the cache release (see CoxMlp)
+    val bnStats =
+      if (batchNorm && hidden.nonEmpty)
+        Some(MlpStack.populationStats(train.rdd.map(_._2), stack, bestTheta))
+      else None
     if (owned) { train.unpersist(); () }
 
     val b = bestTheta.take(k)
     val w = Array.tabulate(k, q)((ki, j) => bestTheta(k + ki * q + j))
-    FittedLogisticHazardMlp(this, cuts, b, w, stack.extract(bestTheta))
+    FittedLogisticHazardMlp(this, cuts, b, w, stack.extract(bestTheta, bnStats))
   }
 }
 
@@ -174,23 +179,32 @@ object LogisticHazardMlp {
                                 hidden: Seq[Int] = Nil,
                                 bn: Boolean = false,
                                 dropout: Double = 0.0,
-                                dropKey0: Long = 0L) {
+                                dropKey0: Long = 0L,
+                                bnBatch: Boolean = false) {
     var loss = 0.0
     var count = 0L
     val grad = Array.fill(theta.length)(0.0)
     private val stack = new MlpStack(p, hidden,
       k + k * (if (hidden.nonEmpty) hidden.last else p), bn = bn,
-      dropout = dropout)
+      dropout = dropout, bnBatch = bnBatch)
     private val q = stack.outWidth
     private val nL = stack.nL
 
     def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {
+      val b = batch.length
+      if (b == 0) return
+      // whole-batch stack forward (bnBatch couples rows through the
+      // batch statistics); the per-row BCE head is row-local
+      val st = stack.forwardBatch(theta,
+        Array.tabulate(b)(i => batch(i)._2),
+        Array.tabulate(b)(i => MlpStack.mixKey(dropKey0, batch(i)._1)))
+      val dTops = if (nL > 0) new Array[Array[Double]](b) else null
       var i = 0
-      while (i < batch.length) {
+      while (i < b) {
         count += 1
-        val (rn, x, ti, e) = batch(i)
-        val acts = stack.forward(theta, x, MlpStack.mixKey(dropKey0, rn))
-        val f = acts(nL)
+        val ti = batch(i)._3
+        val e = batch(i)._4
+        val f = st.top(i)
         val dTop = if (nL > 0) new Array[Double](q) else null
         var j = 0
         while (j <= ti) {
@@ -213,9 +227,10 @@ object LogisticHazardMlp {
           }
           j += 1
         }
-        if (nL > 0) stack.backward(theta, grad, acts, dTop)
+        if (nL > 0) dTops(i) = dTop
         i += 1
       }
+      if (nL > 0) stack.backwardBatch(theta, grad, st, dTops)
     }
   }
 }

@@ -40,12 +40,15 @@ trait FittedSurvModel {
     * the two final scalars.
     */
   def score(ds: SurvDataset): Map[String, Double] = {
-    val test = ds.tensorized(ds.test).withColumnRenamed("rn", "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ownership-aware persists: concurrent Hyperband configs score
+    // against the SAME canonical tensorized-test plan — a raw persist
+    // pair would no-op the second and the first finally-unpersist
+    // would drop the cache out from under the sibling (Caches scaladoc)
+    val (test, ownT) = graft.core.Caches.acquire(
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id"))
     try {
       val grid = BrierScore.defaultGrid(test, "t")
-      val surv = predictSurv(test, grid)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (surv, ownS) = graft.core.Caches.acquire(predictSurv(test, grid))
       try {
         // concordance_td via the counting aggregator (O(n·|grid|)), not
         // the quadratic pair join — identical value (q_cindex_td vs
@@ -57,7 +60,7 @@ trait FittedSurvModel {
           .integrated(BrierScore.grid(test, "id", "t", "e", surv, grid))
           .head().getAs[Double]("ibs")
         Map("c_index" -> c, "brier_score" -> ibs)
-      } finally surv.unpersist()
-    } finally test.unpersist()
+      } finally if (ownS) { surv.unpersist(); () }
+    } finally if (ownT) { test.unpersist(); () }
   }
 }

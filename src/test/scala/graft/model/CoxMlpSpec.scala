@@ -176,6 +176,143 @@ class CoxMlpSpec extends AnyFunSuite {
     }
   }
 
+  test("batch-stats BN gradient matches finite differences (CoxMlp)") {
+    // true BatchNorm1d train mode: the loss couples rows through the
+    // batch mean/variance; the analytic gradient must carry the
+    // ∂μ/∂σ² terms (a frozen-stats gradient fails this check).
+    val p = 2; val h = Seq(3, 2)
+    val rng = new Random(43)
+    val batch = Array.tabulate(7)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        (1 + i % 3).toDouble, rng.nextInt(2)))
+    val len = 2 + (3 * p + 3 + 6) + (2 * 3 + 2 + 4)
+    val theta = Array.fill(len)(rng.nextDouble() * 0.5 - 0.25)
+    def lossAt(th: Array[Double]): Double = {
+      val acc = CoxMlp.PartitionAcc(p, th, h, bn = true, bnBatch = true)
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = CoxMlp.PartitionAcc(p, theta, h, bn = true, bnBatch = true)
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("batch-stats BN + dropout gradient matches finite differences (DeepHit)") {
+    val k = 4; val p = 2; val h = Seq(3)
+    val rng = new Random(47)
+    val batch = Array.tabulate(6)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        rng.nextInt(k), rng.nextInt(2)))
+    val len = k + k * 3 + (3 * p + 3 + 6)
+    val theta = Array.fill(len)(rng.nextDouble() * 0.5 - 0.25)
+    val key = MlpStack.mixKey(53L, 2L)
+    def accAt(th: Array[Double]) = {
+      val a = DeepHit.PartitionAcc(k, p, th, alpha = 0.3, sigma = 0.5, h,
+        bn = true, dropout = 0.25, dropKey0 = key, bnBatch = true)
+      a.addBatch(batch)
+      a
+    }
+    val acc = accAt(theta)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (accAt(up).loss - accAt(dn).loss) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("batch-stats BN gradient matches finite differences (LogisticHazardMlp)") {
+    val k = 4; val p = 2; val h = Seq(3)
+    val rng = new Random(59)
+    val batch = Array.tabulate(6)(i =>
+      (i.toLong, Array(rng.nextDouble(), rng.nextDouble()),
+        rng.nextInt(k), rng.nextInt(2)))
+    val len = k + k * 3 + (3 * p + 3 + 6)
+    val theta = Array.fill(len)(rng.nextDouble() * 0.5 - 0.25)
+    def lossAt(th: Array[Double]): Double = {
+      val acc = LogisticHazardMlp.PartitionAcc(k, p, th, h, bn = true,
+        bnBatch = true)
+      acc.addBatch(batch)
+      acc.loss
+    }
+    val acc = LogisticHazardMlp.PartitionAcc(k, p, theta, h, bn = true,
+      bnBatch = true)
+    acc.addBatch(batch)
+    val eps = 1e-6
+    theta.indices.foreach { i =>
+      val up = theta.clone(); up(i) += eps
+      val dn = theta.clone(); dn(i) -= eps
+      val num = (lossAt(up) - lossAt(dn)) / (2 * eps)
+      assert(math.abs(num - acc.grad(i)) < 1e-4 * math.max(1.0, math.abs(num)),
+        s"grad($i): analytic=${acc.grad(i)} numeric=$num")
+    }
+  }
+
+  test("population-stats fold equals the eval-chain forward") {
+    // extract(θ, stats) must reproduce BN eval mode exactly: compare
+    // the folded plain-layer replay against preactEval's last-layer
+    // normalization applied by hand.
+    val p = 3; val h = Seq(4, 2)
+    val rng = new Random(61)
+    val stack = new MlpStack(p, h, 0, bn = true, bnBatch = true)
+    val theta = new Array[Double](stack.size)
+    stack.init(theta, rng)
+    theta.indices.foreach(i => theta(i) += rng.nextDouble() * 0.3 - 0.15)
+    val stats = Array.tabulate(h.length)(l =>
+      (Array.fill(stack.widths(l))(rng.nextDouble() * 0.4 - 0.2),
+        Array.fill(stack.widths(l))(rng.nextDouble() * 0.5 + 0.1)))
+    val x = Array.fill(p)(rng.nextDouble() * 2 - 1)
+    // eval chain by definition: normalize the last layer's preact
+    val zTop = stack.preactEval(theta, x, stats, h.length - 1)
+    val l = h.length - 1
+    val want = Array.tabulate(stack.widths(l)) { j =>
+      val zh = (zTop(j) - stats(l)._1(j)) /
+        math.sqrt(stats(l)._2(j) + MlpStack.BnEps)
+      math.max(0.0, theta(stack.offG(l) + j) * zh + theta(stack.offBt(l) + j))
+    }
+    // folded replay
+    val folded = stack.extract(theta, Some(stats))
+    var acc = x
+    folded.foreach { case (a, b) =>
+      acc = Array.tabulate(a.length)(j =>
+        math.max(0.0, b(j) + a(j).indices.map(m => a(j)(m) * acc(m)).sum))
+    }
+    want.zip(acc).foreach { case (w, g) =>
+      assert(math.abs(w - g) < 1e-12, s"eval fold mismatch: $w vs $g")
+    }
+  }
+
+  test("batch-norm neural Cox trains with batch statistics and still learns") {
+    import spark.implicits._
+    val rng = new Random(11)
+    val rows = (0 until 600).map { i =>
+      val x1 = 2 * rng.nextDouble() - 1
+      val x2 = 2 * rng.nextDouble() - 1
+      val rate = math.exp(3.0 * math.abs(x1) - 1.5) / 50.0
+      val tEvent = -math.log(rng.nextDouble()) / rate
+      val cens = 20 + rng.nextDouble() * 200
+      (i.toLong, x1, x2, math.max(math.min(tEvent, cens), 0.5),
+        if (tEvent <= cens) 1 else 0)
+    }
+    val d = SurvDataset.fromDataFrame(
+      rows.toDF("idx", "x1", "x2", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
+    val f = CoxMlp(hidden = Seq(8), epochs = 40, lr = 0.05,
+      batchNorm = true).fit(d)
+    val c = f.score(d)("c_index")
+    f.release()
+    assert(c > 0.6, s"c=$c")
+  }
+
   test("dropout gradient matches finite differences (fixed mask key)") {
     // masks are a pure hash of (dropKey, layer, unit) — θ-free — so
     // the masked loss is still exactly differentiable at a fixed key
