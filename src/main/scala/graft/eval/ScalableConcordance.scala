@@ -43,9 +43,9 @@ object ScalableConcordance {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val s = df.select(col(tCol).cast("double").as("t"),
-        col(eCol).cast("int").as("e"), col(riskCol).cast("double").as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (s, ownS) = graft.core.Caches.acquire(
+      df.select(col(tCol).cast("double").as("t"),
+        col(eCol).cast("int").as("e"), col(riskCol).cast("double").as("r")))
 
     // ---- bucket assignment: monotone value→bucket map ----
     // (approxQuantile is the one unavoidable pre-pass — it defines the
@@ -123,7 +123,7 @@ object ScalableConcordance {
     // sequential job round-trips over the same cached base.
     val Seq(comparable, ties, cross, within) =
       collectCounts(Seq(comparableDf, tiesDf, crossDf, withinDf))
-    s.unpersist()
+    if (ownS) { s.unpersist(); () }
 
     val concordant = cross + within + 0.5 * ties
     Seq((comparable, concordant, concordant / comparable.toDouble))
@@ -171,13 +171,13 @@ object ScalableConcordance {
 
     // One Harrell slice per active τ: every subject once, as risk
     // r = −s(τ|x); the event flag is LOCAL to the subject's own slice.
-    val x = surv.select(col(idCol).as("k"), col("tau"), col("s"))
-      .join(broadcast(activeTau), Seq("tau"), "left_semi")
-      .join(base, Seq("k"))
-      .select(col("tau"), col("t"), negate(col("s").cast("double")).as("r"),
-        when(col("e") === 1 && col("tau_i") === col("tau"), 1)
-          .otherwise(0).as("ei"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (x, ownX) = graft.core.Caches.acquire(
+      surv.select(col(idCol).as("k"), col("tau"), col("s"))
+        .join(broadcast(activeTau), Seq("tau"), "left_semi")
+        .join(base, Seq("k"))
+        .select(col("tau"), col("t"), negate(col("s").cast("double")).as("r"),
+          when(col("e") === 1 && col("tau_i") === col("tau"), 1)
+            .otherwise(0).as("ei")))
 
     // Materialize the slice table once; the single counting job below
     // then reads cache instead of racing to recompute it per branch.
@@ -249,7 +249,7 @@ object ScalableConcordance {
     // over the cached slice table → concurrently scheduled stages).
     val Seq(comparable, ties, cross, within) =
       collectCounts(Seq(comparableDf, tiesDf, crossDf, withinDf))
-    x.unpersist()
+    if (ownX) { x.unpersist(); () }
 
     val concordant = cross + within + 0.5 * ties
     Seq((comparable, concordant, concordant / comparable.toDouble))
@@ -265,6 +265,25 @@ object ScalableConcordance {
     * the KEYLESS global suffix is the one case that needs the sampled
     * range scan instead.
     */
+  /** Key-run equality with java.lang boxed semantics (NaN == NaN):
+    * Spark's groupBy collapses every NaN of a key column into ONE
+    * group, so the run detectors must not re-fragment that group —
+    * Scala == on boxed doubles would (NaN != NaN), silently
+    * undercounting the key's suffix sums. (-0.0 vs 0.0 needs no
+    * care: grouping already normalized them into one cell.) Null
+    * sentinels compare unequal, matching the detectors' "no open
+    * run" convention.
+    */
+  private def sameKey(a: Seq[Any], b: Seq[Any]): Boolean =
+    a != null && b != null && a.length == b.length &&
+      a.indices.forall { i =>
+        (a(i), b(i)) match {
+          case (x: java.lang.Double, y: java.lang.Double) => x.equals(y)
+          case (x: java.lang.Float, y: java.lang.Float) => x.equals(y)
+          case (x, y) => x == y
+        }
+      }
+
   private def evAfterKeyedDf(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
     val k = keyCols.length
     val np = cells.sparkSession.sessionState.conf.numShufflePartitions
@@ -280,7 +299,7 @@ object ScalableConcordance {
         var pref = 0L
         it.foreach { r =>
           val key = Seq.tabulate(k)(r.get)
-          if (curKey == null || key != curKey) { curKey = key; pref = 0L }
+          if (!sameKey(key, curKey)) { curKey = key; pref = 0L }
           acc += r.getLong(k + 2) * pref
           pref += r.getLong(k + 1)
         }
@@ -318,10 +337,9 @@ object ScalableConcordance {
     // (RangePartitioner's sampling job, then the shuffle write) — pin
     // it across pass 1 so the groupBy aggregation runs once, release as
     // soon as the sorted rows RDD below is materialized.
-    val cellsP = cells
+    val (cellsP, ownCells) = graft.core.Caches.acquire(cells
       .select((keyCols.map(col) :+ col("t").cast("double").as("t") :+
-        col("m").cast("long").as("m") :+ col("ev").cast("long").as("ev")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col("m").cast("long").as("m") :+ col("ev").cast("long").as("ev")): _*))
     val g = cellsP
       .repartitionByRange(np, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
@@ -341,7 +359,7 @@ object ScalableConcordance {
         var nRuns = 0
         it.foreach { r =>
           val key = keyOf(r)
-          if (curKey == null || key != curKey) {
+          if (!sameKey(key, curKey)) {
             if (nRuns == 1) { leadKey = curKey; leadSum = curSum }
             curKey = key; curSum = 0L; nRuns += 1
           }
@@ -352,7 +370,7 @@ object ScalableConcordance {
       }
     }.collect().sortBy(_._1)
     // pass 1 materialized `rows`; the unsorted cell cache is done
-    cellsP.unpersist(blocking = false)
+    if (ownCells) { cellsP.unpersist(blocking = false); () }
 
     // Driver scan, ascending partitions: a key's run spans consecutive
     // partitions, so carry-in for p's leading run = the accumulated sum
@@ -362,7 +380,7 @@ object ScalableConcordance {
     var openKey: Seq[Any] = null
     var openSum = 0L
     stats.foreach { case (pid, leadKey, leadSum, trailKey, trailSum, single) =>
-      val cont = openKey != null && leadKey == openKey
+      val cont = sameKey(leadKey, openKey)
       carry(pid) = if (cont) openSum else 0L
       if (single && cont) openSum += leadSum
       else if (single) { openKey = leadKey; openSum = leadSum }
@@ -379,7 +397,7 @@ object ScalableConcordance {
       it.foreach { r =>
         val key = keyOf(r)
         if (curKey == null) { curKey = key; pref = carry(pid) }
-        else if (key != curKey) { curKey = key; pref = 0L }
+        else if (!sameKey(key, curKey)) { curKey = key; pref = 0L }
         acc += r.getLong(k + 2) * pref
         pref += r.getLong(k + 1)
       }

@@ -70,10 +70,16 @@ private[model] object AdamLoop {
     bestTheta
   }
 
-  /** Write a checkpoint to a local file (driver-side, a few KB). */
+  /** Write a checkpoint to a local file (driver-side, a few KB).
+    * Write-to-temp + atomic rename: a crash or preemption mid-write —
+    * the exact failure checkpointing exists for — must never truncate
+    * the only good checkpoint.
+    */
   def save(cp: Checkpoint, path: String): Unit = {
+    val target = java.nio.file.Paths.get(path).toAbsolutePath
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path)))
+      new java.io.FileOutputStream(tmp.toFile)))
     try {
       out.writeInt(cp.epoch); out.writeInt(cp.step)
       out.writeDouble(cp.best); out.writeInt(cp.badEpochs)
@@ -81,6 +87,9 @@ private[model] object AdamLoop {
       Seq(cp.theta, cp.m, cp.v, cp.bestTheta)
         .foreach(_.foreach(out.writeDouble))
     } finally out.close()
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def load(path: String): Checkpoint = {

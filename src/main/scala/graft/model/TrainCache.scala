@@ -32,19 +32,38 @@ object TrainCache {
 
   private final case class Entry(value: Any, release: () => Unit)
 
+  // DELIBERATELY process-global (not a ThreadLocal): the memo is
+  // installed by the search thread but READ from the pooled worker
+  // threads evaluating configs, so per-thread scoping would hide it
+  // from exactly the consumers it exists for. The consequence — two
+  // CONCURRENT searches would clobber each other's save/restore and
+  // release entries the other still reads — is guarded below: at most
+  // one sharing scope may be active per JVM (same-thread nesting
+  // stays allowed and restores the outer memo).
   @volatile private var memo: ConcurrentHashMap[String, Entry] = null
+  @volatile private var owner: Thread = null
 
   /** Activate sharing for the duration of `f`; releases every cached
-    * entry (their persisted Datasets/RDDs) on exit. Non-reentrant by
-    * design: a nested call keeps the OUTER memo alive and restores it.
+    * entry (their persisted Datasets/RDDs) on exit. Same-thread
+    * nesting restores the outer memo; a concurrent scope from another
+    * thread throws (see the memo field comment).
     */
   def sharing[T](f: => T): T = {
-    val prev = memo
-    val m = new ConcurrentHashMap[String, Entry]()
-    memo = m
+    val self = Thread.currentThread()
+    val (prevMemo, prevOwner) = synchronized {
+      if (memo != null && (owner ne self))
+        throw new IllegalStateException(
+          s"TrainCache.sharing already active on thread '${owner.getName}' " +
+            "— the memo is process-global, one sharing scope per JVM")
+      val p = (memo, owner)
+      memo = new ConcurrentHashMap[String, Entry]()
+      owner = self
+      p
+    }
+    val m = memo
     try f
     finally {
-      memo = prev
+      synchronized { memo = prevMemo; owner = prevOwner }
       m.values.forEach(_.release())
       m.clear()
     }
