@@ -7,19 +7,170 @@ import org.apache.spark.sql.functions._
   * metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The Spark-side shapes are real (schema, partitioning, batch
-  * signatures, codegen'd byte ops); the actual media DECODE is a
-  * clearly-marked DETERMINISTIC STUB (`fakeDecode`) because no
-  * image/audio codec libraries exist in this environment — on a real
-  * cluster the stub body is replaced by the codec call (e.g. a
-  * batch-vectorized decoder inside mapInPandas/mapPartitions), and
-  * nothing else changes.
+  * IMAGE decode is REAL: [[decodeMeta]] parses width/height/format
+  * from actual image headers and [[decodeStats]] fully decodes the
+  * pixels, both via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG —
+  * whatever the JRE's ImageIO SPI registry carries) inside
+  * `mapPartitions` — per-row work on executors, payloads never leave
+  * the partition. [[fakeDecodeMeta]] remains ONLY as the
+  * deterministic stand-in for the text-payload testdata (the
+  * `documents` table carries no real media, and the oracle needs a
+  * SQL-expressible function); audio/video codecs stay out of scope
+  * for the JDK and keep the same seam.
   *
   * At 100 TB: payloads stay columnar binary in parquet (never
-  * driver-collected), per-row ops fuse into the scan, and
-  * frame-sampling reduces bytes BEFORE any shuffle.
+  * driver-collected), per-row ops fuse into the scan or run in one
+  * mapPartitions pass, and frame-sampling reduces bytes BEFORE any
+  * shuffle.
   */
 object Multimodal {
+
+  /** Parse real image headers: (width, height, format), nulls for
+    * payloads no installed reader claims. Header-only — the reader
+    * reports dimensions without decoding pixel data, so the per-row
+    * cost is a few hundred bytes of parsing even for huge images.
+    */
+  def decodeMeta(docs: DataFrame, idCol: String,
+                 payloadCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        headerMeta(bytes) match {
+          case Some((w, h, f)) => (id, Some(w), Some(h), Some(f))
+          case None => (id, None, None, None)
+        }
+      })
+      .toDF("id", "width", "height", "format")
+  }
+
+  /** Full pixel decode → per-image stats (n_pixels, mean luminance
+    * 0-255): the feature-extraction stage over a genuinely decoded
+    * image, one mapPartitions pass.
+    */
+  def decodeStats(docs: DataFrame, idCol: String,
+                  payloadCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(w.toLong * h), Some(sum / (w.toLong * h)))
+          case None => (id, None, None)
+        }
+      })
+      .toDF("id", "n_pixels", "mean_luma")
+  }
+
+  /** Fused decode: ONE `ImageIO.read` per payload yields header meta
+    * AND pixel stats — the shape a real feature-extraction stage
+    * wants (decode once, emit every feature), vs chaining
+    * [[decodeMeta]] + [[decodeStats]] which decodes twice and joins.
+    * Columns: (id, width, height, format, n_pixels, mean_luma);
+    * all-null metadata for payloads no installed reader claims.
+    */
+  def decodeFeatures(docs: DataFrame, idCol: String,
+                     payloadCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val fmt = headerMeta(bytes).map(_._3)
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(w), Some(h), fmt,
+              Some(w.toLong * h), Some(sum / (w.toLong * h)))
+          case None => (id, None, None, None, None, None)
+        }
+      })
+      .toDF("id", "width", "height", "format", "n_pixels", "mean_luma")
+  }
+
+  /** Encode a real w×h uniform-gray PNG through the SAME JDK codec
+    * stack the decode path reads. Exists so the decode operators can
+    * be exercised — and ORACLE-CHECKED — against genuine codec
+    * round-trips even though the testdata tables carry no media: a
+    * query derives (w, h, gray) arithmetically from an id column,
+    * encodes, decodes, and the DuckDB oracle predicts the decoded
+    * metadata from the same arithmetic.
+    */
+  def encodeGrayPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && gray >= 0 && gray <= 255,
+      s"bad test card ${w}x${h} gray=$gray")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[ops] def headerMeta(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0),
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private[ops] def decodeImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Wrap raw text bytes as the opaque payload column (the testdata
     * has no real media; the plumbing is payload-agnostic).
@@ -28,8 +179,10 @@ object Multimodal {
 
   def payloadBytes(p: Column): Column = octet_length(p)
 
-  /** STUB decode — deterministic fake metadata derived from sizes
-    * (`???`-equivalent; replace with a real codec on a cluster):
+  /** Deterministic TEXT-PAYLOAD stand-in for [[decodeMeta]] (the
+    * testdata carries no real media and the DuckDB oracle needs a
+    * SQL-expressible function — real image bytes go through the
+    * ImageIO path above):
     * width  = 1 + n_bytes mod 64
     * height = 1 + n_bytes mod 48
     * format = 'fake/' + (n_bytes mod 3)

@@ -275,6 +275,24 @@ object Similarity {
         col("dup_of"))
   }
 
+  /** [[semDedup]] with AUTO-SIZED cells: numCells =
+    * ceil(n / targetPerCell) from one count of the corpus, so the
+    * within-cell O(Σ|cell|²) bound stays honest at ANY corpus size
+    * without a caller-tuned constant — 500 vectors get 1 cell, a
+    * 100-TB corpus of 10¹⁰ embeddings gets 10⁷ cells of ~10³. The
+    * count is one column-pruned pass; everything downstream is the
+    * parity dataflow unchanged.
+    */
+  def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                   tau: Double, targetPerCell: Int = 1000,
+                   lloydIters: Int = 0): DataFrame = {
+    require(targetPerCell > 0, s"targetPerCell=$targetPerCell must be > 0")
+    val n = corpus.select(col(idCol)).count()
+    val cells = math.max(1L,
+      (n + targetPerCell - 1) / targetPerCell).toInt
+    semDedup(corpus, idCol, vecCol, cells, tau, lloydIters)
+  }
+
   /** LSH-bucketed top-k: rank only within the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dims: Int, numPlanes: Int, k: Int): DataFrame = {

@@ -58,6 +58,27 @@ object TextQueries {
           col("head_hash"), col("frames_hash"))
         .orderBy("id")),
 
+    // REAL codec round-trip: derive (w, h, gray) arithmetically from
+    // doc_id, encode a genuine PNG, decode it back via javax.imageio
+    // in ONE fused pass (header meta + full pixel stats) — the DuckDB
+    // oracle predicts the decoded values from the same arithmetic, so
+    // the actual encoder+decoder sit inside the checked dataflow
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val cards = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.encodeGrayPng((id % 13).toInt + 1,
+            (id % 7).toInt + 1, (id % 256).toInt))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.decodeFeatures(cards, "doc_id", "payload")
+        .select(col("id"), col("width"), col("height"), col("format"),
+          col("n_pixels"), round(col("mean_luma"), 6).as("luma_r6"))
+        .orderBy("id")
+    }),
+
     // seed-stable hash sampling: a row-local scan-stage predicate,
     // identical under any partitioning
     "q_sample_hash" -> ((s, dir) =>
@@ -748,6 +769,17 @@ object TextQueries {
         |       min(n_chars) AS min_chars,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // uniform-gray card: mean luminance == gray (0.299+0.587+0.114
+    // sums to 1 in decimal; 6dp rounding absorbs the binary ulps)
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(doc_id % 13 + 1 AS INT) AS width,
+        |  CAST(doc_id % 7 + 1 AS INT) AS height,
+        |  'png' AS format,
+        |  CAST((doc_id % 13 + 1) * (doc_id % 7 + 1) AS BIGINT) AS n_pixels,
+        |  ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS luma_r6
+        |FROM documents ORDER BY id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS id,

@@ -112,6 +112,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out.exists(_._3 == 0), "fixture should contain at least one drop")
   }
 
+  test("semDedup auto-sizing: cells scale with n, skewed dups still resolve") {
+    import spark.implicits._
+    // 240 vectors, heavily skewed: 200 near-copies of one direction
+    // (the pathological cell), 40 spread elsewhere. targetPerCell=60
+    // ⇒ ceil(240/60) = 4 cells; the dup pile must still dedup to its
+    // lowest-id leader(s) per cell, exactly like the fixed-cell path.
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 200L).map(i =>
+      i -> Seq(1.0, i.toDouble * 1e-9, 0.0)) ++
+      (200L until 240L).map(i =>
+        i -> Seq(0.0, math.cos(i.toDouble), math.sin(i.toDouble)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val auto = Similarity.semDedupAuto(df, "vec_id", "embedding",
+      tau = 0.999, targetPerCell = 60)
+    val fixed = Similarity.semDedup(df, "vec_id", "embedding",
+      numCells = 4, tau = 0.999)
+    val a = auto.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val f = fixed.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a == f, "auto-sized path must equal the explicit ceil(n/target) config")
+    val dropped = auto.filter(col("keep") === 0).count()
+    assert(dropped >= 190, s"skewed dup pile should mostly drop, dropped=$dropped")
+    // every drop's leader is an earlier id in the SAME cell
+    val byId = a.map(r => r(0).asInstanceOf[Long] -> r).toMap
+    a.filter(_(2) == 0).foreach { r =>
+      val dupOf = r(3).asInstanceOf[Long]
+      assert(dupOf < r(0).asInstanceOf[Long])
+      assert(byId(dupOf)(1) == r(1), "leader must share the cell")
+    }
+  }
+
   test("kmeans quantizer: two Lloyd rounds match a local replica") {
     import spark.implicits._
     val vecs: Seq[(Long, Seq[Double])] = Seq(
@@ -689,5 +718,41 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("id") === 0L).head()
     assert(r0.getString(1) == "tailone")
     assert(r0.getLong(2) == 1L && r0.getLong(3) == 4L)
+  }
+
+  test("multimodal: REAL PNG/BMP bytes decode via javax.imageio") {
+    import spark.implicits._
+    // encode real images in-test with the same JDK codec stack
+    def encode(w: Int, h: Int, fmt: String, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val gray = 100 // r=g=b=100 → luminance exactly 100.0
+    val rows = Seq(
+      (1L, encode(7, 5, "png", (gray << 16) | (gray << 8) | gray)),
+      (2L, encode(3, 4, "bmp", (gray << 16) | (gray << 8) | gray)),
+      (3L, "not an image".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(meta(1L) == ((Some(7), Some(5), Some("png"))))
+    assert(meta(2L) == ((Some(3), Some(4), Some("bmp"))))
+    assert(meta(3L) == ((None, None, None)))
+
+    val stats = Multimodal.decodeStats(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(stats(1L)._1.contains(35L))
+    // 0.299g + 0.587g + 0.114g = g exactly in binary? (sum of the
+    // coefficients is 1.0 only in decimal) — allow float slack
+    val luma = stats(1L)._2.get.asInstanceOf[Double]
+    assert(math.abs(luma - gray.toDouble) < 1e-9, s"luma=$luma")
+    assert(stats(3L) == ((None, None)))
   }
 }
