@@ -220,6 +220,38 @@ object DiscreteQueries {
         .orderBy("id")
     }),
 
+    // Batch-norm EVAL chain through the REAL fold: Spark builds a
+    // bn θ (γ, β) plus fixed population stats (μ, σ²), folds them
+    // into plain layers via MlpStack.extract(θ, stats), and scores
+    // through FittedCoxMlp's column path; the oracle computes the
+    // UNfolded eval definition γ·(z−μ)/√(σ²+ε)+β in SQL — hash
+    // equality proves the fold arithmetic, not just the spec's 1e-12.
+    "q_cox_mlp_bn_risk" -> ((s, dir) => {
+      val ds = ChurnView.dataset(s, dir)
+      val base = betaBase(ds.encodedFeatures)
+      val p = base.length
+      val stack = new graft.model.MlpStack(p, Seq(2), 2,
+        bn = true, bnBatch = true)
+      val theta = new Array[Double](2 + stack.size)
+      theta(0) = 0.8; theta(1) = -0.6
+      base.indices.foreach { m =>
+        theta(stack.offA(0) + m) = base(m)
+        theta(stack.offA(0) + p + m) = -base(m)
+      }
+      theta(stack.offB(0)) = 0.01; theta(stack.offB(0) + 1) = 0.02
+      theta(stack.offG(0)) = 1.25; theta(stack.offG(0) + 1) = 0.8
+      theta(stack.offBt(0)) = 0.05; theta(stack.offBt(0) + 1) = -0.1
+      val stats = Array((Array(0.3, -0.2), Array(0.7, 1.3)))
+      val layers = stack.extract(theta, Some(stats))
+      val fitted = FittedCoxMlp(CoxMlp(hidden = Seq(2), batchNorm = true),
+        Array(0.8, -0.6), layers,
+        Array.fill(p)(0.0), Array.fill(p)(1.0), null)
+      val xd = transform(col("x"), _.cast("double"))
+      ds.tensorized(ds.test).withColumnRenamed("rn", "id")
+        .select(col("id"), round(exp(fitted.riskScore(xd)), 6).as("risk"))
+        .orderBy("id")
+    }),
+
     // E6: pair-rank matrix of the first train batch [0, 128).
     "q_pair_rank" -> ((s, dir) => {
       val ds = ChurnView.dataset(s, dir)
@@ -473,6 +505,29 @@ object DiscreteQueries {
       """SELECT id, round(exp(CAST(0.8 AS DOUBLE) * h0
         |  + CAST(-0.6 AS DOUBLE) * h1), 6) AS risk
         |FROM mh ORDER BY id""".stripMargin),
+
+    // eval-mode BN by DEFINITION (γ·(z−μ)/√(σ²+ε)+β before relu);
+    // the engine answers with extract()'s folded layers — ε = 1e-5
+    "q_cox_mlp_bn_risk" -> (C + s", $splitSql,\n" + {
+      val lp = lpSql.replaceAll("\n", " ")
+      s"""bnz AS (SELECT rn AS id,
+         |               CAST(0.01 AS DOUBLE) + ($lp) AS z0,
+         |               CAST(0.02 AS DOUBLE) - ($lp) AS z1
+         |        FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),
+         |bnh AS (SELECT id,
+         |  greatest(CAST(0 AS DOUBLE),
+         |    CAST(1.25 AS DOUBLE) * (z0 - CAST(0.3 AS DOUBLE))
+         |      / sqrt(CAST(0.7 AS DOUBLE) + CAST(0.00001 AS DOUBLE))
+         |      + CAST(0.05 AS DOUBLE)) AS h0,
+         |  greatest(CAST(0 AS DOUBLE),
+         |    CAST(0.8 AS DOUBLE) * (z1 - CAST(-0.2 AS DOUBLE))
+         |      / sqrt(CAST(1.3 AS DOUBLE) + CAST(0.00001 AS DOUBLE))
+         |      + CAST(-0.1 AS DOUBLE)) AS h1
+         |  FROM bnz)
+         |SELECT id, round(exp(CAST(0.8 AS DOUBLE) * h0
+         |  + CAST(-0.6 AS DOUBLE) * h1), 6) AS risk
+         |FROM bnh ORDER BY id""".stripMargin
+    }),
 
     "q_deephit_mlp2_forward" -> (C + s", $splitSql,\n$mlpSelect,\n$mlp2Select\n" +
       s"""SELECT id, CAST(k AS INT) AS k,
