@@ -38,6 +38,38 @@ class EvalSpec extends AnyFunSuite {
     assert(Concordance.harrell(tied, "t", "e", "r").head().getDouble(1) == 0.5)
   }
 
+  test("step lookup: fused binary-search path equals the distributed scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // curve with knots at 1, 3, 5; points hit every edge: null,
+    // before-first, exact-knot, between-knots, after-last
+    val curve = Seq((1.0, 0.9), (3.0, 0.6), (5.0, 0.2))
+      .toDF("t", "s")
+    val pts = Seq[(Int, Option[Double])](
+      (0, None), (1, Some(0.5)), (2, Some(1.0)), (3, Some(2.0)),
+      (4, Some(3.0)), (5, Some(4.5)), (6, Some(5.0)), (7, Some(9.0)))
+      .toDF("id", "at")
+    for (strict <- Seq(false, true)) {
+      val fused = KaplanMeier.lookup(pts, "at", curve, strict, "g")
+        .orderBy("id").select(col("id"), col("g")).collect()
+        .map(r => (r.getInt(0), r.getDouble(1)))
+      val dist = KaplanMeier.lookup(pts, "at", curve, strict, "g",
+          smallCap = 0)
+        .orderBy("id").select(col("id"), col("g")).collect()
+        .map(r => (r.getInt(0), r.getDouble(1)))
+      assert(fused.toSeq == dist.toSeq, s"strict=$strict")
+      // hand values: null→1, before-first→1, knot inclusive vs strict
+      val byId = fused.toMap
+      assert(byId(0) == 1.0 && byId(1) == 1.0)
+      assert(byId(2) == (if (strict) 1.0 else 0.9)) // at == first knot
+      assert(byId(3) == 0.9)
+      assert(byId(4) == (if (strict) 0.9 else 0.6))
+      assert(byId(5) == 0.6)
+      assert(byId(6) == (if (strict) 0.6 else 0.2))
+      assert(byId(7) == 0.2)
+    }
+  }
+
   test("Brier: perfect step prediction on uncensored data scores 0") {
     import spark.implicits._
     // two uncensored subjects; S(τ|x)=1{τ<t_i} is the perfect predictor
