@@ -85,4 +85,53 @@ object Search {
       .agg(count(lit(1)).as("df"),
         array_join(sort_array(collect_list(col("id"))), ",").as("postings"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
+
+  /** Hybrid retrieval: fuse the BM25 lexical leg with a cosine
+    * vector leg by reciprocal-rank fusion (RRF, Cormack et al.
+    * SIGIR'09): rrf(d) = Σ_legs 1/(kRrf + rank_leg(d)); a document
+    * absent from a leg contributes nothing for it. Both legs rank
+    * ROUNDED scores with an id tiebreak (engine-stable cutoffs, the
+    * [[bm25TopK]] convention), so the integer ranks — and therefore
+    * the fused scores — are exactly reproducible.
+    *
+    * Scale shape: the vector leg is a broadcast 1-row query vector
+    * against the embedding scan (top-legK via TakeOrderedAndProject —
+    * per-partition heaps, no global sort), the lexical leg is
+    * [[bm25TopK]]'s keyed aggregations; everything downstream of the
+    * legs operates on their bounded top-legK lists (≤ 2·legK rows),
+    * so fusion cost is independent of corpus size. Returns
+    * (rank, id, rrf).
+    */
+  def hybridTopK(docs: DataFrame, docIdCol: String, textCol: String,
+                 terms: Seq[String],
+                 emb: DataFrame, vecIdCol: String, vecCol: String,
+                 queryVecId: Long, legK: Int = 20, kRrf: Int = 60,
+                 k: Int = 10): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val lex = bm25TopK(docs, docIdCol, textCol, terms, k = legK)
+      .select(col("id"), col("rnk").as("r"))
+    val qv = broadcast(emb.filter(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).as("qv")))
+    val vtop = emb.filter(col(vecIdCol) =!= queryVecId)
+      .crossJoin(qv)
+      .select(col(vecIdCol).as("id"),
+        round(vec_dot(col(vecCol), col("qv"))
+          / (sqrt(vec_dot(col(vecCol), col(vecCol)))
+            * sqrt(vec_dot(col("qv"), col("qv")))), 6).as("vcos"))
+      .orderBy(col("vcos").desc, col("id")).limit(legK)
+    // bounded post-limit windows, as in bm25TopK
+    val vec = vtop.withColumn("r",
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("vcos").desc, col("id"))))
+      .select(col("id"), col("r"))
+    (lex unionByName vec)
+      .groupBy(col("id"))
+      .agg(round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("r").cast("double"))), 6)
+        .as("rrf"))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("rrf").desc, col("id"))))
+      .select(col("rank"), col("id"), col("rrf"))
+  }
 }

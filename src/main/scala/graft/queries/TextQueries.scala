@@ -173,6 +173,17 @@ object TextQueries {
           "doc_id", "text", terms = Seq("dup", "spark", "join"),
           k1 = 1.2, b = 0.75, k = 20)),
 
+    // hybrid retrieval: BM25 lexical leg + cosine vector leg
+    // (query = embedding 0) fused by reciprocal-rank fusion;
+    // round-then-rank in BOTH legs keeps the integer ranks — and so
+    // the fused scores — engine-exact
+    "q_hybrid_topk" -> ((s, dir) =>
+      graft.ops.Search.hybridTopK(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("dup", "spark", "join"),
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVecId = 0L, legK = 20, kRrf = 60, k = 10)),
+
     // per-language term counts through the Misra-Gries sketch
     // aggregate: each task folds its rows into a <=k-entry sketch and
     // the shuffle moves one sketch per (partition, lang), not a
@@ -661,6 +672,50 @@ object TextQueries {
         |SELECT id, score,
         |       CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rnk
         |FROM top ORDER BY rnk""".stripMargin,
+
+    "q_hybrid_topk" ->
+      """WITH lens AS (SELECT doc_id AS id,
+        |                CAST(len(string_split(text, ' ')) AS INT) AS dl
+        |              FROM documents),
+        |st AS (SELECT count(*) AS n_docs,
+        |              sum(len(string_split(text, ' '))) AS sum_dl
+        |       FROM documents),
+        |tf AS (SELECT id, tok, count(*) AS tf
+        |       FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents)
+        |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT tf.id,
+        |  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |  * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+        |  FROM tf JOIN df ON tf.tok = df.tok
+        |  JOIN lens ON tf.id = lens.id CROSS JOIN st),
+        |agg AS (SELECT id, round(sum(s), 6) AS score FROM sc GROUP BY id),
+        |ltop AS (SELECT id, score FROM agg ORDER BY score DESC, id LIMIT 20),
+        |lex AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+        |        FROM ltop),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |qv AS (SELECT x AS q FROM v WHERE vec_id = 0),
+        |vc AS (SELECT c.vec_id AS id,
+        |  round(list_reduce(list_transform(list_zip(q, c.x), z -> z[1] * z[2]), (p, s2) -> p + s2)
+        |        / (sqrt(list_reduce(list_transform(list_zip(c.x, c.x), z -> z[1] * z[2]), (p, s2) -> p + s2))
+        |           * sqrt(list_reduce(list_transform(list_zip(q, q), z -> z[1] * z[2]), (p, s2) -> p + s2))), 6) AS vcos
+        |  FROM v c CROSS JOIN qv WHERE c.vec_id != 0),
+        |vtop AS (SELECT id, vcos FROM vc ORDER BY vcos DESC, id LIMIT 20),
+        |vr AS (SELECT id, row_number() OVER (ORDER BY vcos DESC, id) AS r
+        |       FROM vtop),
+        |u AS (SELECT id, r FROM lex UNION ALL SELECT id, r FROM vr),
+        |f AS (SELECT id,
+        |        round(sum(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r AS DOUBLE))), 6) AS rrf
+        |      FROM u GROUP BY id),
+        |ftop AS (SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT) AS rank,
+        |       id, rrf
+        |FROM ftop ORDER BY rank""".stripMargin,
 
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id AS id,

@@ -490,6 +490,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1)._1 == 2L) // among common-docs, higher tf still ranks first
   }
 
+  test("hybrid RRF: both-leg doc beats single-leg docs; local replica agrees") {
+    import spark.implicits._
+    val filler = (1 to 30).map(i => s"f$i").mkString(" ")
+    // doc 1: lexical hit AND vector-near the query; docs 2-3 single-leg
+    val docs = Seq(
+      (1L, s"rare $filler"), (2L, s"rare rare $filler"), (3L, filler),
+      (4L, filler)).toDF("doc_id", "text")
+    val emb: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0, 0.0),   // the query vector
+      1L -> Seq(0.9, 0.1, 0.0),   // near the query
+      2L -> Seq(0.0, 1.0, 0.0),   // orthogonal
+      3L -> Seq(0.8, 0.3, 0.0),   // near-ish
+      4L -> Seq(0.0, 0.0, 1.0))
+    val got = Search.hybridTopK(docs, "doc_id", "text", Seq("rare"),
+        emb.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        queryVecId = 0L, legK = 3, kRrf = 60, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // local replica: lexical ranks (bm25 over 'rare': doc2 tf=2 > doc1),
+    // vector ranks by rounded cos (1 > 3 > 2), RRF k=60
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lexR = Map(2L -> 1, 1L -> 2)           // only docs with the term
+    val vecR = Map(1L -> 1, 3L -> 2, 2L -> 3)  // top-3 by cos
+    val want = (lexR.keySet ++ vecR.keySet).map { id =>
+      id -> r6(lexR.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        vecR.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+    }.toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(got.map(g => (g._2, g._3)).toSeq == want)
+    // doc 1 (both legs) outranks every single-leg doc
+    assert(got.head._2 == 1L && got.head._1 == 1)
+    // ranks are 1..n in order
+    assert(got.map(_._1).toSeq == (1 to got.length))
+  }
+
   test("bloom-pruned semi-join: rows identical to plain left-semi, probe in plan") {
     // parquet-backed fact so the probe survives as a scan-stage filter
     // (over a local Seq relation Catalyst folds it into the
