@@ -144,6 +144,90 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AU/
+    * AIFF — whatever the JRE's audio SPI registry carries): header
+    * meta (sample rate, channels, bits, frame count) plus full-PCM
+    * RMS amplitude of the first channel (16-bit signed), one
+    * mapPartitions pass. All-null row for payloads no installed
+    * reader claims. Columns: (id, sample_rate, channels, bits,
+    * n_frames, rms).
+    */
+  def decodeAudioFeatures(docs: DataFrame, idCol: String,
+                          payloadCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeAudio(bytes) match {
+          case Some((rate, ch, bits, frames, rms)) =>
+            (id, Some(rate), Some(ch), Some(bits), Some(frames), Some(rms))
+          case None => (id, None, None, None, None, None)
+        }
+      })
+      .toDF("id", "sample_rate", "channels", "bits", "n_frames", "rms")
+  }
+
+  /** Encode real 16-bit mono little-endian PCM as a WAV container
+    * through the SAME JDK codec stack the decode path reads — the
+    * audio twin of [[encodeGrayPng]]: a query derives (rate, frames,
+    * amplitude) arithmetically from an id, encodes, decodes, and the
+    * oracle predicts the decoded values (constant-amplitude samples
+    * make the RMS exactly |amp|).
+    */
+  def encodeConstWav(sampleRate: Int, nFrames: Int, amp: Short): Array[Byte] = {
+    require(sampleRate > 0 && nFrames > 0, s"bad wav $sampleRate/$nFrames")
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      pcm(2 * i) = (amp & 0xFF).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private[ops] def decodeAudio(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Long, Double)] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        // RMS over channel 0 of 16-bit signed PCM; other layouts
+        // report header meta with NaN-free rms = 0.0
+        val rms =
+          if (f.getSampleSizeInBits == 16 && frames > 0) {
+            val fs = f.getFrameSize
+            val buf = ais.readAllBytes()
+            val n = math.min(frames, (buf.length / fs).toLong).toInt
+            var sum = 0.0
+            var i = 0
+            while (i < n) {
+              val lo = buf(i * fs) & 0xFF
+              val hi = buf(i * fs + 1).toInt
+              val s = (hi << 8) | lo
+              sum += s.toDouble * s.toDouble
+              i += 1
+            }
+            if (n > 0) math.sqrt(sum / n) else 0.0
+          } else 0.0
+        Some((math.round(f.getSampleRate).toInt, f.getChannels,
+          f.getSampleSizeInBits, frames, rms))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private[ops] def headerMeta(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     if (bytes == null || bytes.length == 0) return None
     try {

@@ -79,6 +79,24 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // the audio twin of q_multimodal_decode: derive (rate, frames,
+    // amplitude) from doc_id, encode REAL 16-bit PCM WAV, decode via
+    // javax.sound.sampled — constant-amplitude samples make the RMS
+    // exactly |amp|, so the oracle is pure arithmetic
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val cards = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.encodeConstWav(8000 + (id % 3).toInt * 4000,
+            800 + (id % 100).toInt, ((id % 1000) * 30).toShort))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.decodeAudioFeatures(cards, "doc_id", "payload")
+        .orderBy("id")
+    }),
+
     // seed-stable hash sampling: a row-local scan-stage predicate,
     // identical under any partitioning
     "q_sample_hash" -> ((s, dir) =>
@@ -824,6 +842,17 @@ object TextQueries {
         |       min(n_chars) AS min_chars,
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // constant-amplitude PCM: n·amp² and amp² are exact doubles, so
+    // RMS == amp with NO rounding needed
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(800 + doc_id % 100 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 1000) * 30 AS DOUBLE) AS rms
+        |FROM documents ORDER BY id""".stripMargin,
 
     // uniform-gray card: mean luminance == gray (0.299+0.587+0.114
     // sums to 1 in decimal; 6dp rounding absorbs the binary ulps)

@@ -490,6 +490,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1)._1 == 2L) // among common-docs, higher tf still ranks first
   }
 
+  test("multimodal: REAL WAV bytes decode via javax.sound.sampled") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.encodeConstWav(8000, 1000, 1234)),
+      (2L, Multimodal.encodeConstWav(16000, 320, -2000)),
+      (3L, "not audio".getBytes("UTF-8")))
+    val got = Multimodal.decodeAudioFeatures(rows.toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq(8000, 1, 16, 1000L, 1234.0))
+    // constant negative amplitude: RMS = |amp| exactly
+    assert(got(2L) == Seq(16000, 1, 16, 320L, 2000.0))
+    assert(got(3L) == Seq(null, null, null, null, null))
+  }
+
   test("hybrid RRF: both-leg doc beats single-leg docs; local replica agrees") {
     import spark.implicits._
     val filler = (1 to 30).map(i => s"f$i").mkString(" ")
