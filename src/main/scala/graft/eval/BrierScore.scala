@@ -77,10 +77,12 @@ object BrierScore {
     */
   def integrated(gridBs: DataFrame): DataFrame = {
     // BOUNDED global window: gridBs has one row per grid point
-    // (<= 100 by construction) — constant partition key documents the
-    // boundedness and silences the WindowExec warning.
+    // (<= 100 by construction). The constant partition key must be
+    // NON-FOLDABLE (tau_idx*0, not lit(0)) — Catalyst folds a literal
+    // out of the partition spec, re-opening the WindowExec "no
+    // partition defined" warning.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("tau_idx"))
+      .partitionBy(col("tau_idx") * 0).orderBy(col("tau_idx"))
     val withPrev = gridBs
       .withColumn("prev_bs", lag(col("bs"), 1).over(w))
       .withColumn("prev_tau", lag(col("tau"), 1).over(w))

