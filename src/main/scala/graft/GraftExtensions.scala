@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("top_k", functions.TopKAgg.fromExprs)
     fn("nfc_normalize", functions.UnicodeNormalize.fromExprs("NFC"))
     fn("nfkc_normalize", functions.UnicodeNormalize.fromExprs("NFKC"))
+    fn("hll_est", functions.HllAgg.fromExprs)
   }
 }

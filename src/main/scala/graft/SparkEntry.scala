@@ -36,7 +36,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimQueries.queries, SimQueries.oracles),
-      (StreamQueries.queries, StreamQueries.oracles))
+      (StreamQueries.queries, StreamQueries.oracles),
+      (SketchQueries.queries, SketchQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

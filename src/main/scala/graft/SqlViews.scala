@@ -42,5 +42,9 @@ object SqlViews {
       functions.UnicodeNormalize.fromExprs("NFC"))
     bridge.registerFunction(spark, "nfkc_normalize",
       functions.UnicodeNormalize.fromExprs("NFKC"))
+    // hll_est(col, seed) HyperLogLog cardinality aggregate (4096-byte
+    // mergeable register buffer; numerically identical to the
+    // Sketches.hllEstimate dataflow)
+    bridge.registerFunction(spark, "hll_est", functions.HllAgg.fromExprs)
   }
 }

@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable approximate sketches for cardinality, frequency, and set
+  * overlap — the aggregations ElasticSearch answers approximately
+  * (`cardinality` is HLL-based: reference `dataset.py` exposes
+  * eland-backed nunique over ES, which ES serves from a HyperLogLog++
+  * sketch). The engine's exact `q_nunique` documents that deviation;
+  * these operators close it with REAL sketch semantics, built so every
+  * intermediate is integer-exact and the DuckDB oracle can replay the
+  * whole computation bit-for-bit:
+  *
+  *   - hashes come from [[Sampling.hash60]] (md5-derived, both engines
+  *     agree exactly);
+  *   - HLL registers sum as exact BIGINT numerators over the common
+  *     denominator 2^49 (never a float Σ2^-M_j, whose summation order
+  *     would diverge in final ulps across engines);
+  *   - the only float ops are ONE division of exactly-representable
+  *     values and ONE half-up round, identical in both engines.
+  *
+  * 100-TB shapes: HLL/CMS build is a map-side-combined groupBy onto a
+  * bounded key space (≤ m registers / d·w counters — the shuffle
+  * carries partial sketches, never rows); KMV is a per-scope top-k
+  * (sort inside each scope's partitions, k rows out). All three merge
+  * associatively (max / sum / min-k), which is the whole point: at
+  * 1000 executors each partition sketches locally and the combine is
+  * tiny.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- HLL
+
+  /** Register-index bits: m = 2^p registers. */
+  val HllP = 12
+  val HllM: Int = 1 << HllP // 4096
+
+  /** Bits left for the rank after the bucket is peeled off a 60-bit
+    * hash; rho ∈ [1, 49] (49 = all-zero remainder).
+    */
+  val HllWBits: Int = 60 - HllP // 48
+
+  /** α_m·m² for the standard bias correction (Flajolet et al. 2007);
+    * the exact double literal is shared with the oracle SQL.
+    */
+  val HllAlphaM2: Double =
+    0.7213 / (1.0 + 1.079 / HllM.toDouble) * HllM.toDouble * HllM.toDouble
+
+  /** Numerator of the estimate over the exact register sum S_num/2^49:
+    * est = HllNum / S_num.
+    */
+  val HllNum: Double = HllAlphaM2 * (1L << (HllWBits + 1)).toDouble
+
+  /** (bucket, rho) of one key hash: bucket = h mod m; rho = leading
+    * zeros of the 48-bit remainder + 1, via the binary-string length
+    * both engines compute identically (`bin`), never floating log2.
+    */
+  private def hllBucket(h: Column): Column = pmod(h, lit(HllM.toLong))
+  private def hllRho(hName: String): Column = {
+    val w = expr(s"$hName div $HllM")
+    when(w === 0L, lit(HllWBits + 1))
+      .otherwise(lit(HllWBits + 1) - length(bin(w)))
+  }
+
+  /** Per-scope HLL registers of the distinct `key` values:
+    * (scope, bucket, r). The groupBy key space is |scopes|·m — the
+    * shuffle carries register partials, not rows.
+    */
+  def hllSketch(df: DataFrame, scopeCol: String, keyCol: String,
+                seed: Long): DataFrame =
+    df.select(col(scopeCol).as("scope"),
+        Sampling.hash60(col(keyCol), seed).as("_hll_h"))
+      .select(col("scope"), hllBucket(col("_hll_h")).as("bucket"),
+        hllRho("_hll_h").as("rho"))
+      .groupBy(col("scope"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+
+  /** Merge registers across ALL scopes into one sketch named
+    * `newScope` — the associative max that makes HLL distributable.
+    */
+  def hllMerge(regs: DataFrame, newScope: String): DataFrame =
+    regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      .select(lit(newScope).as("scope"), col("bucket"), col("r"))
+
+  /** Estimate per scope: (scope, nonempty, s_num, est).
+    *
+    * s_num = Σ 2^(49−r) + (m − nonempty)·2^49 — the register sum as an
+    * exact BIGINT numerator (max 2^61, no overflow, no float Σ);
+    * raw = α_m·m²·2^49 / s_num — one IEEE division of
+    * exactly-representable operands. Small-range correction (Flajolet
+    * et al. 2007 §4): when empty registers remain and raw ≤ 2.5m, the
+    * raw estimator is biased high and linear counting
+    * m·ln(m / empty) is the better estimate — the branch condition
+    * compares the UNROUNDED raw (exact-identical across engines), and
+    * ln-parity at 4dp is established practice in this oracle suite
+    * (q_text_tfidf rounds ln products to 6dp).
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val raw = lit(HllNum) / col("s_num").cast("double")
+    val emptyR = lit(HllM.toLong) - col("nonempty")
+    regs.groupBy(col("scope"))
+      .agg(count(lit(1)).as("nonempty"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllWBits + 1} - r)"))
+          + (lit(HllM.toLong) - count(lit(1)))
+            * lit(1L << (HllWBits + 1))).as("s_num"))
+      .select(col("scope"), col("nonempty"), col("s_num"),
+        when(emptyR > 0L && raw <= lit(2.5 * HllM),
+          round(lit(HllM.toDouble)
+            * log(lit(HllM.toDouble) / emptyR.cast("double")), 4))
+          .otherwise(round(raw, 4)).as("est"))
+  }
+
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-min sketch depth (independent hash rows) and width. */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** Seed of hash row d. */
+  def cmsSeed(d: Int): Long = 101L + d
+
+  /** Build the d×w counter matrix over `key` occurrences:
+    * (d, bucket, cnt). The explode is d× rows into a map-side-combined
+    * groupBy on ≤ d·w keys — the shuffle carries ≤ d·w partial counts
+    * per partition regardless of input size.
+    */
+  def cmsSketch(df: DataFrame, keyCol: String): DataFrame =
+    df.select(posexplode(array((0 until CmsD).map(d =>
+        pmod(Sampling.hash60(col(keyCol), cmsSeed(d)), lit(CmsW.toLong))): _*))
+        .as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the frequency of each `candidates` key:
+    * est = min over d of sketch[d][bucket_d(key)] — the classic CMS
+    * upper bound (never under-counts; over-counts only on bucket
+    * collisions). The sketch side is ≤ d·w rows and broadcasts; the
+    * candidate side keeps its partitioning.
+    */
+  def cmsLookup(sketch: DataFrame, candidates: DataFrame,
+                keyCol: String): DataFrame = {
+    val probes = candidates.select(col("*"),
+        posexplode(array((0 until CmsD).map(d =>
+          pmod(Sampling.hash60(col(keyCol), cmsSeed(d)), lit(CmsW.toLong))): _*))
+          .as(Seq("d", "bucket")))
+    probes.join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  // ---------------------------------------------------------------- KMV
+
+  /** K-minimum-values sketch size. */
+  val KmvK = 256
+
+  /** Numerator of the KMV estimator (k−1)·2^60 — exact in double
+    * (255 is 8 significant bits); shared with the oracle SQL.
+    */
+  val KmvNum: Double = (KmvK - 1).toDouble * (1L << 60).toDouble
+
+  /** Per-scope k smallest distinct key hashes: (scope, h). The sort
+    * is inside each scope (window PARTITIONED by scope — never a
+    * global single-partition sort); k rows survive per scope.
+    */
+  def kmvSketch(df: DataFrame, scopeCol: String, keyCol: String,
+                seed: Long): DataFrame = {
+    val hs = df.select(col(scopeCol).as("scope"),
+        Sampling.hash60(col(keyCol), seed).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("scope")).orderBy(col("h"))
+    hs.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+      .drop("rn")
+  }
+
+  /** Merge two or more scope sketches into the union sketch (k
+    * smallest of the union) under a new scope name — KMV's associative
+    * merge. Input is ≤ |scopes|·k rows by construction, so the global
+    * order is a TakeOrdered (no single-partition window).
+    */
+  def kmvMerge(sketches: DataFrame, newScope: String): DataFrame =
+    sketches.select(col("h")).distinct()
+      .orderBy(col("h")).limit(KmvK)
+      .select(lit(newScope).as("scope"), col("h"))
+
+  /** Cardinality estimate per scope from its sketch:
+    * est = round((k−1)·2^60 / h_(k), 4), the classic KMV estimator —
+    * one division of exact operands, one half-up round. Scopes with
+    * fewer than k distinct hashes get their EXACT count (the sketch
+    * holds the whole set).
+    */
+  def kmvEstimate(sketch: DataFrame): DataFrame =
+    sketch.groupBy(col("scope"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("nk"))
+      .select(col("scope"),
+        when(col("nk") < KmvK, col("nk").cast("double"))
+          .otherwise(round(lit(KmvNum) / col("hk").cast("double"), 4))
+          .as("est"))
+}
