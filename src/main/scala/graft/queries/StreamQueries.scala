@@ -49,7 +49,24 @@ object StreamQueries {
       StreamingOps.userTotals(Tables.events(s, dir))
         .select(col("user_id"), col("n_events"),
           round(col("sum_value"), 6).as("sum_value"))
-        .orderBy("user_id")))
+        .orderBy("user_id")),
+
+    // windowed approximate distinct (hll_est aggregate): per-hour
+    // user cardinality from a flat 4096-byte register state — the
+    // streaming ES-cardinality shape; the oracle replays the registers
+    // per hour and StreamingSpec proves the readStream flavor emits
+    // identical rows
+    "q_stream_hll" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      StreamingOps.approxUsersHourly(ev)
+        .join(ev.select(date_trunc("hour", col("ts")).as("hour"),
+            col("user_id")).distinct()
+          .groupBy(col("hour")).agg(count(lit(1)).as("exact_users")),
+          Seq("hour"))
+        .select(unix_micros(col("hour")).as("hour_us"), col("est_users"),
+          col("exact_users"), col("n_events"))
+        .orderBy("hour_us")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -86,6 +103,44 @@ object StreamQueries {
       """SELECT user_id, count(*) AS n_events,
         |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // per-hour HLL registers replayed exactly (same md5-hash60 +
+    // exact-BIGINT register sum + linear-counting branch as
+    // q_sketch_hll, keyed by the hour window)
+    "q_stream_hll" -> {
+      import graft.ops.Sketches
+      s"""WITH hu AS (SELECT DISTINCT
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, user_id
+         |  FROM events),
+         |h AS (SELECT hour,
+         |    ('0x' || substr(md5('11:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM hu),
+         |b AS (SELECT hour, h % 4096 AS bucket, h // 4096 AS w FROM h),
+         |r AS (SELECT hour, bucket,
+         |        max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS r
+         |      FROM b GROUP BY 1, 2),
+         |est AS (SELECT hour, count(*) AS nonempty,
+         |          CAST(sum(1::BIGINT << (49 - r))
+         |               + (4096 - count(*)) * (1::BIGINT << 49) AS BIGINT) AS s_num
+         |        FROM r GROUP BY 1),
+         |o AS (SELECT hour,
+         |        CASE WHEN 4096 - nonempty > 0
+         |                  AND ${Sketches.HllNum} / CAST(s_num AS DOUBLE)
+         |                      <= ${2.5 * Sketches.HllM}
+         |             THEN round(4096.0 * ln(4096.0 /
+         |                    CAST(4096 - nonempty AS DOUBLE)), 4)
+         |             ELSE round(${Sketches.HllNum} / CAST(s_num AS DOUBLE), 4)
+         |        END AS est_users
+         |      FROM est),
+         |ex AS (SELECT hour, count(*) AS exact_users FROM hu GROUP BY 1),
+         |ne AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |              count(*) AS n_events
+         |       FROM events GROUP BY 1)
+         |SELECT epoch_us(o.hour) AS hour_us, o.est_users, ex.exact_users,
+         |       ne.n_events
+         |FROM o JOIN ex USING (hour) JOIN ne USING (hour)
+         |ORDER BY hour_us""".stripMargin
+    },
 
     "q_stream_sessions" ->
       """WITH m AS (

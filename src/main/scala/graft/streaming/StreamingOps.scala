@@ -346,6 +346,31 @@ object StreamingOps {
       .withColumn("keep", (col("n_won") === col("n_bands")).cast("int"))
   }
 
+  /** Approximate distinct users per hour via the `hll_est` mergeable
+    * aggregate — the streaming flavor of the ES `cardinality` agg.
+    * Per-window state is ONE 4096-byte register buffer (bytewise-max
+    * merged across tasks and micro-batches), never a user set: the
+    * state size is flat no matter how many distinct users an hour
+    * holds — the property that makes windowed distinct counting
+    * feasible on an unbounded stream. Batch form; identical plan for
+    * readStream input via [[approxUsersHourlyStream]].
+    */
+  def approxUsersHourly(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(graft.functions.HllAgg.hll_est(col("user_id"), 11L).as("est_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Streaming flavor: explicit window() + watermark (append-ready);
+    * the HLL buffer IS the aggregation state in the state store.
+    */
+  def approxUsersHourlyStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HllAgg.hll_est(col("user_id"), 11L).as("est_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("est_users"),
+        col("n_events"))
+
   /** 30-minute-gap sessions per user (batch form): session boundaries
     * by lag, ids by running sum, then per-session aggregates.
     */

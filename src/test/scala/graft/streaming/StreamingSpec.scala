@@ -338,4 +338,41 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("keep") === 1).collect().map(_.getLong(0)).toSet
     assert(kept.keySet == batchKeeps, s"${kept.keySet} vs $batchKeeps")
   }
+
+  test("streaming windowed hll_est equals batch across micro-batches") {
+    val batch = StreamingOps.approxUsersHourlyStream(
+        Tables.events(spark, dir)).orderBy("hour")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+
+    // TWO copies of the file + maxFilesPerTrigger=1 → two micro-batches
+    // over the same rows: the per-window register state must MERGE
+    // across batches, and HLL's duplicate-insensitivity means the
+    // estimate is unchanged while n_events doubles — the exact
+    // property that makes the sketch streaming-safe.
+    val tmp = java.nio.file.Files.createTempDirectory("events_hll")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("b.parquet"))
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+    val q = StreamingOps.approxUsersHourlyStream(StreamingOps.withTs(stream))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("hll_out").orderBy("hour")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length == batch.length && got.nonEmpty)
+    got.zip(batch).foreach { case ((gh, ge, _), (bh, be)) =>
+      assert(gh == bh && ge == be, s"window $gh: stream=$ge batch=$be")
+    }
+  }
 }
