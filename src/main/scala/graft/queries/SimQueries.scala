@@ -106,6 +106,39 @@ object SimQueries {
         numCells = 8, iters = 1)
       Similarity.assignCells(emb, "vec_id", "embedding", cent)
         .orderBy("vec_id")
+    }),
+
+    // ANN quality evaluation: recall@5 of the LSH and IVF candidate
+    // generators against the brute-force ground truth, per query and
+    // macro (qid = -1). Both rankings are deterministic (identical
+    // sequential dots, ties by vec_id), so the recall itself is
+    // oracle-exact — macro recall derives from INTEGER hit sums, never
+    // a float mean of floats
+    "q_sim_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        TopK).select(col("qid"), col("vec_id"))
+      def hits(approx: DataFrame, m: String): DataFrame = {
+        val h = truth
+          .join(approx.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        q.select(col("vec_id").as("qid")).join(h, Seq("qid"), "left")
+          .select(lit(m).as("method"), col("qid"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      }
+      val per = hits(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+          Dims, Planes, TopK), "lsh")
+        .unionByName(hits(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          numCells = 8, k = TopK), "ivf"))
+        .select(col("method"), col("qid"), col("n_hits"),
+          round(col("n_hits").cast("double") / TopK, 6).as("recall"))
+      val macroR = per.groupBy(col("method"))
+        .agg(sum(col("n_hits")).as("n_hits"), count(lit(1)).as("nq"))
+        .select(col("method"), lit(-1L).as("qid"), col("n_hits"),
+          round(col("n_hits").cast("double")
+            / (lit(TopK.toDouble) * col("nq").cast("double")), 6).as("recall"))
+      per.unionByName(macroR).orderBy("method", "qid")
     }))
 
   /** dot in fixed sequential order; mirrors Dedup.cosine exactly. */
@@ -323,5 +356,67 @@ object SimQueries {
          |       FROM sc)
          |SELECT qid, cell, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
          |FROM rk WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
+
+    "q_sim_recall" -> {
+      val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+      val dot = dotSql
+      val cosExpr = s"${dot.format("q.x", "c.x")} / (sqrt(${vv.format("q.x")}) * sqrt(${vv.format("c.x")}))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |qs AS (SELECT vec_id AS qid FROM v WHERE vec_id < 10),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY $cosExpr DESC, c.vec_id) AS rank
+         |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10) WHERE rank <= $TopK),
+         |bk AS (SELECT vec_id, x, $bucketSql AS bucket FROM v),
+         |lsh AS (SELECT qid, vec_id FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY $cosExpr DESC, c.vec_id) AS rank
+         |  FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10) WHERE rank <= $TopK),
+         |cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
+         |                round(avg(x[j + 1]), 6) AS c
+         |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |         GROUP BY 1, 2),
+         |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
+         |asgn AS (SELECT vec_id, x, cell FROM (
+         |  SELECT v.vec_id, v.x, ca.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |           (${vv.format("v.x")}
+         |            - 2 * ${dot.format("v.x", "ca.carr")}
+         |            + ${vv.format("ca.carr")}), ca.cell) AS rk
+         |  FROM v CROSS JOIN ca) WHERE rk = 1),
+         |ivf AS (SELECT qid, vec_id FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY $cosExpr DESC, c.vec_id) AS rank
+         |  FROM asgn q JOIN asgn c ON c.cell = q.cell AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10) WHERE rank <= $TopK),
+         |per AS (
+         |  SELECT 'lsh' AS method, qs.qid,
+         |         (SELECT count(*) FROM truth t JOIN lsh a
+         |            ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |          WHERE t.qid = qs.qid) AS n_hits
+         |  FROM qs
+         |  UNION ALL
+         |  SELECT 'ivf' AS method, qs.qid,
+         |         (SELECT count(*) FROM truth t JOIN ivf a
+         |            ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |          WHERE t.qid = qs.qid) AS n_hits
+         |  FROM qs),
+         |rows_out AS (
+         |  SELECT method, qid, n_hits,
+         |         round(CAST(n_hits AS DOUBLE) / $TopK, 6) AS recall
+         |  FROM per
+         |  UNION ALL
+         |  SELECT method, -1 AS qid, CAST(sum(n_hits) AS BIGINT) AS n_hits,
+         |         round(CAST(sum(n_hits) AS DOUBLE)
+         |               / (CAST($TopK AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6) AS recall
+         |  FROM per GROUP BY method)
+         |SELECT method, qid, n_hits, recall FROM rows_out
+         |ORDER BY method, qid""".stripMargin
     })
 }
