@@ -114,12 +114,20 @@ object Sketches {
 
   // ---------------------------------------------------------------- CMS
 
-  /** Count-min sketch depth (independent hash rows) and width. */
+  /** Count-min sketch depth (hash rows) and width (2^10 buckets). */
   val CmsD = 4
   val CmsW = 1024
 
-  /** Seed of hash row d. */
-  def cmsSeed(d: Int): Long = 101L + d
+  /** Seed of the single base hash. */
+  val CmsSeed = 101L
+
+  /** Row d's bucket: a disjoint 10-bit field of ONE 60-bit hash —
+    * one md5 per occurrence instead of d (the build's dominant cost);
+    * disjoint bit-fields of a cryptographic hash are independent for
+    * CMS purposes (d·log2(w) = 40 ≤ 60 bits available).
+    */
+  private def cmsBucket(h: Column, d: Int): Column =
+    shiftright(h, 10 * d).bitwiseAND(lit((CmsW - 1).toLong))
 
   /** Build the d×w counter matrix over `key` occurrences:
     * (d, bucket, cnt). The explode is d× rows into a map-side-combined
@@ -127,9 +135,9 @@ object Sketches {
     * per partition regardless of input size.
     */
   def cmsSketch(df: DataFrame, keyCol: String): DataFrame =
-    df.select(posexplode(array((0 until CmsD).map(d =>
-        pmod(Sampling.hash60(col(keyCol), cmsSeed(d)), lit(CmsW.toLong))): _*))
-        .as(Seq("d", "bucket")))
+    df.select(Sampling.hash60(col(keyCol), CmsSeed).as("_h"))
+      .select(posexplode(array((0 until CmsD).map(d =>
+        cmsBucket(col("_h"), d)): _*)).as(Seq("d", "bucket")))
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -141,10 +149,11 @@ object Sketches {
     */
   def cmsLookup(sketch: DataFrame, candidates: DataFrame,
                 keyCol: String): DataFrame = {
-    val probes = candidates.select(col("*"),
+    val probes = candidates
+      .withColumn("_h", Sampling.hash60(col(keyCol), CmsSeed))
+      .select(col("*"),
         posexplode(array((0 until CmsD).map(d =>
-          pmod(Sampling.hash60(col(keyCol), cmsSeed(d)), lit(CmsW.toLong))): _*))
-          .as(Seq("d", "bucket")))
+          cmsBucket(col("_h"), d)): _*)).as(Seq("d", "bucket")))
     probes.join(broadcast(sketch), Seq("d", "bucket"))
       .groupBy(candidates.columns.map(col): _*)
       .agg(min(col("cnt")).as("est_cnt"))

@@ -130,17 +130,16 @@ object SketchQueries {
     "q_sketch_cms" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
-        |bk AS (SELECT d,
-        |         ('0x' || substr(md5(CAST(101 + d AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
-        |           % 1024 AS bucket
-        |       FROM tok, ds),
+        |th AS (SELECT ('0x' || substr(md5('101:' || tok), 1, 15))::BIGINT AS h
+        |       FROM tok),
+        |bk AS (SELECT d, (h >> (10 * d)) & 1023 AS bucket FROM th, ds),
         |sk AS (SELECT d, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
         |cand AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok
         |         ORDER BY exact_cnt DESC, tok LIMIT 15),
-        |pr AS (SELECT c.tok, c.exact_cnt, ds.d,
-        |         ('0x' || substr(md5(CAST(101 + ds.d AS VARCHAR) || ':' || c.tok), 1, 15))::BIGINT
-        |           % 1024 AS bucket
-        |       FROM cand c, ds)
+        |pr AS (SELECT tok, exact_cnt, d, (h >> (10 * d)) & 1023 AS bucket
+        |       FROM (SELECT tok, exact_cnt,
+        |               ('0x' || substr(md5('101:' || tok), 1, 15))::BIGINT AS h
+        |             FROM cand), ds)
         |SELECT pr.tok, pr.exact_cnt, min(sk.cnt) AS est_cnt
         |FROM pr JOIN sk USING (d, bucket)
         |GROUP BY 1, 2 ORDER BY tok""".stripMargin,
