@@ -37,7 +37,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimQueries.queries, SimQueries.oracles),
       (StreamQueries.queries, StreamQueries.oracles),
-      (SketchQueries.queries, SketchQueries.oracles))
+      (SketchQueries.queries, SketchQueries.oracles),
+      (SelectQueries.queries, SelectQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
