@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts — the properties the 100-TB story rests on,
+  * asserted against the actual executed plans so a regression (a lost
+  * pushdown, a surprise shuffle, a broadcast that stopped
+  * broadcasting) fails CI instead of surfacing in a bench audit.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,"),
+      s"missing pushed filter in:\n$p")
+    val readSchema = p.linesIterator.mkString("\n")
+    assert(readSchema.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"),
+      s"scan reads more than the projection in:\n$p")
+  }
+
+  test("dimension join broadcasts (no shuffle of the small side)") {
+    val p = plan(Tables.load(spark, dir, "orders")
+      .join(broadcast(Tables.load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey")))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("aggregation runs inside whole-stage codegen") {
+    // AQE decorates codegen stages only once executed — materialize,
+    // then assert on the FINAL adaptive plan
+    val df = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    df.collect()
+    val p = plan(df)
+    // codegen stages print as "*(n) Operator" in the final plan tree
+    assert(p.contains("isFinalPlan=true") && p.contains("*(") &&
+      p.contains("HashAggregate"), s"no codegen span in:\n$p")
+  }
+
+  test("scan-fused centroid assignment has no shuffle and no window") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = graft.ops.Similarity.kmeansQuantizer(
+      emb, "vec_id", "embedding", numCells = 4, iters = 0)
+    val p = plan(graft.ops.Similarity.assignCells(
+      emb, "vec_id", "embedding", cents))
+    assert(!p.contains("Exchange"), s"assignment shuffles in:\n$p")
+    assert(!p.contains("Window"), s"assignment windows in:\n$p")
+  }
+
+  test("Brier/IBS censoring lookup is not a broadcast nested loop") {
+    val q = SparkEntry.queries("q_ibs")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"censoring lookup regressed to BNL in:\n$p")
+  }
+
+  test("deterministic hash sample stays a scan-stage predicate") {
+    val p = plan(graft.ops.Sampling.hashSample(
+      Tables.load(spark, dir, "documents"), "doc_id", 0.25))
+    assert(!p.contains("Exchange"), s"hash sample shuffles in:\n$p")
+    assert(!p.contains("Join"), s"hash sample joins in:\n$p")
+  }
+}
