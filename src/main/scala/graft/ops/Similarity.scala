@@ -200,12 +200,15 @@ object Similarity {
       nearestCell(col(vecCol), col("vv"), cents).as("cell"))
   }
 
-  /** The fold expression: carry (bestCell, bestDist) across the
-    * centroid structs; dist = (vv − 2·x·c) + c·c in the exact
-    * arithmetic order of the retired join formulation.
+  /** Per-cell (dist, cell) structs — dist FIRST so `sort_array`'s
+    * lexicographic struct order is exactly (dist asc, cell asc), the
+    * argmin fold's total order. dist = (vv − 2·x·c) + c·c in the
+    * exact arithmetic order of the retired join formulation; transform
+    * computes each distance exactly once (dims-length work is 1× per
+    * cell per row).
     */
-  private def nearestCell(vec: Column, vv: Column,
-                          cents: Map[Int, Array[Double]]): Column = {
+  private def nearestCellDists(vec: Column, vv: Column,
+                               cents: Map[Int, Array[Double]]): Column = {
     val centArr = array(cents.toSeq.sortBy(_._1).map { case (cell, c) =>
       var cc = 0.0
       var i = 0
@@ -214,20 +217,62 @@ object Similarity {
         array(c.toSeq.map(lit(_)): _*).as("carr"),
         lit(cc).as("cc"))
     }: _*)
-    // transform computes each distance exactly once; the fold then
-    // only compares (cell, dist) structs — dims-length work is 1×
-    // per cell per row, not 2× (a CASE merge would re-evaluate the
-    // distance in its THEN branch).
-    val dists = transform(centArr, cent =>
-      struct(cent.getField("cell").as("cell"),
+    transform(centArr, cent =>
+      struct(
         (vv - lit(2.0) * vec_dot(vec, cent.getField("carr")) +
-          cent.getField("cc")).as("dist")))
+          cent.getField("cc")).as("dist"),
+        cent.getField("cell").as("cell")))
+  }
+
+  /** The fold expression: carry (bestDist, bestCell) across the
+    * per-cell distance structs; ascending-cell build order + strict <
+    * keeps the lowest cell on ties.
+    */
+  private def nearestCell(vec: Column, vv: Column,
+                          cents: Map[Int, Array[Double]]): Column =
     aggregate(
-      dists,
-      struct(lit(-1).as("cell"), lit(Double.PositiveInfinity).as("dist")),
+      nearestCellDists(vec, vv, cents),
+      struct(lit(Double.PositiveInfinity).as("dist"), lit(-1).as("cell")),
       (acc, cd) =>
         when(cd.getField("dist") < acc.getField("dist"), cd).otherwise(acc),
       acc => acc.getField("cell"))
+
+  /** Multi-probe IVF: like [[ivfTopK]], but each QUERY probes its
+    * `nprobe` nearest cells — the standard IVF recall/cost knob
+    * (candidates scale ~nprobe×, recall approaches brute force).
+    * Only the tiny query side fans out (nprobe rows per query, still
+    * broadcast); the corpus keeps exactly one cell per vector, so the
+    * 100-TB shape is unchanged: scan-fused assignment + cell-keyed
+    * equi-join.
+    *
+    * Probe order sorts (dist, cell) structs lexicographically —
+    * `sort_array` on exact doubles, ties to the lowest cell, the same
+    * total order the single-cell argmin fold uses.
+    */
+  def ivfTopKProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, numCells: Int, k: Int,
+                   nprobe: Int): DataFrame = {
+    val cents = initCentroidMap(corpus, idCol, vecCol, numCells)
+    val c = ivfAssign(corpus, idCol, vecCol, cents)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("cn"), col("cell"))
+    val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      vec_dot(col(vecCol), col(vecCol)).as("vv"))
+    val q = broadcast(qScored
+      .select(col("qid"), col("qv"), sqrt(col("vv")).as("qn"),
+        explode(slice(sort_array(
+          nearestCellDists(col("qv"), col("vv"), cents)), 1, nprobe))
+          .as("probe"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("probe").getField("cell").as("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vec_id"),
+        (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cell"), col("rank"), col("vec_id"), col("cos"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,

@@ -131,6 +131,8 @@ object SimQueries {
           Dims, Planes, TopK), "lsh")
         .unionByName(hits(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
           numCells = 8, k = TopK), "ivf"))
+        .unionByName(hits(Similarity.ivfTopKProbe(emb, q, "vec_id",
+          "embedding", numCells = 8, k = TopK, nprobe = 2), "ivf2"))
         .select(col("method"), col("qid"), col("n_hits"),
           round(col("n_hits").cast("double") / TopK, 6).as("recall"))
       val macroR = per.groupBy(col("method"))
@@ -395,6 +397,20 @@ object SimQueries {
          |           ORDER BY $cosExpr DESC, c.vec_id) AS rank
          |  FROM asgn q JOIN asgn c ON c.cell = q.cell AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 10) WHERE rank <= $TopK),
+         |probe AS (SELECT qid, cell FROM (
+         |  SELECT v.vec_id AS qid, ca.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |           (${vv.format("v.x")}
+         |            - 2 * ${dot.format("v.x", "ca.carr")}
+         |            + ${vv.format("ca.carr")}), ca.cell) AS rk
+         |  FROM v CROSS JOIN ca WHERE v.vec_id < 10) WHERE rk <= 2),
+         |ivf2 AS (SELECT qid, vec_id FROM (
+         |  SELECT p.qid AS qid, c.vec_id AS vec_id,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY $cosExpr DESC, c.vec_id) AS rank
+         |  FROM probe p JOIN v q ON q.vec_id = p.qid
+         |  JOIN asgn c ON c.cell = p.cell AND c.vec_id != p.qid)
+         |  WHERE rank <= $TopK),
          |per AS (
          |  SELECT 'lsh' AS method, qs.qid,
          |         (SELECT count(*) FROM truth t JOIN lsh a
@@ -404,6 +420,12 @@ object SimQueries {
          |  UNION ALL
          |  SELECT 'ivf' AS method, qs.qid,
          |         (SELECT count(*) FROM truth t JOIN ivf a
+         |            ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |          WHERE t.qid = qs.qid) AS n_hits
+         |  FROM qs
+         |  UNION ALL
+         |  SELECT 'ivf2' AS method, qs.qid,
+         |         (SELECT count(*) FROM truth t JOIN ivf2 a
          |            ON a.qid = t.qid AND a.vec_id = t.vec_id
          |          WHERE t.qid = qs.qid) AS n_hits
          |  FROM qs),

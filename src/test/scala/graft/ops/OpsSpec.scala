@@ -75,6 +75,23 @@ class OpsSpec extends AnyFunSuite {
     assert(top(0).getLong(2) == 1L && math.abs(top(0).getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("ivf multi-probe: candidates are a superset of single-probe ivf") {
+    val emb = graft.core.Tables.load(SparkTestBase.spark,
+      "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    def hitsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = hitsOf(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      numCells = 4, k = 5000))
+    val two = hitsOf(Similarity.ivfTopKProbe(emb, q, "vec_id", "embedding",
+      numCells = 4, k = 5000, nprobe = 2))
+    // with k large enough to keep every candidate, probe-2's result
+    // set must contain probe-1's (its candidate cells are a superset)
+    assert(one.subsetOf(two), s"missing: ${one.diff(two).take(5)}")
+    assert(two.size > one.size) // the second probe actually adds rows
+  }
+
   test("semDedup: within-cell leader rule matches a local replica") {
     import spark.implicits._
     val vecs: Seq[(Long, Seq[Double])] = Seq(
