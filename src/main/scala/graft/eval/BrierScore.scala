@@ -76,17 +76,15 @@ object BrierScore {
     * single-row (ibs).
     */
   def integrated(gridBs: DataFrame): DataFrame = {
-    // BOUNDED global window: gridBs has one row per grid point
-    // (<= 100 by construction). The constant partition key must be
-    // NON-FOLDABLE (tau_idx*0, not lit(0)) — Catalyst folds a literal
-    // out of the partition spec, re-opening the WindowExec "no
-    // partition defined" warning.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("tau_idx") * 0).orderBy(col("tau_idx"))
-    val withPrev = gridBs
-      .withColumn("prev_bs", lag(col("bs"), 1).over(w))
-      .withColumn("prev_tau", lag(col("tau"), 1).over(w))
-    withPrev.filter(col("prev_bs").isNotNull)
+    // prev-row lookup as a shifted SELF-JOIN on the dense tau_idx —
+    // window-free: a constant-key window still plans as a
+    // single-partition WindowExec (Spark 4.1 eliminates even a
+    // non-foldable constant partition key from the spec), whereas the
+    // equi-join on a <= 100-row frame broadcasts. tau_idx is dense
+    // (0..k-1 by construction), so idx-1 IS the previous grid point.
+    val prev = gridBs.select((col("tau_idx") + 1).as("tau_idx"),
+      col("bs").as("prev_bs"), col("tau").as("prev_tau"))
+    gridBs.join(broadcast(prev), Seq("tau_idx"))
       .agg((sum((col("bs") + col("prev_bs")) / 2.0 * (col("tau") - col("prev_tau")))
         / (max(col("tau")) - min(col("prev_tau")))).as("ibs"))
   }
