@@ -193,6 +193,20 @@ object Sketches {
       .orderBy(col("h")).limit(KmvK)
       .select(lit(newScope).as("scope"), col("h"))
 
+  /** Bounded uniform row sample: the k rows with the smallest key
+    * hashes — a TakeOrdered (no global window, no shuffle beyond
+    * per-partition top-k + driver merge). The sample is deterministic,
+    * partitioning-independent, and MERGEABLE the same way KMV is
+    * (union two samples, keep the k smallest hashes), which makes it
+    * the quantile-sketch primitive: exact percentiles OF THE SAMPLE
+    * estimate the population quantiles with O(1/√k) error, from state
+    * that never exceeds k rows per merge site.
+    */
+  def kminSample(df: DataFrame, key: Column, seed: Long, k: Int): DataFrame =
+    df.withColumn("_h", Sampling.hash60(key, seed))
+      .orderBy(col("_h"), key).limit(k)
+      .drop("_h")
+
   /** Cardinality estimate per scope from its sketch:
     * est = round((k−1)·2^60 / h_(k), 4), the classic KMV estimator —
     * one division of exact operands, one half-up round. Scopes with

@@ -60,6 +60,28 @@ object SketchQueries {
       Sketches.cmsLookup(sketch, cand, "tok").orderBy("tok")
     }),
 
+    // quantile sketch: exact percentiles of a deterministic 256-row
+    // k-min hash sample vs the exact population quantiles — the
+    // bounded-state path to "approximate percentiles over 100 TB"
+    // (the sample merges like KMV: union, keep k smallest hashes)
+    "q_sketch_quantiles" -> ((s, dir) => {
+      val kv = Tables.load(s, dir, "lineitem")
+        .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("k"),
+          col("l_extendedprice").cast("double").as("v"))
+      val samp = Sketches.kminSample(kv, col("k"), seed = 17L, k = 256)
+      val est = samp.agg(
+        expr("percentile(v, 0.5)").as("p50_est"),
+        expr("percentile(v, 0.9)").as("p90_est"),
+        expr("percentile(v, 0.99)").as("p99_est"))
+      val exact = kv.agg(count(lit(1)).as("n"),
+        expr("percentile(v, 0.5)").as("p50_exact"),
+        expr("percentile(v, 0.9)").as("p90_exact"),
+        expr("percentile(v, 0.99)").as("p99_exact"))
+      est.crossJoin(exact)
+        .select(col("n"), col("p50_est"), col("p50_exact"),
+          col("p90_est"), col("p90_exact"), col("p99_est"), col("p99_exact"))
+    }),
+
     // KMV sketches of the English and German token sets, their
     // sketch-union, and the overlap estimates (Jaccard + intersection
     // via the k-union's common survivors) — the mergeable
@@ -143,6 +165,23 @@ object SketchQueries {
         |SELECT pr.tok, pr.exact_cnt, min(sk.cnt) AS est_cnt
         |FROM pr JOIN sk USING (d, bucket)
         |GROUP BY 1, 2 ORDER BY tok""".stripMargin,
+
+    "q_sketch_quantiles" ->
+      """WITH kv AS (SELECT l_orderkey || '-' || l_linenumber AS k,
+        |                   CAST(l_extendedprice AS DOUBLE) AS v
+        |            FROM lineitem),
+        |h AS (SELECT k, v,
+        |        ('0x' || substr(md5('17:' || k), 1, 15))::BIGINT AS h FROM kv),
+        |s AS (SELECT v FROM h ORDER BY h, k LIMIT 256),
+        |est AS (SELECT quantile_cont(v, 0.5) AS p50_est,
+        |               quantile_cont(v, 0.9) AS p90_est,
+        |               quantile_cont(v, 0.99) AS p99_est FROM s),
+        |ex AS (SELECT count(*) AS n,
+        |              quantile_cont(v, 0.5) AS p50_exact,
+        |              quantile_cont(v, 0.9) AS p90_exact,
+        |              quantile_cont(v, 0.99) AS p99_exact FROM kv)
+        |SELECT n, p50_est, p50_exact, p90_est, p90_exact, p99_est, p99_exact
+        |FROM est, ex""".stripMargin,
 
     "q_sketch_kmv" ->
       s"""WITH pr AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
