@@ -74,9 +74,9 @@ object Dsir {
   }
 
   /** [[importanceWeights]] + deterministic resample: sel = 1 for the
-    * top-k documents by (log_w desc, id asc). The Gumbel perturbation
-    * of the paper's sampled flavor is a seed-stable hash away; the
-    * rank-deterministic form is what an oracle can check.
+    * top-k documents by (log_w desc, id asc). The rank-deterministic
+    * form of the paper's selection; [[selectGumbel]] is the sampled
+    * flavor.
     */
   def select(raw: DataFrame, target: DataFrame, idCol: String,
              textCol: String, numBuckets: Int, k: Int): DataFrame = {
@@ -85,6 +85,35 @@ object Dsir {
       .select(col("id"))
     w.join(top.withColumn("sel", lit(1)), Seq("id"), "left")
       .select(col("id"), col("n_feat"), col("log_w"),
+        coalesce(col("sel"), lit(0)).as("sel"))
+  }
+
+  /** 2^60 as an exact double — the uniform's denominator, shared with
+    * the oracle SQL literal.
+    */
+  val GumbelDen: Double = (1L << 60).toDouble
+
+  /** The paper's actual resampling: sample k WITHOUT replacement with
+    * probability ∝ w via the Gumbel-top-k identity — key_i = log w_i +
+    * G_i with G_i = −ln(−ln(u_i)) standard Gumbel. The randomness is a
+    * seed-stable hash uniform u_i = (hash60(id) + 0.5)/2^60, so the
+    * "sample" is reproducible under any partitioning AND
+    * oracle-replayable; keys round to 6dp before ranking
+    * (round-then-rank — transcendental keys never land on midpoints)
+    * with the id as tiebreak. Returns (id, n_feat, log_w, gkey, sel).
+    */
+  def selectGumbel(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, numBuckets: Int, k: Int,
+                   seed: Long): DataFrame = {
+    val w = importanceWeights(raw, target, idCol, textCol, numBuckets)
+    val u = (Sampling.hash60(col("id"), seed).cast("double") + lit(0.5)) /
+      lit(GumbelDen)
+    val keyed = w.withColumn("gkey",
+      round(col("log_w") + -log(-log(u)), 6))
+    val top = keyed.orderBy(col("gkey").desc, col("id")).limit(k)
+      .select(col("id"))
+    keyed.join(top.withColumn("sel", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("n_feat"), col("log_w"), col("gkey"),
         coalesce(col("sel"), lit(0)).as("sel"))
   }
 }

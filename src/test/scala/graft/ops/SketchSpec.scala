@@ -90,6 +90,26 @@ class SketchSpec extends AnyFunSuite {
     assert(got("c1")._2 >= 1L)
   }
 
+  test("kmin sample: partitioning-independent and merges like KMV") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"k$i", i.toDouble)).toDF("k", "v")
+    def sample(parts: Int) =
+      Sketches.kminSample(df.repartition(parts), col("k"), 17L, 100)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(sample(1) == sample(13))
+
+    // merge property: k-min of (k-min(A) ∪ k-min(B)) == k-min(A ∪ B)
+    val a = df.filter(col("v") <= 1000)
+    val b = df.filter(col("v") > 1000)
+    val sa = Sketches.kminSample(a, col("k"), 17L, 100)
+    val sb = Sketches.kminSample(b, col("k"), 17L, 100)
+    val merged = Sketches.kminSample(sa.unionByName(sb), col("k"), 17L, 100)
+      .collect().map(_.getString(0)).toSet
+    val direct = Sketches.kminSample(df, col("k"), 17L, 100)
+      .collect().map(_.getString(0)).toSet
+    assert(merged == direct)
+  }
+
   test("kmv: sub-k scope is exact, full scope within 15%, merge = union top-k") {
     import spark.implicits._
     val small = (1 to 100).map(i => ("s", s"x$i"))
