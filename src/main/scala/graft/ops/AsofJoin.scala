@@ -76,4 +76,44 @@ object AsofJoin {
       .select(lCols.map(c => col(s"_lp.$c").as(c)) ++
         rightPayload.map(c => col(s"_match.$c").as(s"r_$c")): _*)
   }
+
+  /** Forward as-of join — for each left row, the single EARLIEST right
+    * row with the same key and right time >= left time (inclusive,
+    * matching DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND l.t <= r.t`).
+    * Same union-scan shape as [[backward]], mirrored: left rows tag 0
+    * so a same-time right row sorts INSIDE the left row's forward
+    * frame, and the match is the frame's first non-null right payload
+    * over [current, unboundedFollowing]. One shuffle, one in-partition
+    * sort, linear per key.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    // same null + tie handling rationale as backward (see there)
+    val rDedup = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .groupBy(col(key).as("_k"), col(rightTime).as("_t"))
+      .agg(max(struct(rightPayload.map(col): _*)).as("_rp"))
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(0).as("_tag"),
+      struct(lCols.map(col): _*).as("_lp"),
+      lit(null).cast(right.select(rightPayload.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+        .as("_rp"))
+    val r = rDedup.select(
+      col("_k"), col("_t"), lit(1).as("_tag"),
+      lit(null).cast(left.select(lCols.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+        .as("_lp"),
+      col("_rp"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    (r unionByName l)
+      .withColumn("_match", first(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+      .select(lCols.map(c => col(s"_lp.$c").as(c)) ++
+        rightPayload.map(c => col(s"_match.$c").as(s"r_$c")): _*)
+  }
 }

@@ -287,6 +287,22 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // forward as-of: each click's NEXT purchase by the same user
+    // (time-to-conversion) — the mirrored union-scan, one shuffle
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts"), col("value"))
+      graft.ops.AsofJoin.forward(side("click"), side("purchase"),
+          "user_id", "ts", "ts", Seq("event_id", "ts", "value"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"), col("r_event_id").as("purchase_id"),
+          col("r_ts").as("p_ts"),
+          (col("r_ts") - col("ts")).as("lag_us"))
+        .orderBy("click_id")
+    }),
+
     // §2.9 TPC-H Q5 shape: five-table star-chain with a region gate —
     // the join-ORDERING showcase. region/nation broadcast (KB dims);
     // customer⋈orders shuffles on custkey; the result joins lineitem
@@ -638,6 +654,20 @@ object RelationalQueries {
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |           FROM events WHERE event_type = 'click'),
+        |     p0 AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |            FROM events
+        |            WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |     p AS (SELECT user_id, t, max(event_id) AS event_id,
+        |                  arg_max(value, event_id) AS value
+        |           FROM p0 GROUP BY user_id, t)
+        |SELECT c.event_id AS click_id, c.user_id AS user_id, c.t AS c_ts,
+        |       p.event_id AS purchase_id, p.t AS p_ts, p.t - c.t AS lag_us
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t <= p.t
+        |ORDER BY click_id""".stripMargin,
 
     // decorrelated form with the identical DECIMAL-mean arithmetic
     "q17_subquery" ->

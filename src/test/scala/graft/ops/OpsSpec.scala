@@ -285,6 +285,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 11L), (2L, 12L), (3L, -1L)))
   }
 
+  test("as-of forward join: earliest following match, ties inclusive, no-match nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 70L))
+      .toDF("lid", "k", "t")
+    val right = Seq((11L, 10L, 90L), (12L, 10L, 250L), (13L, 10L, 300L),
+        (14L, 20L, 60L))
+      .toDF("rid", "k", "t")
+    val got = AsofJoin.forward(left, right, "k", "t", "t", Seq("rid", "t"))
+      .orderBy("lid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSeq
+    // lid 1: rid 12 (t=250 is the earliest >= 100; 90 is in the past);
+    // lid 2: rid 12 (tie t=250 included); lid 3: no right at t >= 70
+    assert(got == Seq((1L, 12L), (2L, 12L), (3L, -1L)))
+  }
+
   test("salted join equals plain join on a pathologically skewed key") {
     import spark.implicits._
     // 20k rows on ONE hot key + a uniform tail; dim of 50 keys
