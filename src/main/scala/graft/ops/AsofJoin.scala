@@ -116,4 +116,56 @@ object AsofJoin {
       .select(lCols.map(c => col(s"_lp.$c").as(c)) ++
         rightPayload.map(c => col(s"_match.$c").as(s"r_$c")): _*)
   }
+
+  /** Nearest as-of join — for each left row, the right row minimizing
+    * |right time − left time|, ties to the PRECEDING side. BOTH
+    * directions come out of ONE shuffle: the backward match is the
+    * running last-non-null over [unboundedPreceding, current] and the
+    * forward match the first-non-null over [current,
+    * unboundedFollowing], two frames over the same key-partitioned
+    * sort (right rows sort before left on equal times, so the
+    * backward frame is `rt <= lt` inclusive and the forward frame is
+    * strictly `rt > lt` — the tie belongs to backward, which is also
+    * the |Δ| = 0 winner). `rightTime` must ride in `rightPayload` (it
+    * is needed to compare the two candidates).
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.contains(rightTime),
+      s"rightPayload must include $rightTime for the distance compare")
+    val lCols = left.columns.toSeq
+    val rDedup = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .groupBy(col(key).as("_k"), col(rightTime).as("_t"))
+      .agg(max(struct(rightPayload.map(col): _*)).as("_rp"))
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_tag"),
+      struct(lCols.map(col): _*).as("_lp"),
+      lit(null).cast(right.select(rightPayload.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+        .as("_rp"))
+    val r = rDedup.select(
+      col("_k"), col("_t"), lit(0).as("_tag"),
+      lit(null).cast(left.select(lCols.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+        .as("_lp"),
+      col("_rp"))
+    val sort = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+    val wb = sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = sort.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = last(col("_rp"), ignoreNulls = true).over(wb)
+    val fwd = first(col("_rp"), ignoreNulls = true).over(wf)
+    val pick = when(col("_b").isNull, col("_f"))
+      .when(col("_f").isNull, col("_b"))
+      .when(col("_t") - col("_b").getField(rightTime)
+        <= col("_f").getField(rightTime) - col("_t"), col("_b"))
+      .otherwise(col("_f"))
+    (r unionByName l)
+      .withColumn("_b", back).withColumn("_f", fwd)
+      .filter(col("_tag") === 1)
+      .withColumn("_match", pick)
+      .select(lCols.map(c => col(s"_lp.$c").as(c)) ++
+        rightPayload.map(c => col(s"_match.$c").as(s"r_$c")): _*)
+  }
 }

@@ -303,6 +303,22 @@ object RelationalQueries {
         .orderBy("click_id")
     }),
 
+    // nearest as-of: each click's closest purchase EITHER side (ties
+    // to the preceding one) — both directions from ONE shuffle
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts"), col("value"))
+      graft.ops.AsofJoin.nearest(side("click"), side("purchase"),
+          "user_id", "ts", "ts", Seq("event_id", "ts"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"), col("r_event_id").as("near_id"),
+          col("r_ts").as("near_ts"),
+          abs(col("r_ts") - col("ts")).as("dist_us"))
+        .orderBy("click_id")
+    }),
+
     // §2.9 TPC-H Q5 shape: five-table star-chain with a region gate —
     // the join-ORDERING showcase. region/nation broadcast (KB dims);
     // customer⋈orders shuffles on custkey; the result joins lineitem
@@ -654,6 +670,38 @@ object RelationalQueries {
         |       c.event_id AS click_id, c.t AS click_ts, c.value AS click_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'click'),
+        |     p0 AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |            FROM events
+        |            WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |     p AS (SELECT user_id, t, max(event_id) AS event_id
+        |           FROM p0 GROUP BY user_id, t),
+        |     b AS (SELECT c.event_id AS click_id, c.user_id AS user_id,
+        |                  c.t AS c_ts, p.event_id AS b_id, p.t AS b_ts
+        |           FROM c ASOF LEFT JOIN p
+        |             ON c.user_id = p.user_id AND c.t >= p.t),
+        |     f AS (SELECT c.event_id AS click_id, p.event_id AS f_id,
+        |                  p.t AS f_ts
+        |           FROM c ASOF LEFT JOIN p
+        |             ON c.user_id = p.user_id AND c.t < p.t)
+        |SELECT b.click_id AS click_id, b.user_id AS user_id, b.c_ts AS c_ts,
+        |       CASE WHEN b_id IS NULL THEN f_id
+        |            WHEN f_id IS NULL THEN b_id
+        |            WHEN c_ts - b_ts <= f_ts - c_ts THEN b_id
+        |            ELSE f_id END AS near_id,
+        |       CASE WHEN b_id IS NULL THEN f_ts
+        |            WHEN f_id IS NULL THEN b_ts
+        |            WHEN c_ts - b_ts <= f_ts - c_ts THEN b_ts
+        |            ELSE f_ts END AS near_ts,
+        |       abs(CASE WHEN b_id IS NULL THEN f_ts
+        |                WHEN f_id IS NULL THEN b_ts
+        |                WHEN c_ts - b_ts <= f_ts - c_ts THEN b_ts
+        |                ELSE f_ts END - c_ts) AS dist_us
+        |FROM b JOIN f USING (click_id)
+        |ORDER BY click_id""".stripMargin,
 
     "q_asof_forward" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t, value

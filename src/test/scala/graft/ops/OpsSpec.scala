@@ -302,6 +302,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 12L), (2L, 12L), (3L, -1L)))
   }
 
+  test("as-of nearest join: closest side wins, tie goes backward") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 260L),
+        (4L, 20L, 5L))
+      .toDF("lid", "k", "t")
+    val right = Seq((11L, 10L, 90L), (12L, 10L, 250L), (14L, 20L, 60L))
+      .toDF("rid", "k", "t")
+    val got = AsofJoin.nearest(left, right, "k", "t", "t", Seq("rid", "t"))
+      .orderBy("lid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSeq
+    // lid 1: 90 (Δ10) beats 250 (Δ150); lid 2: Δ110 back vs Δ50 fwd →
+    // 12; lid 3: Δ10 back vs none fwd → 12; lid 4: only fwd 60 → 14
+    assert(got == Seq((1L, 11L), (2L, 12L), (3L, 12L), (4L, 14L)))
+
+    // equidistant tie goes to the PRECEDING row
+    val tied = AsofJoin.nearest(
+        Seq((1L, 1L, 100L)).toDF("lid", "k", "t"),
+        Seq((21L, 1L, 90L), (22L, 1L, 110L)).toDF("rid", "k", "t"),
+        "k", "t", "t", Seq("rid", "t"))
+      .head()
+    assert(tied.getLong(3) == 21L)
+  }
+
   test("salted join equals plain join on a pathologically skewed key") {
     import spark.implicits._
     // 20k rows on ONE hot key + a uniform tail; dim of 50 keys
