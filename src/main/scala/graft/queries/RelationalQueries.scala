@@ -319,6 +319,23 @@ object RelationalQueries {
         .orderBy("click_id")
     }),
 
+    // batch sessionization: 30-min-gap sessions per user over the
+    // event stream, one keyed shuffle for boundary + numbering +
+    // per-session rollup (ops.Sessionize scale note).
+    "q_sessionize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("t"), col("value"))
+      graft.ops.Sessionize.sessions(ev, "user_id", "t",
+          gap = 1800000000L, valueCol = dsum(col("value"), 2),
+          tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("session_no"),
+          col("start_t").as("start_us"), col("end_t").as("end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_no")
+    }),
+
     // §2.9 TPC-H Q5 shape: five-table star-chain with a region gate —
     // the join-ORDERING showcase. region/nation broadcast (KB dims);
     // customer⋈orders shuffles on custkey; the result joins lineitem
@@ -702,6 +719,24 @@ object RelationalQueries {
         |                ELSE f_ts END - c_ts) AS dist_us
         |FROM b JOIN f USING (click_id)
         |ORDER BY click_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+        |           FROM events WHERE user_id IS NOT NULL),
+        |     b AS (SELECT *,
+        |             CASE WHEN lag(t) OVER w IS NULL
+        |                    OR t - lag(t) OVER w > 1800000000
+        |                  THEN 1 ELSE 0 END AS nb
+        |           FROM e
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |     s AS (SELECT *, sum(nb) OVER
+        |             (PARTITION BY user_id ORDER BY t, event_id) AS session_no
+        |           FROM b)
+        |SELECT user_id, session_no, min(t) AS start_us, max(t) AS end_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "q_asof_forward" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t, value

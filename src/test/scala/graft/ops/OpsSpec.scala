@@ -327,6 +327,34 @@ class OpsSpec extends AnyFunSuite {
     assert(tied.getLong(3) == 21L)
   }
 
+  test("sessionize: gap boundaries, per-key numbering, rollup") {
+    import spark.implicits._
+    // user 1: 0,50 | 200 | 320,330  (gap 100); user 2: one session
+    val ev = Seq((1L, 1L, 0L, 1.0), (2L, 1L, 50L, 2.0),
+        (3L, 1L, 200L, 4.0), (4L, 1L, 320L, 8.0), (5L, 1L, 330L, 16.0),
+        (6L, 2L, 999L, 32.0))
+      .toDF("event_id", "user_id", "t", "value")
+    val got = Sessionize.sessions(ev, "user_id", "t", gap = 100L,
+        valueCol = sum($"value"), tiebreak = Seq("event_id"))
+      .orderBy("user_id", "session_no")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 50L, 2L, 3.0),
+      (1L, 2L, 200L, 200L, 1L, 4.0),
+      (1L, 3L, 320L, 330L, 2L, 24.0),
+      (2L, 1L, 999L, 999L, 1L, 32.0)))
+
+    // a gap of exactly `gap` does NOT split (strict > boundary)
+    val edge = Sessionize.assign(
+        Seq((1L, 1L, 0L), (2L, 1L, 100L)).toDF("event_id", "user_id", "t"),
+        "user_id", "t", gap = 100L, tiebreak = Seq("event_id"))
+      .agg(max($"session_no")).head().getLong(0)
+    assert(edge == 1L)
+  }
+
   test("salted join equals plain join on a pathologically skewed key") {
     import spark.implicits._
     // 20k rows on ONE hot key + a uniform tail; dim of 50 keys
