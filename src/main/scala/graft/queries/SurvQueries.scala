@@ -86,6 +86,18 @@ object SurvQueries {
         .orderBy("id")
     }),
 
+    // Feature scaling trio (z-score / min-max / robust) over the
+    // customer balance: one stats pass, broadcast transform
+    // (ops.FeatureScale scale note).
+    "q_feature_scale" -> ((s, dir) => {
+      val cust = graft.core.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      graft.ops.FeatureScale.scaled(cust, Seq(("c_acctbal", 2)))
+        .select(col("c_custkey"), col("c_acctbal_z").as("z_bal"),
+          col("c_acctbal_mm").as("mm_bal"), col("c_acctbal_rb").as("rb_bal"))
+        .orderBy("c_custkey")
+    }),
+
     // E5: tensorized batch, exploded to long form (rn, idx, xval, t, e)
     // — the raw array<float> column is hash-equivalent but the driver's
     // pandas sort can't order ndarray cells, so the oracle check needs
@@ -100,6 +112,25 @@ object SurvQueries {
 
   val oracles: Map[String, String] = Map(
     "q_churn_view" -> (C + "SELECT * FROM churn ORDER BY id"),
+
+    // same arithmetic shapes as FeatureScale.scaled: DECIMAL-exact
+    // sums cast to double, then identical-operand double expressions
+    "q_feature_scale" ->
+      """WITH st AS (SELECT
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(c_acctbal*c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS sq,
+        |    min(c_acctbal) AS mn, max(c_acctbal) AS mx,
+        |    quantile_cont(c_acctbal, 0.25) AS q1,
+        |    quantile_cont(c_acctbal, 0.5) AS med,
+        |    quantile_cont(c_acctbal, 0.75) AS q3
+        |  FROM customer)
+        |SELECT c_custkey,
+        |       (c_acctbal - s/n) / sqrt(sq/n - (s/n)*(s/n)) AS z_bal,
+        |       (c_acctbal - mn) / (mx - mn) AS mm_bal,
+        |       (c_acctbal - med) / (q3 - q1) AS rb_bal
+        |FROM customer CROSS JOIN st ORDER BY c_custkey""".stripMargin,
 
     "q_split_train" -> (C + s", $splitSql\n" +
       "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl WHERE rn < train_len ORDER BY id"),

@@ -355,6 +355,23 @@ class OpsSpec extends AnyFunSuite {
     assert(edge == 1L)
   }
 
+  test("feature scaling: z-score, min-max, robust on a known column") {
+    import spark.implicits._
+    // values 1..5: mean 3, var 2, min 1, max 5, q1 2, med 3, q3 4
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0))
+      .toDF("id", "v")
+    val got = FeatureScale.scaled(df, Seq(("v", 2)))
+      .orderBy("id").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val sd = math.sqrt(2.0)
+    val exp = Seq(
+      (-2 / sd, 0.0, -1.0), (-1 / sd, 0.25, -0.5), (0.0, 0.5, 0.0),
+      (1 / sd, 0.75, 0.5), (2 / sd, 1.0, 1.0))
+    got.zip(exp).foreach { case ((z, mm, rb), (ez, emm, erb)) =>
+      assert(math.abs(z - ez) < 1e-12 && mm == emm && rb == erb)
+    }
+  }
+
   test("salted join equals plain join on a pathologically skewed key") {
     import spark.implicits._
     // 20k rows on ONE hot key + a uniform tail; dim of 50 keys
