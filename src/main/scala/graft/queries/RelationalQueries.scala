@@ -336,6 +336,28 @@ object RelationalQueries {
         .orderBy("user_id", "session_no")
     }),
 
+    // Z-order layout key: 8-bit bucket ranks for (user, time) from a
+    // broadcast stats row, Morton-interleaved into one scan-fused
+    // long — the sort key a 100 TB layout job would range-partition
+    // on (ops.ZOrder scale note).
+    "q_zorder" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
+      val st = broadcast(ev.agg(
+        min(col("user_id")).as("umn"), max(col("user_id")).as("umx"),
+        min(col("t")).as("tmn"), max(col("t")).as("tmx")))
+      ev.crossJoin(st)
+        .select(col("event_id"),
+          graft.ops.ZOrder.bucketCol(col("user_id"), col("umn"),
+            col("umx"), 8).as("ub"),
+          graft.ops.ZOrder.bucketCol(col("t"), col("tmn"),
+            col("tmx"), 8).as("tb"))
+        .withColumn("zkey",
+          graft.ops.ZOrder.mortonCol(Seq(col("ub"), col("tb")), 8))
+        .orderBy("event_id")
+    }),
+
     // §2.9 TPC-H Q5 shape: five-table star-chain with a region gate —
     // the join-ORDERING showcase. region/nation broadcast (KB dims);
     // customer⋈orders shuffles on custkey; the result joins lineitem
@@ -719,6 +741,24 @@ object RelationalQueries {
         |                ELSE f_ts END - c_ts) AS dist_us
         |FROM b JOIN f USING (click_id)
         |ORDER BY click_id""".stripMargin,
+
+    "q_zorder" -> {
+      // bit-interleave written out term by term (dim 0 = even bits)
+      def morton(a: String, b: String, bits: Int): String =
+        ((0 until bits).map(i => s"((($a >> $i) & 1) << ${2 * i})") ++
+          (0 until bits).map(i => s"((($b >> $i) & 1) << ${2 * i + 1})"))
+          .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+         |           FROM events WHERE user_id IS NOT NULL),
+         |     st AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
+         |                   min(t) AS tmn, max(t) AS tmx FROM e),
+         |     r AS (SELECT event_id,
+         |             (user_id - umn) * 256 // (umx - umn + 1) AS ub,
+         |             (t - tmn) * 256 // (tmx - tmn + 1) AS tb
+         |           FROM e CROSS JOIN st)
+         |SELECT event_id, ub, tb, ${morton("ub", "tb", 8)} AS zkey
+         |FROM r ORDER BY event_id""".stripMargin
+    },
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value

@@ -372,6 +372,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order: morton values, exact bucketing, disjoint cluster ranges") {
+    import spark.implicits._
+    // x owns even bits, y odd: z(3,5) = (1+4) + (2+32) = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(ZOrder.mortonCol(Seq(col("x"), col("y")), 3)).head().getLong(0)
+    assert(z == 39L)
+
+    // bucket math survives micros-scale spans (product > 2^53: the
+    // integral divide keeps it exact; 255 needs scaled == 255*span)
+    val mn = 0L; val mx = 40000000000000L // ~463 days of micros
+    val b = Seq(mn, mx, mx / 2).toDF("t")
+      .select(ZOrder.bucketCol(col("t"), lit(mn), lit(mx), 8)).collect()
+      .map(_.getLong(0)).toSeq
+    assert(b == Seq(0L, 255L, 127L))
+
+    // cluster(): rows preserved, partition z-ranges disjoint
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("x", "y")
+    val parts = ZOrder.cluster(grid, Seq(col("x"), col("y")), 4, 4)
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"),
+        ZOrder.mortonCol(Seq(col("x"), col("y")), 4).as("z"))
+      .groupBy("p").agg(min($"z").as("lo"), max($"z").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("p").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(parts.map(_._3).sum == 256L)
+    parts.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
   test("salted join equals plain join on a pathologically skewed key") {
     import spark.implicits._
     // 20k rows on ONE hot key + a uniform tail; dim of 50 keys
