@@ -51,6 +51,22 @@ object ZOrder {
         org.apache.spark.sql.graft.bridge.toExpression(span)))
   }
 
+  /** Zone-map (data-skipping stats) over a Z-keyed frame: one row per
+    * zone of 2^zoneBits consecutive Morton cells, with per-dimension
+    * min/max bounds and a row count — the manifest a scan planner
+    * probes to skip zones whose bounds miss the predicate (parquet
+    * row-group stats / Iceberg manifests, but layout-aligned). Because
+    * the z-curve keeps a zone inside a compact hyper-rectangle,
+    * bounds on EVERY interleaved dimension stay tight, so predicates
+    * on any of them prune. ONE shuffle, keyed on zone id.
+    */
+  def zoneMap(df: DataFrame, zkey: Column, dims: Seq[String],
+              zoneBits: Int): DataFrame =
+    df.groupBy(shiftrightunsigned(zkey.cast("long"), zoneBits).as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        dims.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))): _*)
+
   /** Cluster `df` into `numPartitions` Z-ordered partitions on the
     * given (already-bucketed) rank columns: one range exchange on the
     * Morton key + in-partition sort. Downstream writes inherit the

@@ -26,6 +26,26 @@ object RelationalQueries {
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Bit-interleave written out term by term (dim `a` = even bits) —
+    * the oracle twin of ops.ZOrder.mortonCol.
+    */
+  private def mortonSql(a: String, b: String, bits: Int): String =
+    ((0 until bits).map(i => s"((($a >> $i) & 1) << ${2 * i})") ++
+      (0 until bits).map(i => s"((($b >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" + ")
+
+  /** Shared z-key CTE over events (8-bit buckets on user and time). */
+  private def zorderSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+       |           FROM events WHERE user_id IS NOT NULL),
+       |     st AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
+       |                   min(t) AS tmn, max(t) AS tmx FROM e),
+       |     r AS (SELECT event_id, user_id, t,
+       |             (user_id - umn) * 256 // (umx - umn + 1) AS ub,
+       |             (t - tmn) * 256 // (tmx - tmn + 1) AS tb
+       |           FROM e CROSS JOIN st),
+       |     z AS (SELECT *, ${mortonSql("ub", "tb", 8)} AS zkey FROM r)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S5 + A1: one count per table (10 parquet scans, count-star
     // is metadata-only per row group at scale).
@@ -356,6 +376,28 @@ object RelationalQueries {
         .withColumn("zkey",
           graft.ops.ZOrder.mortonCol(Seq(col("ub"), col("tb")), 8))
         .orderBy("event_id")
+    }),
+
+    // Zone map over the z-keyed events: per-zone min/max bounds on
+    // BOTH raw dimensions + row count — the data-skipping manifest a
+    // planner probes to prune zones (ops.ZOrder.zoneMap).
+    "q_zonemap" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
+      val st = broadcast(ev.agg(
+        min(col("user_id")).as("umn"), max(col("user_id")).as("umx"),
+        min(col("t")).as("tmn"), max(col("t")).as("tmx")))
+      val keyed = ev.crossJoin(st)
+        .withColumn("ub", graft.ops.ZOrder.bucketCol(col("user_id"),
+          col("umn"), col("umx"), 8))
+        .withColumn("tb", graft.ops.ZOrder.bucketCol(col("t"),
+          col("tmn"), col("tmx"), 8))
+        .withColumn("zkey",
+          graft.ops.ZOrder.mortonCol(Seq(col("ub"), col("tb")), 8))
+      graft.ops.ZOrder.zoneMap(keyed, col("zkey"),
+          Seq("user_id", "t"), zoneBits = 8)
+        .orderBy("zone")
     }),
 
     // §2.9 TPC-H Q5 shape: five-table star-chain with a region gate —
@@ -742,23 +784,16 @@ object RelationalQueries {
         |FROM b JOIN f USING (click_id)
         |ORDER BY click_id""".stripMargin,
 
-    "q_zorder" -> {
-      // bit-interleave written out term by term (dim 0 = even bits)
-      def morton(a: String, b: String, bits: Int): String =
-        ((0 until bits).map(i => s"((($a >> $i) & 1) << ${2 * i})") ++
-          (0 until bits).map(i => s"((($b >> $i) & 1) << ${2 * i + 1})"))
-          .mkString(" + ")
-      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
-         |           FROM events WHERE user_id IS NOT NULL),
-         |     st AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
-         |                   min(t) AS tmn, max(t) AS tmx FROM e),
-         |     r AS (SELECT event_id,
-         |             (user_id - umn) * 256 // (umx - umn + 1) AS ub,
-         |             (t - tmn) * 256 // (tmx - tmn + 1) AS tb
-         |           FROM e CROSS JOIN st)
-         |SELECT event_id, ub, tb, ${morton("ub", "tb", 8)} AS zkey
-         |FROM r ORDER BY event_id""".stripMargin
-    },
+    "q_zorder" ->
+      s"""$zorderSql
+         |SELECT event_id, ub, tb, zkey FROM z ORDER BY event_id""".stripMargin,
+
+    "q_zonemap" ->
+      s"""$zorderSql
+         |SELECT zkey >> 8 AS zone, count(*) AS n_rows,
+         |       min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+         |       min(t) AS t_min, max(t) AS t_max
+         |FROM z GROUP BY zone ORDER BY zone""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
