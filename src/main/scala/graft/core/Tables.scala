@@ -36,15 +36,47 @@ object Tables {
     p.table(spark, dir, name)
   }
 
-  /** `events` with its nanosecond timestamp surfaced as a proper
-    * TimestampType column `ts` (microsecond truncation). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by the
-    * Verify/Bench/test sessions) because the parquet file stores
-    * TIMESTAMP(NANOS) which Spark cannot read natively.
+  /** Normalize an events `ts` column to session-zone TimestampType,
+    * robust to both driver testdata vintages: TIMESTAMP(NANOS) read as
+    * a raw-nanos BIGINT (needs `spark.sql.legacy.parquet.nanosAsLong=
+    * true`, set by the Verify/Bench/test sessions) and the current
+    * timestamp[us] written as TIMESTAMP_NTZ. Sessions run with
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast is
+    * value-preserving and `unix_micros` reads the same epoch the
+    * DuckDB oracle's `epoch_us(ts)` does.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def normTs(df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _ => col("ts").cast(TimestampType)
+    }
+  }
+
+  /** events `ts` as epoch-microsecond BIGINT (schema-aware twin of
+    * [[normTs]] — the form the interval/as-of/sessionize queries key
+    * arithmetic on).
+    */
+  def tsMicros(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _ => unix_micros(normTs(df))
+    }
+  }
+
+  /** `events` with `ts` surfaced as a proper TimestampType column. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.withColumn("ts", normTs(df))
+  }
+
+  /** `events` with `ts` as epoch-microsecond BIGINT. */
+  def eventsMicros(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.withColumn("ts", tsMicros(df))
   }
 }

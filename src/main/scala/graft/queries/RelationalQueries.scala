@@ -270,10 +270,10 @@ object RelationalQueries {
     // per-key quadratic range predicate. Left semantics via the
     // aggregate + left-join-back; 2-dp values sum exactly in DECIMAL.
     "q_range_attrib" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val ev = Tables.eventsMicros(s, dir)
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts"), col("value"))
+          col("ts").as("ts"), col("value"))
       val pairs = graft.ops.RangeJoin.intervalJoin(
         side("purchase"), side("click"), "user_id", "ts", "ts",
         window = 3600000000L, rightPayload = Seq("event_id", "value"))
@@ -295,10 +295,10 @@ object RelationalQueries {
     // engines: DuckDB's parquet reader truncates TIMESTAMP(NANOS) to
     // µs, so the engine truncates identically (`div`, not double /).
     "q_asof_attrib" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val ev = Tables.eventsMicros(s, dir)
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts"), col("value"))
+          col("ts").as("ts"), col("value"))
       graft.ops.AsofJoin.backward(side("purchase"), side("click"),
           "user_id", "ts", "ts", Seq("event_id", "ts", "value"))
         .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -310,10 +310,10 @@ object RelationalQueries {
     // forward as-of: each click's NEXT purchase by the same user
     // (time-to-conversion) — the mirrored union-scan, one shuffle
     "q_asof_forward" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val ev = Tables.eventsMicros(s, dir)
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts"), col("value"))
+          col("ts").as("ts"), col("value"))
       graft.ops.AsofJoin.forward(side("click"), side("purchase"),
           "user_id", "ts", "ts", Seq("event_id", "ts", "value"))
         .select(col("event_id").as("click_id"), col("user_id"),
@@ -326,10 +326,10 @@ object RelationalQueries {
     // nearest as-of: each click's closest purchase EITHER side (ties
     // to the preceding one) — both directions from ONE shuffle
     "q_asof_nearest" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val ev = Tables.eventsMicros(s, dir)
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts"), col("value"))
+          col("ts").as("ts"), col("value"))
       graft.ops.AsofJoin.nearest(side("click"), side("purchase"),
           "user_id", "ts", "ts", Seq("event_id", "ts"))
         .select(col("event_id").as("click_id"), col("user_id"),
@@ -343,10 +343,10 @@ object RelationalQueries {
     // event stream, one keyed shuffle for boundary + numbering +
     // per-session rollup (ops.Sessionize scale note).
     "q_sessionize" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val ev = Tables.eventsMicros(s, dir)
         .filter(col("user_id").isNotNull)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("t"), col("value"))
+          col("ts").as("t"), col("value"))
       graft.ops.Sessionize.sessions(ev, "user_id", "t",
           gap = 1800000000L, valueCol = dsum(col("value"), 2),
           tiebreak = Seq("event_id"))
@@ -361,9 +361,9 @@ object RelationalQueries {
     // long — the sort key a 100 TB layout job would range-partition
     // on (ops.ZOrder scale note).
     "q_zorder" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val ev = Tables.eventsMicros(s, dir)
         .filter(col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
+        .select(col("event_id"), col("user_id"), col("ts").as("t"))
       val st = broadcast(ev.agg(
         min(col("user_id")).as("umn"), max(col("user_id")).as("umx"),
         min(col("t")).as("tmn"), max(col("t")).as("tmx")))
@@ -382,9 +382,9 @@ object RelationalQueries {
     // BOTH raw dimensions + row count — the data-skipping manifest a
     // planner probes to prune zones (ops.ZOrder.zoneMap).
     "q_zonemap" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val ev = Tables.eventsMicros(s, dir)
         .filter(col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"))
+        .select(col("event_id"), col("user_id"), col("ts").as("t"))
       val st = broadcast(ev.agg(
         min(col("user_id")).as("umn"), max(col("user_id")).as("umx"),
         min(col("t")).as("tmn"), max(col("t")).as("tmx")))

@@ -32,14 +32,18 @@ object StreamingOps {
 
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos (legacy parquet read)
+    StructField("ts", TimestampNTZType), // parquet timestamp[us]
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Normalize `ts` to session-zone TimestampType; schema-aware so the
+    * same entry point serves both testdata vintages (raw-nanos BIGINT
+    * vs timestamp[us]) — see [[graft.core.Tables.normTs]].
+    */
   def withTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("ts", graft.core.Tables.normTs(df))
 
   /** Tumbling 1-hour aggregation; identical plan for batch input and
     * readStream input.
