@@ -38,7 +38,8 @@ object SparkEntry {
       (SimQueries.queries, SimQueries.oracles),
       (StreamQueries.queries, StreamQueries.oracles),
       (SketchQueries.queries, SketchQueries.oracles),
-      (SelectQueries.queries, SelectQueries.oracles))
+      (SelectQueries.queries, SelectQueries.oracles),
+      (GraphQueries.queries, GraphQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** PageRank over a directed edge list — the iterated-join companion to
+  * [[Dedup.connectedComponents]]: where CC answers "which documents
+  * are the same", PageRank answers "which nodes matter", the standard
+  * centrality prior for corpus-quality weighting (the original
+  * Brin/Page '98 formulation with uniform teleport and dangling-mass
+  * redistribution).
+  *
+  * Determinism contract (the oracle hash-compares full-precision
+  * doubles): ranks are kept in MASS units (m = rank × n, so the mean
+  * is 1.0 and magnitudes are O(1)), every per-node contribution sum
+  * and the dangling-mass total accumulate in DECIMAL(38,15) — exact,
+  * order-independent — and each iteration's result is rounded to
+  * `roundDp` decimals, so the whole trajectory is independent of
+  * partitioning and join order (same trick as the k-means
+  * quantizer's 6dp-deterministic centroid path).
+  *
+  * Scale shape, per iteration: ONE equi-join of the rank table with
+  * the edge list on `src` + ONE map-side-combined groupBy(dst) for
+  * the contributions, a 1-row dangling aggregate broadcast back by
+  * crossJoin (never a driver collect), and a keyed left join onto the
+  * static node table. Lineage is cut every round (localCheckpoint) —
+  * without the cut the plan doubles per iteration and the analyzer
+  * dies long before the executors work (see connectedComponents
+  * note). Loop shuffle width is right-sized to the edge count and
+  * restored afterwards, so a small graph doesn't pay corpus-width
+  * task scheduling and a 100-TB edge set keeps full parallelism.
+  */
+object PageRank {
+
+  /** `edges`: (src string, dst string), assumed pre-deduplicated.
+    * Returns (node, od, m): out-degree and final rank mass (mean 1.0;
+    * divide by n for the classic probability-vector form).
+    */
+  def ranks(edges: DataFrame, iters: Int, damping: Double = 0.85,
+            roundDp: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.localCheckpoint(true)
+    val nEdges = e.count()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("od"), lit(0L)).as("od"))
+      .localCheckpoint(true)
+    val nD = nodes.count().toDouble
+    val teleport = 1.0 - damping
+
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      nEdges / 1000000L + 1L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      var ranks = nodes.withColumn("m", lit(1.0)).localCheckpoint(true)
+      var it = 0
+      while (it < iters) {
+        // m/od per out-edge, summed exactly per destination
+        val contrib = ranks.filter(col("od") > 0)
+          .join(e.withColumnRenamed("src", "node"), Seq("node"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum((col("m") / col("od").cast("double"))
+            .cast(DecimalType(38, 15))).cast("double").as("c"))
+        // dangling mass: 1 row, broadcast back — never a driver value
+        val dang = ranks.filter(col("od") === 0)
+          .agg(coalesce(sum(col("m").cast(DecimalType(38, 15)))
+            .cast("double"), lit(0.0)).as("dm"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"), col("od"),
+            round(lit(teleport) + lit(damping) *
+              (coalesce(col("c"), lit(0.0)) + col("dm") / lit(nD)),
+              roundDp).as("m"))
+          .localCheckpoint(true)
+        it += 1
+      }
+      ranks
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
+  }
+}

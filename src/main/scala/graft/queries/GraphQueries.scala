@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the TPC-H entity graph. The edge list is the
+  * real purchase topology: customer → supplier for every (customer,
+  * supplier) order line, supplier → part for every supply pair —
+  * customers are source-only, parts are dangling sinks, so one fixture
+  * exercises teleport, multi-hop propagation AND the dangling-mass
+  * path. Oracle = the same three Brin/Page iterations unrolled as
+  * CTEs with every float literal pinned to DOUBLE (DuckDB parses bare
+  * `0.85` as DECIMAL — `1 - 0.85` would be exact 0.15, not the double
+  * `1.0 - 0.85` Spark computes).
+  */
+object GraphQueries {
+
+  /** DECIMAL-exact double sum — oracle twin of the Spark-side cast. */
+  private val D = "CAST(0.85 AS DOUBLE)"
+
+  private def iterSql(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""c$i AS (SELECT e.dst AS node,
+       |         CAST(SUM(CAST(r.m / CAST(r.od AS DOUBLE) AS DECIMAL(38,15)))
+       |              AS DOUBLE) AS c
+       |       FROM $p r JOIN e ON r.node = e.src
+       |       WHERE r.od > 0 GROUP BY e.dst),
+       |d$i AS (SELECT COALESCE(CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE),
+       |                        CAST(0 AS DOUBLE)) AS dm
+       |       FROM $p WHERE od = 0),
+       |r$i AS (SELECT no.node, no.od,
+       |         round((CAST(1 AS DOUBLE) - $D) +
+       |               $D * (COALESCE(c.c, CAST(0 AS DOUBLE)) + d.dm / nv.n),
+       |               6) AS m
+       |       FROM nodes no LEFT JOIN c$i c ON no.node = c.node
+       |       CROSS JOIN d$i d CROSS JOIN nv)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 3 PageRank iterations over customer→supplier→part; mass units
+    // (mean 1.0), 6dp-deterministic trajectory (ops.PageRank note)
+    "q_pagerank" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val sp = l
+        .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p:"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      graft.ops.PageRank.ranks(cs.union(sp), iters = 3)
+        .select(col("node"), col("m").as("rank_mass"))
+        .orderBy("node")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         |                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  UNION
+         |  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR),
+         |                  'p:' || CAST(l_partkey AS VARCHAR)
+         |  FROM lineitem),
+         |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |nodes AS (SELECT nn.node, COALESCE(d.od, 0) AS od
+         |          FROM (SELECT src AS node FROM e
+         |                UNION SELECT dst FROM e) nn
+         |          LEFT JOIN deg d ON nn.node = d.src),
+         |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, od, CAST(1 AS DOUBLE) AS m FROM nodes),
+         |${iterSql(1)},
+         |${iterSql(2)},
+         |${iterSql(3)}
+         |SELECT node, m AS rank_mass FROM r3 ORDER BY node""".stripMargin)
+}
