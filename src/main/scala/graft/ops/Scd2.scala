@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) building blocks: collapse a
+  * change-event stream into validity intervals `[valid_from,
+  * valid_to)` per key, and resolve facts against the version active
+  * at fact time. The reference's churn tutorial models exactly this
+  * shape upstream of the survival dataset (README.md:63-78 — a
+  * customer's state evolving through an event stream); at warehouse
+  * scale it is the standard dimension-history layout.
+  *
+  * Scale: `intervals` is ONE shuffle on `key` — the run-collapse
+  * (lag + row_number share a single WindowExec sort) and the
+  * valid_to lead run as two in-partition window passes over the same
+  * hash partitioning, no second exchange. `pointInTime` delegates to
+  * [[AsofJoin.backward]] (single-shuffle union scan, no range-join
+  * blowup): after empty-interval removal the interval starts are
+  * strictly increasing per key, so "latest valid_from ≤ t" IS the
+  * containing interval, with an open last interval matching
+  * everything after its start.
+  */
+object Scd2 {
+
+  /** Change events → one row per constant-`attr` run:
+    * (key, attr, valid_from, valid_to); `valid_to` is null for the
+    * open (current) version. Consecutive events with an unchanged
+    * attribute collapse into their run's first row. Zero-length
+    * versions (two changes at the same `time`) are dropped — the
+    * later `tiebreak` wins, keeping `valid_from` strictly increasing
+    * per key (the property `pointInTime` relies on).
+    */
+  def intervals(df: DataFrame, key: String, time: String, attr: String,
+                tiebreak: Seq[String] = Nil): DataFrame = {
+    val ord: Seq[Column] = col(time) +: tiebreak.map(col)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    val runs = df
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attr)))
+    runs
+      .withColumn("valid_to", lead(col(time), 1).over(w))
+      .filter(col("valid_to").isNull || col("valid_to") > col(time))
+      .select(col(key), col(attr),
+        col(time).as("valid_from"), col("valid_to"))
+  }
+
+  /** Resolve each fact row against the dimension version active at
+    * `factTime` (null payload when the fact predates every version).
+    * `dim` is the output of [[intervals]].
+    */
+  def pointInTime(facts: DataFrame, dim: DataFrame, key: String,
+                  factTime: String, attr: String): DataFrame =
+    AsofJoin.backward(facts,
+      dim.select(col(key), col("valid_from"), col(attr)),
+      key, factTime, "valid_from", Seq(attr, "valid_from"))
+}

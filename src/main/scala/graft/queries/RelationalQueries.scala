@@ -339,6 +339,44 @@ object RelationalQueries {
         .orderBy("click_id")
     }),
 
+    // SCD2 interval build: each user's last-interaction-kind runs
+    // (view/click) collapsed into [valid_from, valid_to) versions,
+    // open last version — one keyed shuffle (ops.Scd2 scale note)
+    "q_scd2_intervals" -> ((s, dir) => {
+      val ev = Tables.eventsMicros(s, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id"),
+          col("ts").as("t"), col("event_type"))
+      graft.ops.Scd2.intervals(ev, "user_id", "t", "event_type",
+          tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type").as("seg"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
+    // SCD2 point-in-time lookup: each purchase resolved against the
+    // interaction-kind version active at purchase time (backward
+    // as-of on the strictly-increasing interval starts)
+    "q_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.eventsMicros(s, dir)
+        .filter(col("user_id").isNotNull)
+      val dim = graft.ops.Scd2.intervals(
+        ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_id"),
+            col("ts").as("t"), col("event_type")),
+        "user_id", "t", "event_type", tiebreak = Seq("event_id"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("t"))
+      graft.ops.Scd2.pointInTime(facts, dim, "user_id", "t",
+          "event_type")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("t").as("p_ts"), col("r_event_type").as("seg"),
+          col("r_valid_from").as("seg_from_us"))
+        .orderBy("purchase_id")
+    }),
+
     // batch sessionization: 30-min-gap sessions per user over the
     // event stream, one keyed shuffle for boundary + numbering +
     // per-session rollup (ops.Sessionize scale note).
@@ -731,6 +769,57 @@ object RelationalQueries {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.t >= p.t - 3600000000 AND c.t <= p.t
         |GROUP BY p.event_id, p.user_id, p.t
+        |ORDER BY purchase_id""".stripMargin,
+
+    // SCD2 run-collapse + lead intervals, zero-length versions dropped
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        |           FROM events
+        |           WHERE user_id IS NOT NULL
+        |             AND event_type IN ('view', 'click')),
+        |     m AS (SELECT user_id, event_id, t, event_type,
+        |                  lag(event_type) OVER w AS prev,
+        |                  row_number() OVER w AS rn
+        |           FROM e
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |     runs AS (SELECT user_id, event_type, t, event_id FROM m
+        |              WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |     iv AS (SELECT user_id, event_type, t AS valid_from,
+        |                   lead(t) OVER (PARTITION BY user_id
+        |                                 ORDER BY t, event_id) AS valid_to
+        |            FROM runs)
+        |SELECT user_id, event_type AS seg, valid_from AS valid_from_us,
+        |       valid_to AS valid_to_us
+        |FROM iv WHERE valid_to IS NULL OR valid_to > valid_from
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+
+    // point-in-time: ASOF against the strictly-increasing interval
+    // starts ≡ containing-interval lookup (open last version)
+    "q_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        |           FROM events
+        |           WHERE user_id IS NOT NULL
+        |             AND event_type IN ('view', 'click')),
+        |     m AS (SELECT user_id, event_id, t, event_type,
+        |                  lag(event_type) OVER w AS prev,
+        |                  row_number() OVER w AS rn
+        |           FROM e
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |     runs AS (SELECT user_id, event_type, t, event_id FROM m
+        |              WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |     iv AS (SELECT user_id, event_type, t AS valid_from,
+        |                   lead(t) OVER (PARTITION BY user_id
+        |                                 ORDER BY t, event_id) AS valid_to
+        |            FROM runs),
+        |     iv2 AS (SELECT * FROM iv
+        |             WHERE valid_to IS NULL OR valid_to > valid_from),
+        |     p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.t AS p_ts,
+        |       iv2.event_type AS seg, iv2.valid_from AS seg_from_us
+        |FROM p ASOF LEFT JOIN iv2
+        |  ON p.user_id = iv2.user_id AND p.t >= iv2.valid_from
         |ORDER BY purchase_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union-scan
