@@ -66,7 +66,18 @@ object StreamQueries {
         .select(unix_micros(col("hour")).as("hour_us"), col("est_users"),
           col("exact_users"), col("n_events"))
         .orderBy("hour_us")
-    }))
+    }),
+
+    // windowed heavy hitters (Misra-Gries aggregate): per-hour top
+    // users from a <=k-entry sketch per window; k=512 >= the hourly
+    // user cardinality at oracle scale, so the sketch never evicts
+    // and the counts hash-match the exact GROUP BY (the approximation
+    // regime is spec-tested; StreamingSpec proves micro-batch merge)
+    "q_stream_hh" -> ((s, dir) =>
+      StreamingOps.topUsersHourly(Tables.events(s, dir))
+        .select(unix_micros(col("hour")).as("hour_us"), col("term"),
+          col("cnt"))
+        .orderBy("hour_us", "term")))
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -161,5 +172,13 @@ object StreamQueries {
         |       min(us) AS start_us, max(us) AS end_us,
         |       max(us) - min(us) AS duration_us
         |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // exact regime: k >= per-hour user cardinality, so the sketch's
+    // counts equal the plain GROUP BY
+    "q_stream_hh" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |       CAST(user_id AS VARCHAR) AS term, count(*) AS cnt
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY hour_us, term""".stripMargin)
 }

@@ -375,4 +375,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(gh == bh && ge == be, s"window $gh: stream=$ge batch=$be")
     }
   }
+
+  test("streaming windowed heavy-hitters merges sketches across micro-batches") {
+    val batch = StreamingOps.topUsersHourly(Tables.events(spark, dir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    // two copies, one file per micro-batch: in the exact regime the
+    // merged sketch counts must be exactly 2x the single-copy batch,
+    // with the same (window, term) key set — the mergeable-summaries
+    // reduction with zero evictions
+    val tmp = java.nio.file.Files.createTempDirectory("events_hh")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("b.parquet"))
+    val stream = spark.readStream
+      .schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+    val q = StreamingOps.topUsersHourlyStream(StreamingOps.withTs(stream))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("hh_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.keySet == batch.keySet && got.nonEmpty)
+    got.foreach { case (k, c) =>
+      assert(c == 2 * batch(k), s"$k: stream=$c batch=${batch(k)}")
+    }
+  }
 }
