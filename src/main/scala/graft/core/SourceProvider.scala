@@ -77,3 +77,40 @@ final class JsonlSource(
     reader.json(s"$dir/$name.jsonl")
   }
 }
+
+/** ORC provider — the columnar alternative to parquet (`<name>.orc`
+  * directory per table). Full-fidelity for every engine type (nested
+  * arrays, timestamps, decimals), with the same predicate/column
+  * pushdown surface parquet gets: the V2 OrcScan reports
+  * `PushedFilters` and a pruned `ReadSchema` exactly like the parquet
+  * scan the PlanSpec contracts pin.
+  */
+object OrcSource extends SourceProvider {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.orc(s"$dir/$name.orc")
+}
+
+/** CSV provider (`<name>.csv` directory per table, headered). An
+  * explicit schema is required for engine parity (inference reads
+  * everything permissively and widens numerics); timestamps round-trip
+  * through the default ISO format. CSV's flat text model cannot carry
+  * array/struct columns (the `embeddings` table) — a connector for
+  * those tables must pick a richer format; `table()` fails fast on a
+  * schema with nested types rather than silently corrupting.
+  */
+final class CsvSource(
+    schemas: Map[String, org.apache.spark.sql.types.StructType])
+    extends SourceProvider {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = schemas.getOrElse(name, throw new IllegalArgumentException(
+      s"CsvSource needs an explicit schema for table '$name'"))
+    require(schema.fields.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }), s"CSV cannot represent nested columns of table '$name'")
+    spark.read.schema(schema).option("header", "true")
+      .csv(s"$dir/$name.csv")
+  }
+}
