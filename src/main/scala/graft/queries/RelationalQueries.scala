@@ -377,6 +377,18 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // grouped z-score anomaly flags: per-event-type moment sketch
+    // (n, Σx, Σx²) + broadcast join back — no per-group window funnel
+    // (ops.Anomaly scale note); emits the flagged rows
+    "q_anomaly_zscore" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.ops.Anomaly.zscoreFlags(ev, "event_type", "value")
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy("event_id")
+    }),
+
     // batch sessionization: 30-min-gap sessions per user over the
     // event stream, one keyed shuffle for boundary + numbering +
     // per-session rollup (ops.Sessionize scale note).
@@ -821,6 +833,24 @@ object RelationalQueries {
         |FROM p ASOF LEFT JOIN iv2
         |  ON p.user_id = iv2.user_id AND p.t >= iv2.valid_from
         |ORDER BY purchase_id""".stripMargin,
+
+    // same moment-sketch shapes as ops.Anomaly: DECIMAL-exact sums,
+    // identical-operand double z, variance-guarded CASE (NaN would
+    // compare above the threshold in both engines)
+    "q_anomaly_zscore" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(count(value) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value*value AS DECIMAL(38,24))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, e.value, z FROM (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |         CASE WHEN sq/n - (s/n)*(s/n) > 0
+        |              THEN (e.value - s/n) / sqrt(sq/n - (s/n)*(s/n))
+        |         END AS z
+        |  FROM events e JOIN st USING (event_type)) e
+        |WHERE abs(z) > CAST(3 AS DOUBLE)
+        |ORDER BY event_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union-scan
     // implementation; p.t >= c.t matches the inclusive tie semantics.
