@@ -335,7 +335,15 @@ object TextQueries {
           expr("percentile(n_chars, 0.99)").as("p99"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
-        .orderBy("lang")))
+        .orderBy("lang")),
+
+    // distribution drift: per-token KL(en ‖ de) contributions over
+    // add-1-smoothed unigram distributions — one token-keyed shuffle
+    // with conditional slice sums (ops.Drift scale note)
+    "q_drift_kl" -> ((s, dir) =>
+      graft.ops.Drift.klByToken(Tables.load(s, dir, "documents"),
+          "lang", "en", "de", "text")
+        .orderBy("tok")))
 
   private def scoreSql(lang: String): String = {
     val m = TA.markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -874,5 +882,24 @@ object TextQueries {
         |  md5(substr(text, 1, 64)) AS head_hash,
         |  md5(array_to_string(list_transform(generate_series(1, length(text), 8),
         |      i -> substr(text, i, 1)), '')) AS frames_hash
-        |FROM documents ORDER BY id""".stripMargin)
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // add-1-smoothed per-token KL contributions, identical-operand
+    // double arithmetic after exact integer counts (ops.Drift)
+    "q_drift_kl" ->
+      """WITH t AS (SELECT lang AS slice, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents WHERE lang IN ('en', 'de')),
+        |t2 AS (SELECT slice, tok FROM t WHERE tok <> ''),
+        |c AS (SELECT tok,
+        |        sum(CASE WHEN slice = 'en' THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN slice = 'de' THEN 1 ELSE 0 END) AS cb
+        |      FROM t2 GROUP BY tok),
+        |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |               CAST(sum(cb) AS DOUBLE) AS nb,
+        |               CAST(count(*) AS DOUBLE) AS v FROM c)
+        |SELECT tok, ca, cb,
+        |  round(((CAST(ca AS DOUBLE) + 1.0) / (na + v))
+        |        * ln(((CAST(ca AS DOUBLE) + 1.0) / (na + v))
+        |             / ((CAST(cb AS DOUBLE) + 1.0) / (nb + v))), 6) AS kl_term
+        |FROM c CROSS JOIN tot ORDER BY tok""".stripMargin)
 }
