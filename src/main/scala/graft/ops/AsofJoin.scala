@@ -77,6 +77,29 @@ object AsofJoin {
         rightPayload.map(c => col(s"_match.$c").as(s"r_$c")): _*)
   }
 
+  /** Backward as-of join with a tolerance bound: the match must lie
+    * within `tolerance` time units before the left row (inclusive),
+    * the standard attribution-window semantics (DuckDB has no native
+    * tolerance — pandas `merge_asof(tolerance=...)` is the reference
+    * shape). Zero extra cost over [[backward]]: the latest preceding
+    * right row is the ONLY asof candidate, so "latest within the
+    * window" ≡ "latest overall, nulled when too old" — one projection
+    * on top of the same single-shuffle scan, never a range-join
+    * explosion.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     rightPayload: Seq[String],
+                     tolerance: Long): DataFrame = {
+    val payload = (rightPayload :+ rightTime).distinct
+    val j = backward(left, right, key, leftTime, rightTime, payload)
+    val ok = col(s"r_$rightTime").isNotNull &&
+      col(leftTime) - col(s"r_$rightTime") <= lit(tolerance)
+    val kept = left.columns.toSeq.map(col) ++
+      rightPayload.map(c => when(ok, col(s"r_$c")).as(s"r_$c"))
+    j.select(kept: _*)
+  }
+
   /** Forward as-of join — for each left row, the single EARLIEST right
     * row with the same key and right time >= left time (inclusive,
     * matching DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND l.t <= r.t`).

@@ -32,6 +32,21 @@ object Sampling {
     df.filter(hash60(col(keyCol), seed) < lit(threshold))
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * hash60(key) mod k — scan-local (no shuffle, no global order),
+    * seed-stable, partitioning-independent, and join-stable (the same
+    * key lands in the same fold in every table), so fold i's
+    * train/test pair is reproducible on any cluster layout. Folds are
+    * uniform to the hash's 60-bit resolution, not exactly equal-sized
+    * (the standard trade for a stateless assignment at 100 TB).
+    */
+  def kfold(df: DataFrame, keyCol: String, k: Int,
+            seed: Long = 42L): DataFrame = {
+    require(k > 1, s"k-fold needs k > 1, got $k")
+    df.withColumn("fold",
+      pmod(hash60(col(keyCol), seed), lit(k.toLong)).cast("int"))
+  }
+
   /** Per-stratum Bernoulli rates — the corpus-rebalancing op (e.g.
     * downsample the dominant language): rows in stratum s survive with
     * probability fractions(s); strata not listed are dropped. Same

@@ -307,6 +307,23 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // tolerance-bounded as-of: last click within 30 minutes before
+    // each purchase (attribution window) — same single-shuffle scan,
+    // too-old matches nulled in the projection (ops.AsofJoin note)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.eventsMicros(s, dir)
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("ts"), col("value"))
+      graft.ops.AsofJoin.backwardWithin(side("purchase"), side("click"),
+          "user_id", "ts", "ts", Seq("event_id", "ts", "value"),
+          tolerance = 1800000000L)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"), col("r_event_id").as("click_id"),
+          col("r_ts").as("click_ts"), col("r_value").as("click_value"))
+        .orderBy("purchase_id")
+    }),
+
     // forward as-of: each click's NEXT purchase by the same user
     // (time-to-conversion) — the mirrored union-scan, one shuffle
     "q_asof_forward" -> ((s, dir) => {
@@ -851,6 +868,24 @@ object RelationalQueries {
         |  FROM events e JOIN st USING (event_type)) e
         |WHERE abs(z) > CAST(3 AS DOUBLE)
         |ORDER BY event_id""".stripMargin,
+
+    // native ASOF + CASE null-out beyond the window — the "latest
+    // overall, nulled when too old" identity the engine relies on
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c0 AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |            FROM events
+        |            WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |     c AS (SELECT user_id, t, max(event_id) AS event_id,
+        |                  arg_max(value, event_id) AS value
+        |           FROM c0 GROUP BY user_id, t)
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.t AS p_ts,
+        |       CASE WHEN p.t - c.t <= 1800000000 THEN c.event_id END AS click_id,
+        |       CASE WHEN p.t - c.t <= 1800000000 THEN c.t END AS click_ts,
+        |       CASE WHEN p.t - c.t <= 1800000000 THEN c.value END AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+        |ORDER BY purchase_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union-scan
     // implementation; p.t >= c.t matches the inclusive tie semantics.

@@ -122,6 +122,14 @@ object TextQueries {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    // deterministic 5-fold cross-validation assignment (hash mod k,
+    // scan-local — Sampling.kfold scale note)
+    "q_kfold" -> ((s, dir) =>
+      graft.ops.Sampling.kfold(Tables.load(s, dir, "documents"),
+          "doc_id", k = 5, seed = 7L)
+        .select(col("doc_id"), col("fold"))
+        .orderBy("doc_id")),
+
     // composite corpus-cleaning pipeline: quality gate + language gate
     // + exact-dedup keep-first in one shuffle
     "q_corpus_clean" -> ((s, dir) =>
@@ -451,6 +459,13 @@ object TextQueries {
          |                    ELSE -1 END
          |ORDER BY doc_id""".stripMargin
     },
+
+    // identical md5-60-bit hash; % on a non-negative hash == pmod
+    "q_kfold" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |       % 5 AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_split_hash" -> {
       // identical normalization/threshold arithmetic to Sampling.hashSplit

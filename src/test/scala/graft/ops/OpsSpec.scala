@@ -268,6 +268,20 @@ class OpsSpec extends AnyFunSuite {
       sp2.orderBy("id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("k-fold assignment: complete, balanced-ish, partitioning-independent") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val f = Sampling.kfold(df, "id", k = 5, seed = 5L)
+    val counts = f.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 5).toSet) // every fold populated
+    assert(counts.values.sum == 2000L)         // exhaustive, disjoint
+    counts.values.foreach(c => assert(math.abs(c - 400.0) < 80, counts))
+    val f2 = Sampling.kfold(df.repartition(13), "id", k = 5, seed = 5L)
+    assert(f.orderBy("id").collect().map(_.getInt(1)).toSeq ==
+      f2.orderBy("id").collect().map(_.getInt(1)).toSeq)
+  }
+
   test("as-of backward join: latest preceding match, ties inclusive, no-match nulls") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L))
@@ -283,6 +297,26 @@ class OpsSpec extends AnyFunSuite {
     // lid 1: rid 11 (t=90 <= 100); lid 2: rid 12 (tie t=250 included,
     // 300 excluded); lid 3: no click at t <= 50 -> null
     assert(got == Seq((1L, 11L), (2L, 12L), (3L, -1L)))
+  }
+
+  test("as-of backward within tolerance: boundary kept, too-old nulled") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 400L))
+      .toDF("lid", "k", "t")
+    val right = Seq((11L, 10L, 90L), (12L, 10L, 240L)).toDF("rid", "k", "t")
+    val got = AsofJoin.backwardWithin(left, right, "k", "t", "t",
+        Seq("rid"), tolerance = 10L)
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSeq
+    // lid 1: gap 10 == tolerance -> kept; lid 2: gap 10 -> kept;
+    // lid 3: latest preceding is 240, gap 160 > 10 -> nulled
+    assert(got == Seq((1L, 11L), (2L, 12L), (3L, -1L)))
+    // payload without the time column still works (it is added
+    // internally for the gap test, then dropped)
+    val cols = AsofJoin.backwardWithin(left, right, "k", "t", "t",
+      Seq("rid"), 10L).columns.toSeq
+    assert(cols == Seq("lid", "k", "t", "r_rid"))
   }
 
   test("as-of forward join: earliest following match, ties inclusive, no-match nulls") {
