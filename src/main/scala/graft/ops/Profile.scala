@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data profiling + declarative quality gates — the Deequ-style
+  * "analyze then assert" pair a 100-TB ingest runs before letting a
+  * batch into the corpus (the reference's dtype/NaN validation at
+  * dataset admission, src/elastic_surv/dataset.py:70-88, is the
+  * single-table special case).
+  *
+  * Scale shapes: [[summarize]] computes EVERY column's statistics in
+  * ONE aggregation pass (count/null/min/max plus DECIMAL-exact sums
+  * for numeric means; distincts ride the same pass via Spark's
+  * Expand rewrite) and melts the 1-row result to long form with a
+  * pure per-row stack — no second shuffle, no per-column jobs.
+  * Checks are each one bounded aggregate (referential integrity is a
+  * keyed anti-join count); [[QualityChecks.run]] unions their 1-row
+  * results so the whole suite is a single action.
+  */
+object Profile {
+
+  /** Long-form profile: one row per (column, metric). Numeric columns
+    * report n/nulls/distinct/min/max/mean; other columns report
+    * n/nulls/distinct plus min/max length. Values are doubles
+    * (metric semantics in the name); `decScale` sets the DECIMAL
+    * scale of the exact mean sums.
+    */
+  def summarize(df: DataFrame, cols: Seq[String],
+                decScale: Int = 6): DataFrame = {
+    val fields = cols.map(c => c -> df.schema(c).dataType)
+    val aggs: Seq[Column] = fields.flatMap { case (c, dt) =>
+      val base = Seq(
+        count(col(c)).cast("double").as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double")
+          .as(s"${c}__nulls"),
+        countDistinct(col(c)).cast("double").as(s"${c}__distinct"))
+      dt match {
+        case _: NumericType => base ++ Seq(
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"),
+          (sum(col(c).cast(DecimalType(38, decScale))).cast("double") /
+            count(col(c)).cast("double")).as(s"${c}__mean"))
+        case StringType => base ++ Seq(
+          min(length(col(c))).cast("double").as(s"${c}__min_len"),
+          max(length(col(c))).cast("double").as(s"${c}__max_len"))
+        case _ => base
+      }
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = wide.columns.map { w =>
+      val Array(c, m) = w.split("__", 2)
+      s"'$c', '$m', `$w`"
+    }.mkString(", ")
+    wide.select(expr(
+        s"stack(${wide.columns.length}, $pairs) AS (col_name, metric, value)"))
+      .filter(col("value").isNotNull)
+  }
+}
+
+/** Declarative data-quality checks; each evaluates to one
+  * (check, violations) row, unioned by [[QualityChecks.run]].
+  */
+object QualityChecks {
+
+  type CheckFn = () => DataFrame
+
+  private def one(name: String, df: DataFrame): DataFrame =
+    df.select(lit(name).as("check_name"), col("violations").cast("long"))
+
+  /** count − countDistinct over the key tuple (0 ⇔ unique). */
+  def uniqueness(name: String, df: DataFrame, cols: Seq[String]): CheckFn =
+    () => one(name, df.agg((count(lit(1)) -
+      countDistinct(cols.head, cols.tail: _*)).as("violations")))
+
+  /** null count (0 ⇔ complete). */
+  def completeness(name: String, df: DataFrame, c: String): CheckFn =
+    () => one(name, df.agg(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("violations")))
+
+  /** child keys with no parent — a keyed LEFT ANTI join count (the
+    * optimizer broadcasts when the parent side is small).
+    */
+  def referential(name: String, child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String): CheckFn =
+    () => one(name, child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations")))
+
+  /** values outside the accepted set (nulls don't violate). */
+  def accepted(name: String, df: DataFrame, c: String,
+               values: Seq[String]): CheckFn =
+    () => one(name, df.agg(sum(when(
+      col(c).isNotNull && !col(c).isin(values: _*), 1L)
+      .otherwise(0L)).as("violations")))
+
+  /** values outside [lo, hi] (nulls don't violate). */
+  def range(name: String, df: DataFrame, c: String,
+            lo: Double, hi: Double): CheckFn =
+    () => one(name, df.agg(sum(when(
+      col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+      .otherwise(0L)).as("violations")))
+
+  /** Evaluate every check and union the 1-row results. */
+  def run(checks: Seq[CheckFn]): DataFrame =
+    checks.map(_()).reduce(_ unionByName _)
+}

@@ -394,6 +394,39 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // one-pass column profiler (Deequ-style analyze): every metric
+    // for every column out of ONE aggregation, melted per-row
+    // (ops.Profile scale note)
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.summarize(Tables.load(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name", "metric")),
+
+    // declarative data-quality gate: uniqueness / completeness /
+    // referential integrity / accepted values / range, one bounded
+    // aggregate each, unioned into a single verdict frame
+    "q_dq_checks" -> ((s, dir) => {
+      import graft.ops.QualityChecks._
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val customer = Tables.load(s, dir, "customer")
+      val events = Tables.load(s, dir, "events")
+      run(Seq(
+        uniqueness("unique_orderkey", orders, Seq("o_orderkey")),
+        uniqueness("unique_lineitem_pk", lineitem,
+          Seq("l_orderkey", "l_linenumber")),
+        completeness("complete_user_id", events, "user_id"),
+        referential("ref_orders_customer", orders, "o_custkey",
+          customer, "c_custkey"),
+        referential("ref_lineitem_orders", lineitem, "l_orderkey",
+          orders, "o_orderkey"),
+        accepted("accepted_orderstatus", orders, "o_orderstatus",
+          Seq("O", "F", "P")),
+        range("range_discount", lineitem, "l_discount", 0.0, 0.1)))
+        .orderBy("check_name")
+    }),
+
     // grouped z-score anomaly flags: per-event-type moment sketch
     // (n, Σx, Σx²) + broadcast join back — no per-group window funnel
     // (ops.Anomaly scale note); emits the flagged rows
@@ -850,6 +883,63 @@ object RelationalQueries {
         |FROM p ASOF LEFT JOIN iv2
         |  ON p.user_id = iv2.user_id AND p.t >= iv2.valid_from
         |ORDER BY purchase_id""".stripMargin,
+
+    // per-(column, metric) unions mirroring Profile.summarize's one
+    // aggregation pass (identical DECIMAL-exact mean arithmetic)
+    "q_profile" -> {
+      def m(c: String, metric: String, e: String) =
+        s"SELECT '$c' AS col_name, '$metric' AS metric, " +
+          s"CAST($e AS DOUBLE) AS value FROM orders"
+      def base(c: String) = Seq(
+        m(c, "n", s"count($c)"),
+        m(c, "nulls", s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"),
+        m(c, "distinct", s"count(DISTINCT $c)"))
+      val num = Seq("o_orderkey", "o_custkey", "o_totalprice").flatMap {
+        c => base(c) ++ Seq(
+          m(c, "min", s"min($c)"), m(c, "max", s"max($c)"),
+          m(c, "mean", s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)" +
+            s" / CAST(count($c) AS DOUBLE)"))
+      }
+      val str = Seq("o_orderstatus", "o_orderpriority").flatMap {
+        c => base(c) ++ Seq(
+          m(c, "min_len", s"min(length($c))"),
+          m(c, "max_len", s"max(length($c))"))
+      }
+      (num ++ str).mkString("", "\nUNION ALL\n",
+        "\nORDER BY col_name, metric")
+    },
+
+    // one scalar subquery per check, unioned — the oracle twin of
+    // QualityChecks.run
+    "q_dq_checks" ->
+      """SELECT 'accepted_orderstatus' AS check_name,
+        |       sum(CASE WHEN o_orderstatus IS NOT NULL
+        |                 AND o_orderstatus NOT IN ('O','F','P')
+        |                THEN 1 ELSE 0 END) AS violations FROM orders
+        |UNION ALL
+        |SELECT 'complete_user_id',
+        |       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+        |UNION ALL
+        |SELECT 'range_discount',
+        |       sum(CASE WHEN l_discount IS NOT NULL
+        |                 AND (l_discount < 0.0 OR l_discount > 0.1)
+        |                THEN 1 ELSE 0 END) FROM lineitem
+        |UNION ALL
+        |SELECT 'ref_lineitem_orders', count(*)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'ref_orders_customer', count(*)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |UNION ALL
+        |SELECT 'unique_lineitem_pk',
+        |       count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique_orderkey',
+        |       count(*) - count(DISTINCT o_orderkey) FROM orders
+        |ORDER BY check_name""".stripMargin,
 
     // same moment-sketch shapes as ops.Anomaly: DECIMAL-exact sums,
     // identical-operand double z, variance-guarded CASE (NaN would
