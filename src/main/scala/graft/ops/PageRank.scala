@@ -40,28 +40,52 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int, damping: Double = 0.85,
             roundDp: Int = 6): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.localCheckpoint(true)
-    val nEdges = e.count()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("od"), lit(0L)).as("od"))
-      .localCheckpoint(true)
-    val nD = nodes.count().toDouble
+    val e0 = edges.localCheckpoint(true)
+    val nEdges = e0.count()
     val teleport = 1.0 - damping
 
+    // Right-size the loop's shuffle width: tiny graphs collapse to a
+    // few partitions (task scheduling would dominate N rounds at
+    // session width), but the per-round rank⋈edge join does REAL work
+    // per edge, so the target is ~64k edges per partition — NOT
+    // connectedComponents' 1M-edges/partition (its per-row work is a
+    // min over two longs; a 1M-edge PageRank at 2 partitions left 30
+    // of 32 cores idle and tripled the query time). Capped at the
+    // session setting so a 100-TB edge set keeps full parallelism.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      nEdges / 1000000L + 1L)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      nEdges / 65536L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
+      // The edge table is the loop's big invariant input, so it is
+      // cached hash-partitioned AND sorted on the join key via
+      // Pins.pin — a persist, NOT a checkpoint: InMemoryTableScan
+      // reports the cached plan's outputPartitioning/outputOrdering,
+      // while LogicalRDD drops both (verified on the physical plan:
+      // a checkpointed edge table re-exchanged 1.1M rows on EVERY
+      // round; the pinned one exchanges only the node-cardinality
+      // rank table). Each iteration then pays the contribution
+      // groupBy(dst) — the algorithm's irreducible shuffle — plus
+      // rank-table-sized exchanges, never edge-sized ones. The pin
+      // rides the caller's cache scope (Bench/Verify sweeps release
+      // it); lineage above it is the already-checkpointed e0, so the
+      // per-round lineage cut stays shallow.
+      val e = graft.core.Pins.pin(e0.withColumnRenamed("src", "node")
+        .repartition(loopParts, col("node"))
+        .sortWithinPartitions("node"))
+      val deg = e.groupBy(col("node")).agg(count(lit(1)).as("od"))
+      val nodes = e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct()
+        .join(deg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("od"), lit(0L)).as("od"))
+        .localCheckpoint(true)
+      val nD = nodes.count().toDouble
       var ranks = nodes.withColumn("m", lit(1.0)).localCheckpoint(true)
       var it = 0
       while (it < iters) {
         // m/od per out-edge, summed exactly per destination
         val contrib = ranks.filter(col("od") > 0)
-          .join(e.withColumnRenamed("src", "node"), Seq("node"))
+          .join(e, Seq("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum((col("m") / col("od").cast("double"))
             .cast(DecimalType(38, 15))).cast("double").as("c"))
