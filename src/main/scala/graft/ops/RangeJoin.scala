@@ -47,4 +47,42 @@ object RangeJoin {
         Seq(col("_rt").as(s"r_$rightTime")) ++
         rightPayload.map(c => col(s"r_$c")): _*)
   }
+
+  /** Interval-OVERLAP equi-join: all pairs (l, r) with equal key whose
+    * closed intervals [lStart, lEnd] × [rStart, rEnd] intersect
+    * (touching endpoints count). Same bin-bucketing discipline as
+    * [[intervalJoin]], generalized to interval × interval: each side
+    * replicates to the `binWidth`-granularity bins its interval
+    * covers, the join is an equi-join on (key, bin), the exact overlap
+    * predicate closes the approximation, and the duplicate candidates
+    * an overlap spanning several shared bins would produce are
+    * eliminated ARITHMETICALLY — a pair is emitted only from the bin
+    * containing max(lStart, rStart), which both intervals provably
+    * cover — never by a distinct. Replication factor per row is
+    * ceil(len/binWidth) + 1, so `binWidth` should sit near the typical
+    * interval length; a hot key spreads over its bins instead of one
+    * reducer. Bounds must be non-negative integers with start ≤ end.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, key: String,
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  binWidth: Long, rightPayload: Seq[String]): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val lCols = left.columns.toSeq
+    val l = left.withColumn("_lb",
+      explode(sequence(expr(s"$lStart div $binWidth"),
+        expr(s"$lEnd div $binWidth"))))
+    val r = right.select(
+        (col(key).as("_rk") +: col(rStart).as("_rs") +:
+          col(rEnd).as("_re") +:
+          rightPayload.map(c => col(c).as(s"r_$c"))): _*)
+      .withColumn("_rb", explode(sequence(expr(s"_rs div $binWidth"),
+        expr(s"_re div $binWidth"))))
+    l.join(r, col(key) === col("_rk") && col("_lb") === col("_rb") &&
+        col(lStart) <= col("_re") && col("_rs") <= col(lEnd) &&
+        col("_lb") === expr(s"greatest($lStart, _rs) div $binWidth"))
+      .select(lCols.map(col) ++
+        Seq(col("_rs").as(s"r_$rStart"), col("_re").as(s"r_$rEnd")) ++
+        rightPayload.map(c => col(s"r_$c")): _*)
+  }
 }

@@ -427,6 +427,33 @@ object RelationalQueries {
         .orderBy("check_name")
     }),
 
+    // interval-OVERLAP join: which click-sessions overlap which
+    // view-sessions per user — bin-bucketed interval x interval
+    // equi-join, duplicates eliminated arithmetically
+    // (ops.RangeJoin.overlapJoin scale note)
+    "q_overlap_sessions" -> ((s, dir) => {
+      val ev = Tables.eventsMicros(s, dir)
+        .filter(col("user_id").isNotNull)
+      def sess(et: String) = graft.ops.Sessionize.sessions(
+        ev.filter(col("event_type") === et)
+          .select(col("user_id"), col("event_id"), col("ts").as("t")),
+        "user_id", "t", gap = 86400000000L,
+        valueCol = count(lit(1)), tiebreak = Seq("event_id"))
+      val clicks = sess("click").select(col("user_id"),
+        col("session_no").as("c_no"), col("start_t").as("c_s"),
+        col("end_t").as("c_e"))
+      val views = sess("view").select(col("user_id"),
+        col("session_no").as("v_no"), col("start_t").as("v_s"),
+        col("end_t").as("v_e"))
+      graft.ops.RangeJoin.overlapJoin(clicks, views, "user_id",
+          "c_s", "c_e", "v_s", "v_e", binWidth = 86400000000L,
+          rightPayload = Seq("v_no"))
+        .select(col("user_id"), col("c_no"), col("c_s"), col("c_e"),
+          col("r_v_no").as("v_no"), col("r_v_s").as("v_s"),
+          col("r_v_e").as("v_e"))
+        .orderBy("user_id", "c_no", "v_no")
+    }),
+
     // grouped z-score anomaly flags: per-event-type moment sketch
     // (n, Σx, Σx²) + broadcast join back — no per-group window funnel
     // (ops.Anomaly scale note); emits the flagged rows
@@ -536,6 +563,26 @@ object RelationalQueries {
 
     // §2.9 TPC-H Q17 shape: correlated scalar subquery, decorrelated
     // the way Catalyst itself would — per-key aggregate + equi-join
+    // TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI
+    // join with a compound (equi + inequality) condition — the semi
+    // join dedups in the join operator itself, no distinct, and each
+    // order flows through the shuffle once regardless of how many
+    // lineitems witness it
+    "q4_exists" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >=
+          lit(java.sql.Date.valueOf("1997-01-01")) &&
+          to_date(col("o_orderdate")) <
+          lit(java.sql.Date.valueOf("1998-01-01")))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // back to the fact (one shuffle each on the SAME key, so the join
     // reuses the aggregation's exchange). Per-part mean through the
     // exact DECIMAL sum so the threshold is engine-identical.
@@ -1039,6 +1086,33 @@ object RelationalQueries {
          |       min(t) AS t_min, max(t) AS t_max
          |FROM z GROUP BY zone ORDER BY zone""".stripMargin,
 
+    // plain inequality overlap join over the windowed session CTEs —
+    // DuckDB may nested-loop it at oracle scale; the engine's
+    // bin-bucketed equi-join must produce the identical pair set
+    "q_overlap_sessions" -> {
+      def sess(et: String, n: String) =
+        s"""${n}0 AS (SELECT user_id, event_id, epoch_us(ts) AS t
+           |       FROM events
+           |       WHERE user_id IS NOT NULL AND event_type = '$et'),
+           |${n}1 AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+           |                        OR t - lag(t) OVER w > 86400000000
+           |                   THEN 1 ELSE 0 END AS nb
+           |       FROM ${n}0
+           |       WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+           |${n}2 AS (SELECT *, sum(nb) OVER
+           |         (PARTITION BY user_id ORDER BY t, event_id) AS sn
+           |       FROM ${n}1),
+           |$n AS (SELECT user_id, sn, min(t) AS s, max(t) AS e
+           |       FROM ${n}2 GROUP BY user_id, sn)""".stripMargin
+      s"""WITH ${sess("click", "c")},
+         |${sess("view", "v")}
+         |SELECT c.user_id AS user_id, c.sn AS c_no, c.s AS c_s, c.e AS c_e,
+         |       v.sn AS v_no, v.s AS v_s, v.e AS v_e
+         |FROM c JOIN v ON c.user_id = v.user_id
+         |  AND c.s <= v.e AND v.s <= c.e
+         |ORDER BY user_id, c_no, v_no""".stripMargin
+    },
+
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
         |           FROM events WHERE user_id IS NOT NULL),
@@ -1070,6 +1144,18 @@ object RelationalQueries {
         |       p.event_id AS purchase_id, p.t AS p_ts, p.t - c.t AS lag_us
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t <= p.t
         |ORDER BY click_id""".stripMargin,
+
+    // the correlated original — DuckDB decorrelates it itself; the
+    // engine's explicit semi join must produce the identical counts
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // decorrelated form with the identical DECIMAL-mean arithmetic
     "q17_subquery" ->

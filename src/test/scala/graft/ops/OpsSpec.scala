@@ -268,6 +268,32 @@ class OpsSpec extends AnyFunSuite {
       sp2.orderBy("id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("overlap join: touching counts, bin-spanning pairs emitted once, disjoint excluded") {
+    import spark.implicits._
+    // binWidth 10: l1 [5,25] spans bins 0-2; r1 [20,40] bins 2-4 ->
+    // overlap [20,25] shares bins 2 only... r2 [25,25] touches l1's
+    // end exactly; r3 [26,60] is disjoint from l1
+    val left = Seq((1L, 100L, 5L, 25L), (1L, 101L, 50L, 60L))
+      .toDF("k", "lid", "ls", "le")
+    val right = Seq((1L, 200L, 20L, 40L), (1L, 201L, 25L, 25L),
+      (1L, 202L, 26L, 49L), (2L, 203L, 5L, 25L))
+      .toDF("k", "rid", "rs", "re")
+    val got = RangeJoin.overlapJoin(left, right, "k", "ls", "le",
+        "rs", "re", binWidth = 10L, rightPayload = Seq("rid"))
+      .select("lid", "r_rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // l1 x r1 (overlap), l1 x r2 (touch), l2 x r1 ([50,60]x[20,40]? no
+    // -> 40 < 50 disjoint), l2 x r3? [50,60]x[26,49] -> 49 < 50 no.
+    // different key excluded even with identical bounds
+    assert(got == Seq((100L, 200L), (100L, 201L)))
+    // wide x wide spanning many shared bins still emits exactly once
+    val w1 = Seq((1L, 300L, 0L, 95L)).toDF("k", "lid", "ls", "le")
+    val w2 = Seq((1L, 400L, 3L, 88L)).toDF("k", "rid", "rs", "re")
+    val once = RangeJoin.overlapJoin(w1, w2, "k", "ls", "le",
+      "rs", "re", 10L, Seq("rid")).count()
+    assert(once == 1L)
+  }
+
   test("k-fold assignment: complete, balanced-ish, partitioning-independent") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("id")
