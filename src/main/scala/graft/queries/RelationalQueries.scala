@@ -466,6 +466,27 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // incremental SCD2 merge: the last 5 days of interaction events
+    // applied as a change batch onto the dimension built from the
+    // first 25 — touched keys replay, untouched rows pass through
+    // verbatim; the oracle is the FULL recompute the incremental path
+    // must equal (ops.Scd2.mergeIntervals note)
+    "q_scd2_merge" -> ((s, dir) => {
+      val cutoff = 1706140800000000L // 2024-01-25T00:00:00Z
+      val ev = Tables.eventsMicros(s, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id"),
+          col("ts").as("t"), col("event_type"))
+      graft.ops.Scd2.mergeIntervals(
+          ev.filter(col("t") < cutoff), ev.filter(col("t") >= cutoff),
+          "user_id", "t", "event_type", tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type").as("seg"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // batch sessionization: 30-min-gap sessions per user over the
     // event stream, one keyed shuffle for boundary + numbering +
     // per-session rollup (ops.Sessionize scale note).
@@ -882,6 +903,29 @@ object RelationalQueries {
 
     // SCD2 run-collapse + lead intervals, zero-length versions dropped
     "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        |           FROM events
+        |           WHERE user_id IS NOT NULL
+        |             AND event_type IN ('view', 'click')),
+        |     m AS (SELECT user_id, event_id, t, event_type,
+        |                  lag(event_type) OVER w AS prev,
+        |                  row_number() OVER w AS rn
+        |           FROM e
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |     runs AS (SELECT user_id, event_type, t, event_id FROM m
+        |              WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |     iv AS (SELECT user_id, event_type, t AS valid_from,
+        |                   lead(t) OVER (PARTITION BY user_id
+        |                                 ORDER BY t, event_id) AS valid_to
+        |            FROM runs)
+        |SELECT user_id, event_type AS seg, valid_from AS valid_from_us,
+        |       valid_to AS valid_to_us
+        |FROM iv WHERE valid_to IS NULL OR valid_to > valid_from
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+
+    // the incremental merge must equal the FULL recompute over
+    // base ∪ changes — which is exactly the q_scd2_intervals oracle
+    "q_scd2_merge" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
         |           FROM events
         |           WHERE user_id IS NOT NULL

@@ -40,6 +40,25 @@ class Scd2Spec extends AnyFunSuite {
       (103L, Some("B")), (104L, Some("B"))))
   }
 
+  test("incremental merge equals full recompute; untouched keys verbatim") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 30L, "B"),   // key 1: will be touched
+      (2L, 3L, 10L, "A"), (2L, 4L, 50L, "C"))   // key 2: untouched
+      .toDF("u", "id", "t", "attr")
+    // key 1's delta extends history AND a brand-new key 3 appears
+    val delta = Seq((1L, 5L, 40L, "A"), (3L, 6L, 5L, "Z"))
+      .toDF("u", "id", "t", "attr")
+    val inc = Scd2.mergeIntervals(base, delta, "u", "t", "attr", Seq("id"))
+    val full = Scd2.intervals(base.unionByName(delta), "u", "t", "attr",
+      Seq("id"))
+    assert(inc.exceptAll(full).count() == 0)
+    assert(full.exceptAll(inc).count() == 0)
+    // key 2 never replays: its rows come from the anti-join branch
+    val k2 = inc.filter($"u" === 2L).collect()
+    assert(k2.length == 2)
+  }
+
   test("null attribute participates in run semantics") {
     import spark.implicits._
     val ev = Seq((1L, 1L, 10L, null), (1L, 2L, 20L, null),
