@@ -237,6 +237,36 @@ object Similarity {
         when(cd.getField("dist") < acc.getField("dist"), cd).otherwise(acc),
       acc => acc.getField("cell"))
 
+  /** Simplified silhouette (centroid-based, Hruschka '04): per
+    * vector, a = distance to its own centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a)/max(a, b) — the O(n·k)
+    * clustering-quality score that replaces the O(n²) pairwise
+    * silhouette at scale. Entirely scan-fused: the same per-row
+    * (dist, cell) struct array the argmin assignment folds over is
+    * sort_array'd once, positions 1 and 2 ARE (a², own cell) and b²
+    * (own centroid is the argmin, so a = min over all cells and b =
+    * the runner-up) — no join, no shuffle, no second pass. Squared
+    * distances clamp at 0 before the sqrt (exact-arithmetic
+    * cancellation can go epsilon-negative), degenerate a = b = 0
+    * scores 0, and the score rounds to 6dp — engine-exact.
+    */
+  def silhouette(corpus: DataFrame, idCol: String, vecCol: String,
+                 centDf: DataFrame): DataFrame = {
+    val cents = centMapOf(centDf)
+    require(cents.size >= 2, "silhouette needs >= 2 cells")
+    val scored = corpus.select(col(idCol), col(vecCol),
+      vec_dot(col(vecCol), col(vecCol)).as("vv"))
+    val sorted = sort_array(
+      nearestCellDists(col(vecCol), col("vv"), cents))
+    val zero = lit(0.0)
+    val a = sqrt(greatest(element_at(sorted, 1).getField("dist"), zero))
+    val b = sqrt(greatest(element_at(sorted, 2).getField("dist"), zero))
+    scored.select(col(idCol),
+      element_at(sorted, 1).getField("cell").as("cell"),
+      round(when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+        .otherwise(0.0), 6).as("sil"))
+  }
+
   /** Multi-probe IVF: like [[ivfTopK]], but each QUERY probes its
     * `nprobe` nearest cells — the standard IVF recall/cost knob
     * (candidates scale ~nprobe×, recall approaches brute force).

@@ -141,7 +141,25 @@ object SimQueries {
           round(col("n_hits").cast("double")
             / (lit(TopK.toDouble) * col("nq").cast("double")), 6).as("recall"))
       per.unionByName(macroR).orderBy("method", "qid")
-    }))
+    }),
+
+    // clustering quality: simplified silhouette vs the 1-round k-means
+    // centroids — scan-fused sort of the same per-row (dist, cell)
+    // structs the assignment folds over (Similarity.silhouette note)
+    "q_sim_silhouette" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = Similarity.kmeansQuantizer(emb, "vec_id", "embedding",
+        numCells = 8, iters = 1)
+      Similarity.silhouette(emb, "vec_id", "embedding", cent)
+        .orderBy("vec_id")
+    }),
+
+    // int8 scalar quantization codes + reconstruction error — the
+    // embedding-compression pass (ops.Quantize scale note)
+    "q_embed_quantize" -> ((s, dir) =>
+      graft.ops.Quantize.int8(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy("vec_id", "j")))
 
   /** dot in fixed sequential order; mirrors Dedup.cosine exactly. */
   private val dotSql =
@@ -440,5 +458,49 @@ object SimQueries {
          |  FROM per GROUP BY method)
          |SELECT method, qid, n_hits, recall FROM rows_out
          |ORDER BY method, qid""".stripMargin
-    })
+    },
+
+    // same (vv − 2·x·c + c·c) distance shapes as the Lloyd argmin;
+    // rk 1/2 over (dist, cell) are (a², own cell) and b²
+    "q_sim_silhouette" -> {
+      val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+      val dist = s"""(${vv.format("v.x")}
+                    | - 2 * ${dotSql.format("v.x", "ca1.carr")}
+                    | + ${vv.format("ca1.carr")})""".stripMargin
+        .replaceAll("\n", " ")
+      s"""WITH $lloydSql,
+         |d AS (SELECT v.vec_id, ca1.cell, $dist AS d2,
+         |             row_number() OVER (PARTITION BY v.vec_id
+         |                                ORDER BY $dist, ca1.cell) AS rk
+         |      FROM v CROSS JOIN ca1),
+         |p AS (SELECT vec_id,
+         |        max(CASE WHEN rk = 1 THEN cell END) AS cell,
+         |        sqrt(greatest(max(CASE WHEN rk = 1 THEN d2 END),
+         |                      CAST(0 AS DOUBLE))) AS a,
+         |        sqrt(greatest(max(CASE WHEN rk = 2 THEN d2 END),
+         |                      CAST(0 AS DOUBLE))) AS b
+         |      FROM d WHERE rk <= 2 GROUP BY vec_id)
+         |SELECT vec_id, cell,
+         |       round(CASE WHEN greatest(a, b) > 0
+         |                  THEN (b - a) / greatest(a, b)
+         |                  ELSE CAST(0 AS DOUBLE) END, 6) AS sil
+         |FROM p ORDER BY vec_id""".stripMargin
+    },
+
+    // per-dim min/max codebook + identical encode/decode arithmetic
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        |           FROM embeddings),
+        |e AS (SELECT vec_id, j, x[j + 1] AS xv
+        |      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)),
+        |st AS (SELECT j, min(xv) AS mn, max(xv) AS mx FROM e GROUP BY j),
+        |q AS (SELECT vec_id, e.j, xv, mn, mx,
+        |        CASE WHEN mx > mn
+        |             THEN CAST(round((xv - mn) / (mx - mn) * 255) AS INT)
+        |             ELSE 0 END AS code
+        |      FROM e JOIN st ON e.j = st.j)
+        |SELECT vec_id, j, code,
+        |       round(abs(xv - (mn + CAST(code AS DOUBLE) / 255 * (mx - mn))),
+        |             6) AS abs_err
+        |FROM q ORDER BY vec_id, j""".stripMargin)
 }
