@@ -466,6 +466,28 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // cumulative distinct users by day via the FIRST-TOUCH trick: a
+    // running count of each user's first-appearance day — one
+    // user-keyed groupBy (min day) + a day rollup. The prefix sum
+    // runs as a broadcast triangle join over the ~30-row day table
+    // (bounded by the calendar, never the corpus; avoids both the
+    // quadratic per-prefix distinct AND a global single-partition
+    // window)
+    "q_cum_users" -> ((s, dir) => {
+      val firstDay = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      val byDay = firstDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      byDay.join(broadcast(byDay.select(col("day").as("d2"),
+          col("new_users").as("n2"))), col("d2") <= col("day"))
+        .groupBy(col("day"), col("new_users"))
+        .agg(sum(col("n2")).as("cum_users"))
+        .orderBy("day")
+    }),
+
     // incremental SCD2 merge: the last 5 days of interaction events
     // applied as a change batch onto the dimension built from the
     // first 25 — touched keys replay, untouched rows pass through
@@ -922,6 +944,19 @@ object RelationalQueries {
         |       valid_to AS valid_to_us
         |FROM iv WHERE valid_to IS NULL OR valid_to > valid_from
         |ORDER BY user_id, valid_from_us""".stripMargin,
+
+    // first-touch rollup + running sum over the day table
+    "q_cum_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |           GROUP BY user_id),
+        |     d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT day, new_users,
+        |       sum(new_users) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
 
     // the incremental merge must equal the FULL recompute over
     // base ∪ changes — which is exactly the q_scd2_intervals oracle

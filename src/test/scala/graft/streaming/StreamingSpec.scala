@@ -376,6 +376,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC stream -> SCD2 upsert: foreachBatch incremental merge equals full recompute") {
+    import spark.implicits._
+    // change events arriving over three micro-batches; batch 2 extends
+    // key 1's history and introduces key 3, batch 3 touches key 2
+    val batches = Seq(
+      Seq((1L, 1L, 10L, "A"), (2L, 2L, 10L, "X")),
+      Seq((1L, 3L, 30L, "B"), (3L, 4L, 5L, "Z")),
+      Seq((2L, 5L, 40L, "Y"), (1L, 6L, 50L, "B")))
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    // the maintained silver state: an event store + the dim, both
+    // re-materialized per batch (local rows; a real deployment writes
+    // a table and reads it back)
+    var store = Seq.empty[(Long, Long, Long, String)]
+    var dim: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = input.toDF().toDF("u", "id", "t", "attr")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batch = b.as[(Long, Long, Long, String)].collect().toSeq
+        val storeDf = store.toDF("u", "id", "t", "attr")
+        val batchDf = batch.toDF("u", "id", "t", "attr")
+        dim = graft.ops.Scd2.mergeIntervals(storeDf, batchDf,
+          "u", "t", "attr", Seq("id")).collect()
+        store = store ++ batch
+      }.start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val got = dim.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(x => (x._1, x._3))
+    val want = graft.ops.Scd2.intervals(
+        batches.flatten.toDF("u", "id", "t", "attr"), "u", "t", "attr",
+        Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(x => (x._1, x._3))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // the late change at t=50 with the SAME attr as key 1's open
+    // version must have collapsed into it, not opened a new version
+    assert(got.count(x => x._1 == 1L && x._2 == "B") == 1)
+  }
+
   test("streaming windowed heavy-hitters merges sketches across micro-batches") {
     val batch = StreamingOps.topUsersHourly(Tables.events(spark, dir))
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
