@@ -26,16 +26,28 @@ object Profile {
     * n/nulls/distinct plus min/max length. Values are doubles
     * (metric semantics in the name); `decScale` sets the DECIMAL
     * scale of the exact mean sums.
+    *
+    * `exactDistinct = true` (the oracle-checked default) routes every
+    * distinct through Spark's Expand rewrite — one pass, but the
+    * intermediate agg is keyed on the profiled columns themselves, so
+    * its cost scales with Σ per-column cardinality. At 100 TB flip it
+    * to false: `approx_count_distinct` (HyperLogLog++) keeps the whole
+    * profile a constant-memory single pass with ~2% error on the one
+    * metric where exactness rarely matters.
     */
   def summarize(df: DataFrame, cols: Seq[String],
-                decScale: Int = 6): DataFrame = {
+                decScale: Int = 6,
+                exactDistinct: Boolean = true): DataFrame = {
     val fields = cols.map(c => c -> df.schema(c).dataType)
     val aggs: Seq[Column] = fields.flatMap { case (c, dt) =>
+      val distinctAgg =
+        if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c))
       val base = Seq(
         count(col(c)).cast("double").as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).cast("double")
           .as(s"${c}__nulls"),
-        countDistinct(col(c)).cast("double").as(s"${c}__distinct"))
+        distinctAgg.cast("double").as(s"${c}__distinct"))
       dt match {
         case _: NumericType => base ++ Seq(
           min(col(c)).cast("double").as(s"${c}__min"),

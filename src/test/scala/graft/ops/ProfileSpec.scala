@@ -22,6 +22,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(!got.contains(("s", "mean")) && !got.contains(("v", "min_len")))
   }
 
+  test("approx-distinct flavor: same metric set, near-exact at small cardinality") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 37)).toDF("id", "m")
+    val exact = Profile.summarize(df, Seq("id", "m")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val approx = Profile.summarize(df, Seq("id", "m"),
+        exactDistinct = false).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    assert(math.abs(approx(("m", "distinct")) - 37.0) / 37.0 < 0.05)
+    assert(math.abs(approx(("id", "distinct")) - 1000.0) / 1000.0 < 0.05)
+    // non-distinct metrics identical in both flavors
+    assert(approx(("id", "mean")) == exact(("id", "mean")))
+  }
+
   test("quality checks: each gate counts its violations") {
     import spark.implicits._
     import QualityChecks.{accepted, completeness, range, referential, uniqueness}
