@@ -56,7 +56,25 @@ object GraphQueries {
       graft.ops.PageRank.ranks(cs.union(sp), iters = 3)
         .select(col("node"), col("m").as("rank_mass"))
         .orderBy("node")
-    }))
+    }),
+
+    // market-basket pair mining: parts co-purchased in >= 2 orders —
+    // per-basket self-join bounded by basket size, one pair-keyed
+    // shuffle (ops.GraphOps.copairs note)
+    "q_copurchase" -> ((s, dir) =>
+      graft.ops.GraphOps.copairs(
+          Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L)
+        .orderBy("i", "j")),
+
+    // triangle count of the co-purchase support graph via the
+    // (degree, id) orientation — wedges generated once at the lowest
+    // apex, two equi-join shuffles (ops.GraphOps.triangleCount note)
+    "q_triangles" -> ((s, dir) =>
+      graft.ops.GraphOps.triangleCount(
+        graft.ops.GraphOps.copairs(
+          Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L).select(col("i"), col("j")))))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" ->
@@ -78,5 +96,41 @@ object GraphQueries {
          |${iterSql(1)},
          |${iterSql(2)},
          |${iterSql(3)}
-         |SELECT node, m AS rank_mass FROM r3 ORDER BY node""".stripMargin)
+         |SELECT node, m AS rank_mass FROM r3 ORDER BY node""".stripMargin,
+
+    "q_copurchase" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS n_baskets
+        |FROM p a JOIN p b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY i, j""".stripMargin,
+
+    // same orientation: (deg, id) row comparisons mirror the engine's
+    // struct order; wedge at the lowest-ranked apex, closure by the
+    // third oriented edge
+    "q_triangles" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
+        |       FROM p a JOIN p b
+        |         ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2),
+        |e AS (SELECT i, j FROM e0 WHERE c >= 2),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |          (SELECT i AS v FROM e UNION ALL SELECT j FROM e)
+        |        GROUP BY v),
+        |o AS (SELECT
+        |        CASE WHEN (di.d, e.i) < (dj.d, e.j) THEN e.i ELSE e.j END
+        |          AS src,
+        |        CASE WHEN (di.d, e.i) < (dj.d, e.j) THEN e.j ELSE e.i END
+        |          AS dst,
+        |        CASE WHEN (di.d, e.i) < (dj.d, e.j) THEN dj.d ELSE di.d END
+        |          AS dd
+        |      FROM e JOIN deg di ON di.v = e.i JOIN deg dj ON dj.v = e.j),
+        |w AS (SELECT e1.dst AS v1, e2.dst AS v2
+        |      FROM o e1 JOIN o e2
+        |        ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst))
+        |SELECT count(*) AS n_triangles
+        |FROM w JOIN o e3 ON e3.src = w.v1 AND e3.dst = w.v2""".stripMargin)
 }
