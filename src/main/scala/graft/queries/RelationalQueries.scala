@@ -488,6 +488,39 @@ object RelationalQueries {
         .orderBy("day")
     }),
 
+    // incremental aggregate maintenance: per-user purchase rollups
+    // built from the first 25 days, then the last 5 days folded in as
+    // a delta — the materialized-view upsert; oracle = full recompute
+    // (ops.IncrementalAgg note)
+    "q_agg_merge" -> ((s, dir) => {
+      import graft.ops.IncrementalAgg._
+      val cutoff = 1706140800000000L // 2024-01-25T00:00:00Z
+      val ev = Tables.eventsMicros(s, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("t"), col("value"))
+      val base = build(ev.filter(col("t") < cutoff), "user_id", "value")
+      val merged = merge(base, ev.filter(col("t") >= cutoff),
+        "user_id", "value")
+      readout(merged, "user_id").orderBy("user_id")
+    }),
+
+    // robust dispersion: per-event-type median absolute deviation —
+    // two grouped exact-percentile passes (median, then median of
+    // |x − med|), each one keyed shuffle; swap the k-min sketch at
+    // 100 TB (FeatureScale percentile caveat)
+    "q_mad" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      ev.join(med, Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        .select(col("event_type"), col("med"), col("mad"))
+        .orderBy("event_type")
+    }),
+
     // incremental SCD2 merge: the last 5 days of interaction events
     // applied as a change batch onto the dimension built from the
     // first 25 — touched keys replay, untouched rows pass through
@@ -957,6 +990,30 @@ object RelationalQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+
+    // full recompute over all purchases — the state the incremental
+    // fold must reach
+    "q_agg_merge" ->
+      """SELECT user_id, count(value) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |         / CAST(count(value) AS DOUBLE) AS mean,
+        |       min(value) AS mn, max(value) AS mx
+        |FROM events
+        |WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // exact quantile parity: Spark percentile and DuckDB
+    // quantile_cont share the p*(n-1) interpolation
+    "q_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, m.med,
+        |       quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type, m.med
+        |ORDER BY event_type""".stripMargin,
 
     // the incremental merge must equal the FULL recompute over
     // base ∪ changes — which is exactly the q_scd2_intervals oracle
