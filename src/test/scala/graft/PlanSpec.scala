@@ -70,4 +70,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"hash sample shuffles in:\n$p")
     assert(!p.contains("Join"), s"hash sample joins in:\n$p")
   }
+
+  test("profiler is ONE aggregation pass: single scan, no join") {
+    val df = graft.ops.Profile.summarize(
+      Tables.load(spark, dir, "orders"),
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val p = plan(df)
+    assert(!p.contains("Join"), s"profiler joins in:\n$p")
+    // exactly one scan of the table feeds every metric
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profiler scans more than once in:\n$p")
+  }
+
+  test("anomaly flags: stats side broadcasts, no per-group window") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val p = plan(graft.ops.Anomaly.zscoreFlags(ev, "event_type", "value"))
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$p")
+    assert(!p.contains("Window"), s"anomaly uses a window in:\n$p")
+  }
+
+  test("overlap join is an equi-join, never a cartesian/BNL") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 5L, 25L)).toDF("k", "lid", "ls", "le")
+    val r = Seq((1L, 200L, 20L, 40L)).toDF("k", "rid", "rs", "re")
+    val p = plan(graft.ops.RangeJoin.overlapJoin(l, r, "k",
+      "ls", "le", "rs", "re", 10L, Seq("rid")))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"overlap join degenerated to all-pairs in:\n$p")
+  }
+
+  test("k-fold assignment stays a scan-stage projection") {
+    val p = plan(graft.ops.Sampling.kfold(
+      Tables.load(spark, dir, "documents"), "doc_id", 5))
+    assert(!p.contains("Exchange"), s"kfold shuffles in:\n$p")
+  }
 }
