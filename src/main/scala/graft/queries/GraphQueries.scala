@@ -74,7 +74,34 @@ object GraphQueries {
       graft.ops.GraphOps.triangleCount(
         graft.ops.GraphOps.copairs(
           Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-          minSupport = 2L).select(col("i"), col("j")))))
+          minSupport = 2L).select(col("i"), col("j")))),
+
+    // association rules over the co-purchase pairs: support /
+    // confidence / lift from exact integer counts — two broadcast
+    // joins against the tiny per-item support table; ratios are
+    // identical-operand doubles rounded 6dp
+    "q_assoc_rules" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val pairs = graft.ops.GraphOps.copairs(li, "l_orderkey",
+        "l_partkey", minSupport = 2L)
+      val itemN = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).cast("double").as("n_orders"))
+      pairs
+        .join(broadcast(itemN.select(col("l_partkey").as("i"),
+          col("n_item").as("n_i"))), Seq("i"))
+        .join(broadcast(itemN.select(col("l_partkey").as("j"),
+          col("n_item").as("n_j"))), Seq("j"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("i"), col("j"), col("n_baskets"),
+          round(col("n_baskets").cast("double") /
+            col("n_i").cast("double"), 6).as("confidence"),
+          round(col("n_baskets").cast("double") * col("n_orders") /
+            (col("n_i").cast("double") * col("n_j").cast("double")), 6)
+            .as("lift"))
+        .orderBy("i", "j")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" ->
@@ -132,5 +159,26 @@ object GraphQueries {
         |      FROM o e1 JOIN o e2
         |        ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst))
         |SELECT count(*) AS n_triangles
-        |FROM w JOIN o e3 ON e3.src = w.v1 AND e3.dst = w.v2""".stripMargin)
+        |FROM w JOIN o e3 ON e3.src = w.v1 AND e3.dst = w.v2""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS nb
+        |      FROM p a JOIN p b
+        |        ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |it AS (SELECT l_partkey, count(*) AS n_item FROM p GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE)
+        |          AS n_orders FROM lineitem)
+        |SELECT e.i, e.j, e.nb AS n_baskets,
+        |       round(CAST(e.nb AS DOUBLE) / CAST(ii.n_item AS DOUBLE), 6)
+        |         AS confidence,
+        |       round(CAST(e.nb AS DOUBLE) * tot.n_orders
+        |             / (CAST(ii.n_item AS DOUBLE)
+        |                * CAST(jj.n_item AS DOUBLE)), 6) AS lift
+        |FROM e JOIN it ii ON ii.l_partkey = e.i
+        |       JOIN it jj ON jj.l_partkey = e.j
+        |       CROSS JOIN tot
+        |ORDER BY i, j""".stripMargin)
 }

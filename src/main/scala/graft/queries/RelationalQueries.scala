@@ -488,6 +488,24 @@ object RelationalQueries {
         .orderBy("day")
     }),
 
+    // CDC log compaction: keep-latest-per-key via ONE max(struct)
+    // aggregate — map-side combined, no per-key window sort, the
+    // upsert-log → snapshot primitive
+    "q_cdc_compact" -> ((s, dir) => {
+      val ev = Tables.eventsMicros(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts").as("t"), col("event_id"),
+          col("event_type"), col("value"))
+      ev.groupBy(col("user_id"))
+        .agg(max(struct(col("t"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+        .select(col("user_id"), col("last.t").as("t"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"),
+          col("last.value").as("value"))
+        .orderBy("user_id")
+    }),
+
     // incremental aggregate maintenance: per-user purchase rollups
     // built from the first 25 days, then the last 5 days folded in as
     // a delta — the materialized-view upsert; oracle = full recompute
@@ -990,6 +1008,18 @@ object RelationalQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+
+    // rk-1 window twin of the max(struct) compaction (the struct's
+    // lexicographic max IS last-by-(t, event_id))
+    "q_cdc_compact" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |                  event_type, value,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY epoch_us(ts) DESC, event_id DESC)
+        |                    AS rk
+        |           FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, t, event_id, event_type, value
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     // full recompute over all purchases — the state the incremental
     // fold must reach

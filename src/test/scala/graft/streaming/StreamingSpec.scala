@@ -418,6 +418,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count(x => x._1 == 1L && x._2 == "B") == 1)
   }
 
+  test("streaming rollup maintenance: foreachBatch folds deltas into the aggregate state") {
+    import spark.implicits._
+    val batches = Seq(
+      Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)),
+      Seq((1L, 30.0), (3L, 7.0)),
+      Seq((2L, 1.0), (3L, 2.0), (3L, 3.0)))
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    var state: Array[org.apache.spark.sql.Row] = Array.empty
+    var stateDf = graft.ops.IncrementalAgg.build(
+      Seq.empty[(Long, Double)].toDF("k", "v"), "k", "v")
+    val schema = stateDf.schema
+    val q = input.toDF().toDF("k", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        stateDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(state.toSeq), schema)
+        state = graft.ops.IncrementalAgg.merge(stateDf,
+          b.toDF("k", "v"), "k", "v").collect()
+      }.start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.createDataFrame(
+      spark.sparkContext.parallelize(state.toSeq), schema)
+    val want = graft.ops.IncrementalAgg.build(
+      batches.flatten.toDF("k", "v"), "k", "v")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    assert(state.length == 3)
+  }
+
   test("streaming windowed heavy-hitters merges sketches across micro-batches") {
     val batch = StreamingOps.topUsersHourly(Tables.events(spark, dir))
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
