@@ -81,6 +81,32 @@ object DedupQueries {
         .orderBy("node")
     }),
 
+    // entity-resolution capstone: blocking (n-gram Jaccard pairs) →
+    // clustering (connected components) → canonical entity records.
+    // Every doc joins its component (singletons become their own
+    // entity); the rollup and the canonical-attribute join are both
+    // id-keyed; the component table holds near-dup nodes only (a
+    // small fraction of the corpus), so the left join broadcasts at
+    // scale
+    "q_entity_resolution" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJac = 0.05, maxDocFreq = 100)
+      val comps = Dedup.connectedComponents(
+        edges.select(col("i"), col("j")))
+      val membership = docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("entity_id"))
+      val rollup = membership.groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("doc_id")).as("max_member"))
+      rollup.join(docs.select(col("doc_id").as("entity_id"),
+          col("lang"), col("source")), Seq("entity_id"))
+        .orderBy("entity_id")
+    }),
+
     // the keep/drop DECISION table: every LSH band key awarded to its
     // min doc id; a doc survives iff it wins all its bands (the
     // batch-deterministic form of the streaming ingest gate)
@@ -231,6 +257,34 @@ object DedupQueries {
         |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
         |SELECT a AS node, least(a, min(b)) AS comp
         |FROM reach GROUP BY a ORDER BY node""".stripMargin),
+
+    // the q_dedup_cc closure + singleton fill-in + canonical rollup
+    "q_entity_resolution" -> (s"WITH RECURSIVE $shSql,\n" +
+      """shf AS (SELECT id, sh FROM sh
+        |        WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100)),
+        |sz AS (SELECT id, count(*) AS sz FROM shf GROUP BY id),
+        |it AS (SELECT a.id AS i, b.id AS j, count(*) AS inter
+        |       FROM shf a JOIN shf b ON a.sh = b.sh AND a.id < b.id
+        |       GROUP BY a.id, b.id),
+        |e AS (SELECT i, j
+        |      FROM it JOIN sz sa ON it.i = sa.id JOIN sz sb ON it.j = sb.id
+        |      WHERE CAST(inter AS DOUBLE)
+        |            / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05),
+        |und AS (SELECT i AS a, j AS b FROM e
+        |        UNION ALL SELECT j AS a, i AS b FROM e),
+        |reach(a, b) AS (SELECT a, b FROM und
+        |                UNION
+        |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |cc AS (SELECT a AS node, least(a, min(b)) AS comp
+        |       FROM reach GROUP BY a),
+        |mem AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS entity_id
+        |        FROM documents d LEFT JOIN cc c ON c.node = d.doc_id),
+        |r AS (SELECT entity_id, count(*) AS n_members,
+        |             max(doc_id) AS max_member
+        |      FROM mem GROUP BY entity_id)
+        |SELECT r.entity_id, r.n_members, r.max_member, d.lang, d.source
+        |FROM r JOIN documents d ON d.doc_id = r.entity_id
+        |ORDER BY entity_id""".stripMargin),
 
     "q_dedup_embed_cos" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
