@@ -45,4 +45,31 @@ object Drift {
       .select(col("tok"), col("ca"), col("cb"),
         round(p * log(p / q), 6).as("kl_term"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * feature-selection / redundancy statistic, per observed value
+    * pair: term = (n_ab/N)·ln(n_ab·N/(n_a·n_b)); Σ terms over
+    * observed pairs IS the MI (absent pairs contribute 0·ln 0 = 0).
+    * Null cells are excluded from every count.
+    *
+    * Scale: ONE (a, b)-keyed count pass; both marginals re-aggregate
+    * the joint table (|A|·|B| rows, not corpus rows) and come back as
+    * broadcast joins; exact integer counts, then identical-operand
+    * doubles rounded 6dp.
+    */
+  def mutualInfoPairs(df: DataFrame, a: String, b: String): DataFrame = {
+    val joint = df
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a), col(b)).agg(count(lit(1)).as("n_ab"))
+    val na = joint.groupBy(col(a)).agg(sum(col("n_ab")).as("n_a"))
+    val nb = joint.groupBy(col(b)).agg(sum(col("n_ab")).as("n_b"))
+    val tot = joint.agg(sum(col("n_ab")).cast("double").as("n"))
+    val term = (col("n_ab").cast("double") / col("n")) *
+      log(col("n_ab").cast("double") * col("n") /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+    joint.join(broadcast(na), Seq(a))
+      .join(broadcast(nb), Seq(b))
+      .crossJoin(broadcast(tot))
+      .select(col(a), col(b), col("n_ab"), round(term, 6).as("mi_term"))
+  }
 }

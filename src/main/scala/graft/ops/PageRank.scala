@@ -38,7 +38,24 @@ object PageRank {
     * divide by n for the classic probability-vector form).
     */
   def ranks(edges: DataFrame, iters: Int, damping: Double = 0.85,
-            roundDp: Int = 6): DataFrame = {
+            roundDp: Int = 6): DataFrame =
+    run(edges, iters, damping, roundDp, seeds = None)
+
+  /** Personalized PageRank (random walk with restart): teleport AND
+    * dangling mass land uniformly on the SEED nodes instead of the
+    * whole graph — relevance relative to a query set (Haveliwala
+    * '02). `seeds`: one string column `node`; only seeds that are
+    * graph nodes receive mass. Same dataflow and determinism
+    * contract as [[ranks]]; per node,
+    * m' = d·Σ m/od + [v ∈ S]·((1−d)·n + d·dangling)/|S|.
+    */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame, iters: Int,
+                        damping: Double = 0.85,
+                        roundDp: Int = 6): DataFrame =
+    run(edges, iters, damping, roundDp, seeds = Some(seeds))
+
+  private def run(edges: DataFrame, iters: Int, damping: Double,
+                  roundDp: Int, seeds: Option[DataFrame]): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.localCheckpoint(true)
     val nEdges = e0.count()
@@ -74,12 +91,25 @@ object PageRank {
         .repartition(loopParts, col("node"))
         .sortWithinPartitions("node"))
       val deg = e.groupBy(col("node")).agg(count(lit(1)).as("od"))
-      val nodes = e0.select(col("src").as("node"))
+      val nodes0 = e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct()
         .join(deg, Seq("node"), "left")
         .select(col("node"), coalesce(col("od"), lit(0L)).as("od"))
-        .localCheckpoint(true)
+      val nodes = seeds match {
+        case None => nodes0.withColumn("seed", lit(true))
+          .localCheckpoint(true)
+        case Some(s) => nodes0
+          .join(s.select(col("node")).distinct()
+            .withColumn("_sf", lit(1)), Seq("node"), "left")
+          .select(col("node"), col("od"), col("_sf").isNotNull.as("seed"))
+          .localCheckpoint(true)
+      }
       val nD = nodes.count().toDouble
+      // |restart set|: the whole graph for classic PR, the in-graph
+      // seeds for personalized
+      val sD = seeds.fold(nD)(_ =>
+        nodes.filter(col("seed")).count().toDouble)
+      require(sD > 0, "personalized PageRank needs >= 1 in-graph seed")
       var ranks = nodes.withColumn("m", lit(1.0)).localCheckpoint(true)
       var it = 0
       while (it < iters) {
@@ -93,16 +123,26 @@ object PageRank {
         val dang = ranks.filter(col("od") === 0)
           .agg(coalesce(sum(col("m").cast(DecimalType(38, 15)))
             .cast("double"), lit(0.0)).as("dm"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
+        val joined = nodes.join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dang))
-          .select(col("node"), col("od"),
-            round(lit(teleport) + lit(damping) *
-              (coalesce(col("c"), lit(0.0)) + col("dm") / lit(nD)),
-              roundDp).as("m"))
+        val m2 = seeds match {
+          case None =>
+            lit(teleport) + lit(damping) *
+              (coalesce(col("c"), lit(0.0)) + col("dm") / lit(nD))
+          case Some(_) =>
+            lit(damping) * coalesce(col("c"), lit(0.0)) +
+              when(col("seed"),
+                lit(teleport) * lit(nD) / lit(sD) +
+                  lit(damping) * col("dm") / lit(sD))
+                .otherwise(lit(0.0))
+        }
+        ranks = joined
+          .select(col("node"), col("od"), col("seed"),
+            round(m2, roundDp).as("m"))
           .localCheckpoint(true)
         it += 1
       }
-      ranks
+      ranks.select(col("node"), col("od"), col("m"))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     }

@@ -37,23 +37,45 @@ object GraphQueries {
        |       CROSS JOIN d$i d CROSS JOIN nv)""".stripMargin
   }
 
+  /** The customer→supplier→part purchase-topology edge list shared by
+    * the PageRank queries.
+    */
+  private def entityEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    val sp = l
+      .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p:"), col("l_partkey").cast("string")).as("dst"))
+      .distinct()
+    cs.union(sp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3 PageRank iterations over customer→supplier→part; mass units
     // (mean 1.0), 6dp-deterministic trajectory (ops.PageRank note)
-    "q_pagerank" -> ((s, dir) => {
-      val o = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
-      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
-        .distinct()
-      val sp = l
-        .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("p:"), col("l_partkey").cast("string")).as("dst"))
-        .distinct()
-      graft.ops.PageRank.ranks(cs.union(sp), iters = 3)
+    "q_pagerank" -> ((s, dir) =>
+      graft.ops.PageRank.ranks(entityEdges(s, dir), iters = 3)
+        .select(col("node"), col("m").as("rank_mass"))
+        .orderBy("node")),
+
+    // personalized PageRank: restart on one nation's customers —
+    // relevance relative to a seed market; teleport + dangling mass
+    // land on the in-graph seeds only (ops.PageRank.personalizedRanks)
+    "q_pagerank_personalized" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("c:"), col("c_custkey").cast("string"))
+          .as("node"))
+      graft.ops.PageRank.personalizedRanks(entityEdges(s, dir), seeds,
+          iters = 3)
         .select(col("node"), col("m").as("rank_mass"))
         .orderBy("node")
     }),
@@ -103,7 +125,58 @@ object GraphQueries {
         .orderBy("i", "j")
     }))
 
+  /** Personalized-flavor iteration: same contribution/dangling CTEs,
+    * seed-gated restart mass.
+    */
+  private def iterSqlP(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""c$i AS (SELECT e.dst AS node,
+       |         CAST(SUM(CAST(r.m / CAST(r.od AS DOUBLE) AS DECIMAL(38,15)))
+       |              AS DOUBLE) AS c
+       |       FROM $p r JOIN e ON r.node = e.src
+       |       WHERE r.od > 0 GROUP BY e.dst),
+       |d$i AS (SELECT COALESCE(CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE),
+       |                        CAST(0 AS DOUBLE)) AS dm
+       |       FROM $p WHERE od = 0),
+       |r$i AS (SELECT no.node, no.od, no.seed,
+       |         round($D * COALESCE(c.c, CAST(0 AS DOUBLE)) +
+       |               CASE WHEN no.seed
+       |                    THEN (CAST(1 AS DOUBLE) - $D) * nv.n / sv.ns
+       |                         + $D * d.dm / sv.ns
+       |                    ELSE CAST(0 AS DOUBLE) END,
+       |               6) AS m
+       |       FROM nodes no LEFT JOIN c$i c ON no.node = c.node
+       |       CROSS JOIN d$i d CROSS JOIN nv CROSS JOIN sv)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank_personalized" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         |                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  UNION
+         |  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR),
+         |                  'p:' || CAST(l_partkey AS VARCHAR)
+         |  FROM lineitem),
+         |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |sd AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+         |       FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |       WHERE n_name = 'NATION_7'),
+         |nodes AS (SELECT nn.node, COALESCE(d.od, 0) AS od,
+         |                 nn.node IN (SELECT node FROM sd) AS seed
+         |          FROM (SELECT src AS node FROM e
+         |                UNION SELECT dst FROM e) nn
+         |          LEFT JOIN deg d ON nn.node = d.src),
+         |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |sv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM nodes
+         |       WHERE seed),
+         |r0 AS (SELECT node, od, seed, CAST(1 AS DOUBLE) AS m FROM nodes),
+         |${iterSqlP(1)},
+         |${iterSqlP(2)},
+         |${iterSqlP(3)}
+         |SELECT node, m AS rank_mass FROM r3 ORDER BY node""".stripMargin,
+
     "q_pagerank" ->
       s"""WITH e AS (
          |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,

@@ -488,6 +488,18 @@ object RelationalQueries {
         .orderBy("day")
     }),
 
+    // mutual information between market segment and nation — the
+    // feature-redundancy statistic from one joint-count pass
+    // (ops.Drift.mutualInfoPairs note)
+    "q_mutual_info" -> ((s, dir) => {
+      val cn = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_mktsegment").as("seg"), col("n_name").as("nation"))
+      graft.ops.Drift.mutualInfoPairs(cn, "seg", "nation")
+        .orderBy("seg", "nation")
+    }),
+
     // CDC log compaction: keep-latest-per-key via ONE max(struct)
     // aggregate — map-side combined, no per-key window sort, the
     // upsert-log → snapshot primitive
@@ -1008,6 +1020,27 @@ object RelationalQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+
+    // exact joint/marginal counts then identical-operand double MI
+    "q_mutual_info" ->
+      """WITH cn AS (SELECT c_mktsegment AS seg, n_name AS nation
+        |            FROM customer JOIN nation
+        |              ON c_nationkey = n_nationkey),
+        |j AS (SELECT seg, nation, count(*) AS n_ab FROM cn
+        |      WHERE seg IS NOT NULL AND nation IS NOT NULL
+        |      GROUP BY seg, nation),
+        |ma AS (SELECT seg, sum(n_ab) AS n_a FROM j GROUP BY seg),
+        |mb AS (SELECT nation, sum(n_ab) AS n_b FROM j GROUP BY nation),
+        |tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS n FROM j)
+        |SELECT j.seg, j.nation, j.n_ab,
+        |       round((CAST(j.n_ab AS DOUBLE) / tot.n)
+        |             * ln(CAST(j.n_ab AS DOUBLE) * tot.n
+        |                  / (CAST(ma.n_a AS DOUBLE)
+        |                     * CAST(mb.n_b AS DOUBLE))), 6) AS mi_term
+        |FROM j JOIN ma ON j.seg = ma.seg
+        |       JOIN mb ON j.nation = mb.nation
+        |       CROSS JOIN tot
+        |ORDER BY 1, 2""".stripMargin,
 
     // rk-1 window twin of the max(struct) compaction (the struct's
     // lexicographic max IS last-by-(t, event_id))

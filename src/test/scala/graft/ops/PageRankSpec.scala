@@ -35,6 +35,27 @@ class PageRankSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("personalized: teleport + dangling mass land on the seed only") {
+    import spark.implicits._
+    val seeds = Seq("a").toDF("node")
+    val got = PageRank.personalizedRanks(graph, seeds, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // a: .85*0 + (.15*3/1 + .85*1/1) = 1.3 ; b: .85*.5 ; c: .85*1.5
+    assert(math.abs(got("a") - 1.3) < 1e-9)
+    assert(math.abs(got("b") - 0.425) < 1e-9)
+    assert(math.abs(got("c") - 1.275) < 1e-9)
+    assert(math.abs(got.values.sum - 3.0) < 3e-6) // mass conserved
+    // a seed that is not a graph node contributes nothing (and an
+    // all-out-of-graph seed set is rejected)
+    val got2 = PageRank.personalizedRanks(graph,
+      Seq("a", "zzz").toDF("node"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got2 == got)
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedRanks(graph, Seq("zzz").toDF("node"), 1)
+    }
+  }
+
   test("out-degree column and dangling bookkeeping") {
     val od = PageRank.ranks(graph, iters = 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
