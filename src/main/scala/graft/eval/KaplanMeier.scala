@@ -108,6 +108,41 @@ object KaplanMeier {
       org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Restricted mean survival time at `horizon`: ∫₀^τ S(t) dt — the
+    * standard interpretable summary of a KM curve (Royston/Parmar
+    * '13), EXACT for a step function (rectangle sum over the steps,
+    * no quadrature error). Returns one row (tau, rmst).
+    *
+    * Determinism/scale: the curve collapses to |distinct t| rows, so
+    * the next-knot lookup is a broadcast non-equi self-join + min —
+    * never a global single-partition window — and the step areas sum
+    * in DECIMAL (order-independent). S is rounded to 6dp FIRST: the
+    * engine and the oracle prove 6dp agreement on the curve (q_km),
+    * and building on the rounded values keeps the horizon-scaled sum
+    * engine-exact instead of amplifying sub-6dp product noise by the
+    * step widths.
+    */
+  def rmst(df: DataFrame, tCol: String, eCol: String,
+           horizon: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cv = curve(df, tCol, eCol)
+      .select(col("t"), round(col("s"), 6).as("s"))
+      .filter(col("t") < lit(horizon))
+    val nxt = cv
+      .join(broadcast(cv.select(col("t").as("t2"))), col("t2") > col("t"),
+        "left")
+      .groupBy(col("t"), col("s")).agg(min(col("t2")).as("next"))
+    val area = nxt
+      .select((col("s") * (coalesce(col("next"), lit(horizon)) - col("t")))
+        .cast(DecimalType(38, 12)).as("c"))
+      .agg(coalesce(sum(col("c")).cast("double"), lit(0.0)).as("tail"))
+    // S = 1 on [0, first knot) — the whole horizon if no knot precedes it
+    val head = cv.agg(coalesce(min(col("t")), lit(horizon)).as("h"))
+    area.crossJoin(broadcast(head))
+      .select(lit(horizon).as("tau"),
+        round(col("h") + col("tail"), 6).as("rmst"))
+  }
+
   /** Step-function lookup value of `curve` at each `at` time:
     * s(max curve.t <= at) — `<` when `strict` — and 1.0 before the
     * first curve time (null `at` likewise yields 1.0, mirroring the

@@ -54,6 +54,13 @@ object EvalQueries {
         .select(col("t"), col("d"), col("n"), round(col("s"), 6).as("s"))
         .orderBy("t")),
 
+    // restricted mean survival time at 1 year from the KM curve —
+    // exact step integral on the 6dp-rounded curve, broadcast
+    // next-knot lookup, DECIMAL area sum (KaplanMeier.rmst note)
+    "q_rmst" -> ((s, dir) =>
+      KaplanMeier.rmst(ChurnView.build(s, dir), "t", "e",
+        horizon = 365.0)),
+
     // §2.7 censoring KM (IPCW weight source) on the test split.
     "q_km_censoring" -> ((s, dir) =>
       KaplanMeier.censoringCurve(testWithRisk(s, dir), "t", "e")
@@ -182,6 +189,27 @@ object EvalQueries {
 
     "q_km_censoring" -> (C + s", $splitSql,\n$testSql,\n$censSql\n" +
       "SELECT t, d, n, round(s, 6) AS s FROM ckm ORDER BY t"),
+
+    // step integral over the 6dp-rounded KM curve; lead() over the
+    // filtered knots == the engine's min-next broadcast lookup
+    "q_rmst" -> (C +
+      """,
+        |km0 AS (SELECT CAST(t AS DOUBLE) AS t, CAST(sum(e) AS BIGINT) AS d,
+        |               count(*) AS m FROM churn GROUP BY 1),
+        |km1 AS (SELECT t, d, CAST(sum(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n, m FROM km0),
+        |km2 AS (SELECT t,
+        |        round(product(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+        |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s
+        |        FROM km1),
+        |f AS (SELECT t, s, lead(t) OVER (ORDER BY t) AS nxt
+        |      FROM km2 WHERE t < CAST(365 AS DOUBLE)),
+        |area AS (SELECT COALESCE(CAST(sum(CAST(s * (COALESCE(nxt, CAST(365 AS DOUBLE)) - t)
+        |                        AS DECIMAL(38,12))) AS DOUBLE), CAST(0 AS DOUBLE)) AS tail
+        |         FROM f),
+        |hd AS (SELECT COALESCE(min(t), CAST(365 AS DOUBLE)) AS h FROM f)
+        |SELECT CAST(365 AS DOUBLE) AS tau, round(hd.h + area.tail, 6) AS rmst
+        |FROM area CROSS JOIN hd""".stripMargin),
 
     "q_cindex" -> cindexSql,
 

@@ -488,6 +488,30 @@ object RelationalQueries {
         .orderBy("day")
     }),
 
+    // first-order Markov transition estimation over each user's
+    // time-ordered event sequence: ONE user-keyed window pass for the
+    // lag, one (from, to) count shuffle, row-normalized against
+    // broadcast marginals — the behavioral sequence model
+    "q_markov" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.eventsMicros(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val marg = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      trans.join(broadcast(marg), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from").cast("double"), 6)
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // mutual information between market segment and nation — the
     // feature-redundancy statistic from one joint-count pass
     // (ops.Drift.mutualInfoPairs note)
@@ -1020,6 +1044,22 @@ object RelationalQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+
+    // lag window + (from, to) counts + row-normalization
+    "q_markov" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |               lag(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY epoch_us(ts), event_id) AS from_type
+        |             FROM events WHERE user_id IS NOT NULL),
+        |tr AS (SELECT from_type, event_type AS to_type, count(*) AS n
+        |       FROM seq WHERE from_type IS NOT NULL
+        |       GROUP BY from_type, event_type),
+        |mg AS (SELECT from_type, sum(n) AS n_from FROM tr GROUP BY from_type)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |       round(CAST(tr.n AS DOUBLE) / CAST(mg.n_from AS DOUBLE), 6)
+        |         AS p
+        |FROM tr JOIN mg ON tr.from_type = mg.from_type
+        |ORDER BY 1, 2""".stripMargin,
 
     // exact joint/marginal counts then identical-operand double MI
     "q_mutual_info" ->

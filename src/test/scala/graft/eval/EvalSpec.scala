@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class EvalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
+  test("RMST: exact step integral, horizon caps, pre-knot horizon") {
+    import spark.implicits._
+    // KM: S=0.5 from t=1 (1 event of 2 at risk); censor at t=3
+    val df = Seq((1, 1), (3, 0)).toDF("t", "e")
+    def rmstAt(h: Double): Double =
+      KaplanMeier.rmst(df, "t", "e", h).head().getDouble(1)
+    // tau=2: 1*[0,1) + 0.5*[1,2) = 1.5
+    assert(math.abs(rmstAt(2.0) - 1.5) < 1e-9)
+    // tau=4: 1*[0,1) + 0.5*[1,4) = 2.5 (knot at 3 changes nothing, d=0)
+    assert(math.abs(rmstAt(4.0) - 2.5) < 1e-9)
+    // horizon before the first knot: S=1 throughout
+    assert(math.abs(rmstAt(0.5) - 0.5) < 1e-9)
+  }
+
   test("KM curve matches hand computation") {
     import spark.implicits._
     val df = Seq((1, 1), (2, 0), (3, 1), (3, 1), (4, 0)).toDF("t", "e")
