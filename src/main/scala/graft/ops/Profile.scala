@@ -38,6 +38,8 @@ object Profile {
   def summarize(df: DataFrame, cols: Seq[String],
                 decScale: Int = 6,
                 exactDistinct: Boolean = true): DataFrame = {
+    require(cols.forall(!_.contains("__")),
+      "profiled column names must not contain '__' (the metric separator)")
     val fields = cols.map(c => c -> df.schema(c).dataType)
     val aggs: Seq[Column] = fields.flatMap { case (c, dt) =>
       val distinctAgg =
