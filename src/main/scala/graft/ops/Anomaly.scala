@@ -28,15 +28,31 @@ object Anomaly {
     * entire constant groups; null values pass through unflagged.
     */
   def zscoreFlags(df: DataFrame, group: String, valueCol: String,
-                  threshold: Double = 3.0): DataFrame = {
-    val st = df.groupBy(col(group)).agg(
+                  threshold: Double = 3.0): DataFrame =
+    applyStats(df, momentStats(df, group, valueCol), group, valueCol,
+      threshold)
+
+  /** The per-group moment sketch (n, Σx, Σx²) — the FIT half; store
+    * it and score later batches/streams against it.
+    */
+  def momentStats(df: DataFrame, group: String,
+                  valueCol: String): DataFrame =
+    df.groupBy(col(group)).agg(
       count(col(valueCol)).cast("double").as("_n"),
       sum(col(valueCol).cast(DecimalType(30, 12))).cast("double").as("_s"),
       sum((col(valueCol) * col(valueCol)).cast(DecimalType(38, 24)))
         .cast("double").as("_sq"))
+
+  /** Score rows against previously-fitted stats — the APPLY half;
+    * works unchanged on a streaming DataFrame (stream-static
+    * broadcast join per micro-batch). Groups absent from the stats
+    * yield null z, unflagged.
+    */
+  def applyStats(df: DataFrame, stats: DataFrame, group: String,
+                 valueCol: String, threshold: Double = 3.0): DataFrame = {
     val mean = col("_s") / col("_n")
     val variance = col("_sq") / col("_n") - mean * mean
-    df.join(broadcast(st), Seq(group))
+    df.join(broadcast(stats), Seq(group), "left")
       .withColumn("z",
         when(variance > 0, (col(valueCol) - mean) / sqrt(variance)))
       .withColumn("is_anomaly",

@@ -418,6 +418,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count(x => x._1 == 1L && x._2 == "B") == 1)
   }
 
+  test("streaming anomaly gate: batch-fitted stats score the stream identically") {
+    import spark.implicits._
+    val hist = Seq(("a", 1.0), ("a", 1.2), ("a", 0.8), ("a", 25.0),
+      ("b", 5.0), ("b", 5.1)).toDF("g", "v")
+    val stats = graft.ops.Anomaly.momentStats(hist, "g", "v")
+    val want = graft.ops.Anomaly.applyStats(hist, stats, "g", "v",
+        threshold = 1.5)
+      .select("g", "v", "is_anomaly").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val q = graft.ops.Anomaly.applyStats(input.toDF().toDF("g", "v"),
+        stats, "g", "v", threshold = 1.5)
+      .select("g", "v", "is_anomaly")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    // two micro-batches; the stream also carries an unseen group
+    input.addData(("a", 1.0), ("a", 25.0))
+    q.processAllAvailable()
+    input.addData(("b", 5.0), ("zzz", 99.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("anom_out").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+    assert(got(("a", 25.0)) && !got(("a", 1.0)) && !got(("b", 5.0)))
+    assert(!got(("zzz", 99.0))) // unseen group: null stats, unflagged
+    got.filterNot(_._1._1 == "zzz").foreach { case (k, f) =>
+      assert(f == want(k), s"$k stream=$f batch=${want(k)}")
+    }
+  }
+
   test("streaming rollup maintenance: foreachBatch folds deltas into the aggregate state") {
     import spark.implicits._
     val batches = Seq(
