@@ -454,6 +454,31 @@ object RelationalQueries {
         .orderBy("user_id", "c_no", "v_no")
     }),
 
+    // equi-width histogram of the event values: 20 bins from a 1-row
+    // broadcast min/max, bin assignment scan-local, ONE count shuffle
+    // (bounded at the bin count) — the profiler's distribution view
+    "q_histogram" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("value")).filter(col("value").isNotNull)
+      val st = broadcast(ev.agg(min(col("value")).as("mn"),
+        max(col("value")).as("mx")))
+      val nb = 20
+      ev.crossJoin(st)
+        .select(least(floor((col("value") - col("mn")) /
+            (col("mx") - col("mn")) * lit(nb.toDouble)),
+          lit((nb - 1).toDouble)).cast("int").as("bin"),
+          col("mn"), col("mx"))
+        .groupBy(col("bin"), col("mn"), col("mx"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"),
+          round(col("mn") + col("bin").cast("double") *
+            ((col("mx") - col("mn")) / lit(nb.toDouble)), 6).as("lo"),
+          round(col("mn") + (col("bin").cast("double") + lit(1.0)) *
+            ((col("mx") - col("mn")) / lit(nb.toDouble)), 6).as("hi"),
+          col("n"))
+        .orderBy("bin")
+    }),
+
     // grouped z-score anomaly flags: per-event-type moment sketch
     // (n, Σx, Σx²) + broadcast join back — no per-group window funnel
     // (ops.Anomaly scale note); emits the flagged rows
@@ -1226,6 +1251,24 @@ object RelationalQueries {
         |SELECT 'unique_orderkey',
         |       count(*) - count(DISTINCT o_orderkey) FROM orders
         |ORDER BY check_name""".stripMargin,
+
+    // identical bin arithmetic: (v-mn)/(mx-mn)*20 floored, top edge
+    // clamped into the last bin
+    "q_histogram" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT min(value) AS mn, max(value) AS mx FROM v),
+        |b AS (SELECT CAST(least(floor((value - mn) / (mx - mn)
+        |                              * CAST(20 AS DOUBLE)),
+        |                        CAST(19 AS DOUBLE)) AS INT) AS bin,
+        |             mn, mx
+        |      FROM v CROSS JOIN st)
+        |SELECT bin,
+        |       round(mn + CAST(bin AS DOUBLE)
+        |             * ((mx - mn) / CAST(20 AS DOUBLE)), 6) AS lo,
+        |       round(mn + (CAST(bin AS DOUBLE) + CAST(1 AS DOUBLE))
+        |             * ((mx - mn) / CAST(20 AS DOUBLE)), 6) AS hi,
+        |       count(*) AS n
+        |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin,
 
     // same moment-sketch shapes as ops.Anomaly: DECIMAL-exact sums,
     // identical-operand double z, variance-guarded CASE (NaN would
