@@ -40,7 +40,11 @@ object Anomaly {
     df.groupBy(col(group)).agg(
       count(col(valueCol)).cast("double").as("_n"),
       sum(col(valueCol).cast(DecimalType(30, 12))).cast("double").as("_s"),
-      sum((col(valueCol) * col(valueCol)).cast(DecimalType(38, 24)))
+      // 26 integer digits: Σx² stays finite for |x| up to ~1e10 over
+      // trillion-row groups. At scale 24 only 14 integer digits remain
+      // and the Spark decimal sum silently NULLs on overflow (every
+      // row unflagged) while the oracle errors — a silent divergence.
+      sum((col(valueCol) * col(valueCol)).cast(DecimalType(38, 12)))
         .cast("double").as("_sq"))
 
   /** Score rows against previously-fitted stats — the APPLY half;

@@ -27,9 +27,10 @@ import org.apache.spark.sql.types.DecimalType
   * static node table. Lineage is cut every round (localCheckpoint) —
   * without the cut the plan doubles per iteration and the analyzer
   * dies long before the executors work (see connectedComponents
-  * note). Loop shuffle width is right-sized to the edge count and
-  * restored afterwards, so a small graph doesn't pay corpus-width
-  * task scheduling and a 100-TB edge set keeps full parallelism.
+  * note). Loop shuffle width is right-sized to the edge count via
+  * explicit repartition/pin on the loop's own dataflow (no session
+  * conf mutation), so a small graph doesn't pay corpus-width task
+  * scheduling and a 100-TB edge set keeps full parallelism.
   */
 object PageRank {
 
@@ -69,11 +70,14 @@ object PageRank {
     // min over two longs; a 1M-edge PageRank at 2 partitions left 30
     // of 32 cores idle and tripled the query time). Capped at the
     // session setting so a 100-TB edge set keeps full parallelism.
+    // Width is applied with explicit repartition/pin on the loop's
+    // dataflow, NEVER via spark.sql.shuffle.partitions: mutating the
+    // session conf would race concurrent queries on the same session
+    // (e.g. Hyperband's threaded config evaluation).
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
       nEdges / 65536L + 1L)).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+
       // The edge table is the loop's big invariant input, so it is
       // cached hash-partitioned AND sorted on the join key via
       // Pins.pin — a persist, NOT a checkpoint: InMemoryTableScan
@@ -113,12 +117,22 @@ object PageRank {
       var ranks = nodes.withColumn("m", lit(1.0)).localCheckpoint(true)
       var it = 0
       while (it < iters) {
-        // m/od per out-edge, summed exactly per destination
+        // m/od per out-edge, summed exactly per destination. The
+        // explicit repartition pins the aggregation's shuffle width to
+        // loopParts (the join itself inherits loopParts from the
+        // pinned edge table); the final agg then needs no exchange.
+        // Trade-off vs a conf-width groupBy: partial aggregation runs
+        // above the repartition, so the shuffle carries per-edge rows
+        // uncombined — benched at sf0.1 to confirm parity before
+        // dropping the session-conf mutation.
         val contrib = ranks.filter(col("od") > 0)
           .join(e, Seq("node"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum((col("m") / col("od").cast("double"))
-            .cast(DecimalType(38, 15))).cast("double").as("c"))
+          .select(col("dst").as("node"),
+            (col("m") / col("od").cast("double"))
+              .cast(DecimalType(38, 15)).as("_mc"))
+          .repartition(loopParts, col("node"))
+          .groupBy(col("node"))
+          .agg(sum(col("_mc")).cast("double").as("c"))
         // dangling mass: 1 row, broadcast back — never a driver value
         val dang = ranks.filter(col("od") === 0)
           .agg(coalesce(sum(col("m").cast(DecimalType(38, 15)))
@@ -142,9 +156,6 @@ object PageRank {
           .localCheckpoint(true)
         it += 1
       }
-      ranks.select(col("node"), col("od"), col("m"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
-    }
+    ranks.select(col("node"), col("od"), col("m"))
   }
 }

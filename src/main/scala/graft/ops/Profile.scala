@@ -38,6 +38,7 @@ object Profile {
   def summarize(df: DataFrame, cols: Seq[String],
                 decScale: Int = 6,
                 exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "summarize needs at least one column to profile")
     require(cols.forall(!_.contains("__")),
       "profiled column names must not contain '__' (the metric separator)")
     val fields = cols.map(c => c -> df.schema(c).dataType)
@@ -67,9 +68,11 @@ object Profile {
       val Array(c, m) = w.split("__", 2)
       s"'$c', '$m', `$w`"
     }.mkString(", ")
+    // Null metric values (e.g. min of an all-null column) are emitted
+    // as rows, not filtered: the profile's row set is the fixed
+    // (column × metric) grid, matching the oracle's UNION ALL shape.
     wide.select(expr(
-        s"stack(${wide.columns.length}, $pairs) AS (col_name, metric, value)"))
-      .filter(col("value").isNotNull)
+      s"stack(${wide.columns.length}, $pairs) AS (col_name, metric, value)"))
   }
 }
 

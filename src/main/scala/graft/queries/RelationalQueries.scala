@@ -1065,9 +1065,9 @@ object RelationalQueries {
         |           GROUP BY user_id),
         |     d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
         |SELECT day, new_users,
-        |       sum(new_users) OVER (ORDER BY day
+        |       CAST(sum(new_users) OVER (ORDER BY day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS cum_users
+        |         AS BIGINT) AS cum_users
         |FROM d ORDER BY day""".stripMargin,
 
     // lag window + (from, to) counts + row-normalization
@@ -1224,17 +1224,18 @@ object RelationalQueries {
     // QualityChecks.run
     "q_dq_checks" ->
       """SELECT 'accepted_orderstatus' AS check_name,
-        |       sum(CASE WHEN o_orderstatus IS NOT NULL
+        |       CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
         |                 AND o_orderstatus NOT IN ('O','F','P')
-        |                THEN 1 ELSE 0 END) AS violations FROM orders
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
         |UNION ALL
         |SELECT 'complete_user_id',
-        |       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+        |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) FROM events
         |UNION ALL
         |SELECT 'range_discount',
-        |       sum(CASE WHEN l_discount IS NOT NULL
+        |       CAST(sum(CASE WHEN l_discount IS NOT NULL
         |                 AND (l_discount < 0.0 OR l_discount > 0.1)
-        |                THEN 1 ELSE 0 END) FROM lineitem
+        |                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         |UNION ALL
         |SELECT 'ref_lineitem_orders', count(*)
         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1276,8 +1277,10 @@ object RelationalQueries {
     "q_anomaly_zscore" ->
       """WITH st AS (SELECT event_type,
         |    CAST(count(value) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS s,
-        |    CAST(sum(CAST(value*value AS DECIMAL(38,24))) AS DOUBLE) AS sq
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(30,12))) AS VARCHAR)
+        |         AS DOUBLE) AS s,
+        |    CAST(CAST(sum(CAST(value*value AS DECIMAL(38,12))) AS VARCHAR)
+        |         AS DOUBLE) AS sq
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type, e.value, z FROM (
         |  SELECT e.event_id, e.event_type, e.value,
@@ -1381,8 +1384,9 @@ object RelationalQueries {
            |                   THEN 1 ELSE 0 END AS nb
            |       FROM ${n}0
            |       WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-           |${n}2 AS (SELECT *, sum(nb) OVER
-           |         (PARTITION BY user_id ORDER BY t, event_id) AS sn
+           |${n}2 AS (SELECT *, CAST(sum(nb) OVER
+           |         (PARTITION BY user_id ORDER BY t, event_id)
+           |         AS BIGINT) AS sn
            |       FROM ${n}1),
            |$n AS (SELECT user_id, sn, min(t) AS s, max(t) AS e
            |       FROM ${n}2 GROUP BY user_id, sn)""".stripMargin
@@ -1404,8 +1408,9 @@ object RelationalQueries {
         |                  THEN 1 ELSE 0 END AS nb
         |           FROM e
         |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-        |     s AS (SELECT *, sum(nb) OVER
-        |             (PARTITION BY user_id ORDER BY t, event_id) AS session_no
+        |     s AS (SELECT *, CAST(sum(nb) OVER
+        |             (PARTITION BY user_id ORDER BY t, event_id)
+        |             AS BIGINT) AS session_no
         |           FROM b)
         |SELECT user_id, session_no, min(t) AS start_us, max(t) AS end_us,
         |       count(*) AS n_events,

@@ -906,8 +906,10 @@ object TextQueries {
         |           FROM documents WHERE lang IN ('en', 'de')),
         |t2 AS (SELECT slice, tok FROM t WHERE tok <> ''),
         |c AS (SELECT tok,
-        |        sum(CASE WHEN slice = 'en' THEN 1 ELSE 0 END) AS ca,
-        |        sum(CASE WHEN slice = 'de' THEN 1 ELSE 0 END) AS cb
+        |        CAST(sum(CASE WHEN slice = 'en' THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS ca,
+        |        CAST(sum(CASE WHEN slice = 'de' THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS cb
         |      FROM t2 GROUP BY tok),
         |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
         |               CAST(sum(cb) AS DOUBLE) AS nb,

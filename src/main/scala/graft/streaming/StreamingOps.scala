@@ -30,6 +30,13 @@ final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
   */
 object StreamingOps {
 
+  /** Read schema for the CURRENT testdata vintage (timestamp[us] →
+    * TIMESTAMP_NTZ). Streaming reads need an explicit schema, so the
+    * old TIMESTAMP(NANOS) vintage (scanned as raw-nanos BIGINT under
+    * `nanosAsLong`) cannot be auto-detected here — use
+    * [[eventsReadSchema]], which peeks at the files with a one-off
+    * batch scan, when the vintage is unknown.
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType), // parquet timestamp[us]
@@ -37,6 +44,18 @@ object StreamingOps {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Vintage-aware read schema for a concrete `events` parquet path:
+    * a footer-only batch scan yields the dtype Spark will actually
+    * surface for `ts` (LongType raw-nanos vs TimestampNTZType), and
+    * the streaming read schema mirrors it so [[withTs]]'s dtype
+    * branch stays correct on either vintage.
+    */
+  def eventsReadSchema(spark: SparkSession, path: String): StructType = {
+    val scanned = spark.read.parquet(path).schema
+    StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = scanned("ts").dataType) else f))
+  }
 
   /** Normalize `ts` to session-zone TimestampType; schema-aware so the
     * same entry point serves both testdata vintages (raw-nanos BIGINT

@@ -26,9 +26,24 @@ def norm(v):
     return str(v)
 
 
-def table_of(con, sql):
+def table_of(con, sql, oracle=False):
     rel = con.sql(sql)
     cols = rel.columns
+    if oracle:
+        # The driver's comparator goes through pandas, where DuckDB
+        # HUGEINT (the result type of sum() over ANY integer, including
+        # BIGINT, and of integer window sums) converts to float64 —
+        # "3.0" vs the Spark side's "3". An oracle emitting HUGEINT is
+        # therefore a guaranteed driver-hash mismatch even when values
+        # are identical. Root-caused round 9 (CORRECTNESS_r08: the five
+        # hash-red queries were exactly the five HUGEINT-emitting
+        # oracles). Fix the SQL with CAST(sum(...) AS BIGINT).
+        hug = [c for c, t in zip(cols, rel.types) if "HUGEINT" in str(t)]
+        if hug:
+            raise ValueError(
+                f"oracle emits HUGEINT column(s) {hug} — wrap the sum() "
+                "in CAST(... AS BIGINT) or the driver gate will "
+                "hash-mismatch via pandas float64 conversion")
     rows = rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
@@ -56,7 +71,7 @@ def main():
         try:
             got_cols, got = table_of(
                 con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            want_cols, want = table_of(con, sql)
+            want_cols, want = table_of(con, sql, oracle=True)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
