@@ -89,7 +89,7 @@ object Bench {
     // are hot), so those queries get ONE re-measure at the END of the
     // run — far from whatever disturbed their window — and report the
     // min of all observations.
-    val results = measured.map { case (name, (cold, warm)) =>
+    val guarded = measured.map { case (name, (cold, warm)) =>
       if (cold >= 0 && warm > math.max(2.0 * cold, cold + 1.0)) {
         val re = swept {
           try once(name)
@@ -100,6 +100,29 @@ object Bench {
         }
         System.err.println(f"[bench] $name warm outlier " +
           f"(cold=$cold%.2f warm=$warm%.2f) re-measured=$re%.2f")
+        name -> (cold, math.min(warm, re))
+      } else name -> (cold, warm)
+    }
+    // End-of-run settle pass: a transient (GC / IO / co-tenant
+    // pressure) spanning a query's ENTIRE measurement window — cold
+    // and both warm runs — defeats both the min-of-2 and the outlier
+    // guard above (the r8 driver run recorded 6.63 s for a 0.2 s
+    // single-shuffle aggregate this way; cold was equally polluted so
+    // the warm>2×cold test never fired). Every query still reading
+    // ≥ 1 s gets ONE more measurement at the end of the run, far from
+    // its original window; the min of all observations is reported.
+    // Bounded cost: only the handful of genuinely-slow queries pay it.
+    val results = guarded.map { case (name, (cold, warm)) =>
+      if (cold >= 0 && warm >= 1.0) {
+        val re = swept {
+          try once(name)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name settle FAILED: $e")
+            Double.MaxValue
+          }
+        }
+        if (re < warm)
+          System.err.println(f"[bench] $name settle $warm%.2f -> $re%.2f")
         name -> (cold, math.min(warm, re))
       } else name -> (cold, warm)
     } ++ Map("_setup" -> (setupSec, setupSec))

@@ -36,39 +36,79 @@ object Tables {
     p.table(spark, dir, name)
   }
 
-  /** Normalize an events `ts` column to session-zone TimestampType,
-    * robust to both driver testdata vintages: TIMESTAMP(NANOS) read as
-    * a raw-nanos BIGINT (needs `spark.sql.legacy.parquet.nanosAsLong=
-    * true`, set by the Verify/Bench/test sessions) and the current
-    * timestamp[us] written as TIMESTAMP_NTZ. Sessions run with
-    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast is
-    * value-preserving and `unix_micros` reads the same epoch the
-    * DuckDB oracle's `epoch_us(ts)` does.
+  /** The NTZ epoch literal — anchor for timezone-free epoch
+    * arithmetic on TIMESTAMP_NTZ columns.
+    */
+  def ntzEpoch: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    to_timestamp_ntz(lit("1970-01-01 00:00:00"))
+  }
+
+  /** Epoch micros of a TIMESTAMP_NTZ column, treating the wall-clock
+    * value as UTC — identical to DuckDB's `epoch_us(naive ts)` under
+    * ANY Spark session timezone. (The obvious
+    * `unix_micros(cast(ts as timestamp))` interprets the wall time in
+    * the SESSION zone and shifts by its offset; `timestamp_diff`
+    * against the NTZ epoch never consults the session zone.)
+    */
+  def ntzMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    timestamp_diff("MICROSECOND", ntzEpoch, c)
+  }
+
+  /** Truncate a TIMESTAMP_NTZ column to a whole multiple of `unitUs`
+    * microseconds (hour = 3600e6, day = 86400e6) — the timezone-free
+    * replacement for `date_trunc`, which casts NTZ through the
+    * session zone. `anchorUs` shifts the grid (ISO weeks anchor on
+    * Monday 1969-12-29 = −3 days). Assumes post-1970 data (`div`
+    * truncates toward zero).
+    */
+  def truncNtz(c: org.apache.spark.sql.Column, unitUs: Long,
+               anchorUs: Long = 0L): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    timestamp_add("MICROSECOND",
+      ((ntzMicros(c) - lit(anchorUs)).divide(lit(unitUs)).cast("long") *
+        lit(unitUs)) + lit(anchorUs), ntzEpoch)
+  }
+
+  /** Normalize an events `ts` column to TIMESTAMP_NTZ, robust to both
+    * driver testdata vintages: TIMESTAMP(NANOS) read as a raw-nanos
+    * BIGINT (needs `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * the Verify/Bench/test sessions — a no-op on µs files) and the
+    * current timestamp[us] written as TIMESTAMP_NTZ. NTZ is kept NTZ
+    * (no session-zone cast), so every downstream epoch/trunc
+    * computation — and the parquet bytes Verify writes — is identical
+    * under ANY session timezone, matching the DuckDB oracle's
+    * naive-timestamp semantics. A genuine TimestampType (instant)
+    * column passes through unchanged.
     */
   def normTs(df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
+      case LongType =>
+        timestamp_add("MICROSECOND", expr("ts div 1000"), ntzEpoch)
       case TimestampType => col("ts")
-      case _ => col("ts").cast(TimestampType)
+      case TimestampNTZType => col("ts")
+      case _ => col("ts").cast(TimestampNTZType)
     }
   }
 
   /** events `ts` as epoch-microsecond BIGINT (schema-aware twin of
     * [[normTs]] — the form the interval/as-of/sessionize queries key
-    * arithmetic on).
+    * arithmetic on). Timezone-free on every vintage.
     */
   def tsMicros(df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     df.schema("ts").dataType match {
       case LongType => expr("ts div 1000")
-      case _ => unix_micros(normTs(df))
+      case TimestampType => unix_micros(col("ts"))
+      case _ => ntzMicros(normTs(df))
     }
   }
 
-  /** `events` with `ts` surfaced as a proper TimestampType column. */
+  /** `events` with `ts` surfaced as a TIMESTAMP_NTZ column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
     df.withColumn("ts", normTs(df))

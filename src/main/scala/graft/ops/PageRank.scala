@@ -117,22 +117,18 @@ object PageRank {
       var ranks = nodes.withColumn("m", lit(1.0)).localCheckpoint(true)
       var it = 0
       while (it < iters) {
-        // m/od per out-edge, summed exactly per destination. The
-        // explicit repartition pins the aggregation's shuffle width to
-        // loopParts (the join itself inherits loopParts from the
-        // pinned edge table); the final agg then needs no exchange.
-        // Trade-off vs a conf-width groupBy: partial aggregation runs
-        // above the repartition, so the shuffle carries per-edge rows
-        // uncombined — benched at sf0.1 to confirm parity before
-        // dropping the session-conf mutation.
+        // m/od per out-edge, summed exactly per destination: a plain
+        // map-side-combined groupBy — the shuffle carries one combined
+        // row per (task, dst), not per edge. Its exchange runs at
+        // session width (an explicit repartition would pin the width
+        // but push the partial agg above the exchange, shipping raw
+        // edge rows); the join feeding it runs at loopParts via the
+        // pinned edge table, which is where the width matters.
         val contrib = ranks.filter(col("od") > 0)
           .join(e, Seq("node"))
-          .select(col("dst").as("node"),
-            (col("m") / col("od").cast("double"))
-              .cast(DecimalType(38, 15)).as("_mc"))
-          .repartition(loopParts, col("node"))
-          .groupBy(col("node"))
-          .agg(sum(col("_mc")).cast("double").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum((col("m") / col("od").cast("double"))
+            .cast(DecimalType(38, 15))).cast("double").as("c"))
         // dangling mass: 1 row, broadcast back — never a driver value
         val dang = ranks.filter(col("od") === 0)
           .agg(coalesce(sum(col("m").cast(DecimalType(38, 15)))

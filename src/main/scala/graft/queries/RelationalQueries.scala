@@ -757,14 +757,15 @@ object RelationalQueries {
     // classic product-analytics rollup (no windows, no self-join)
     "q_cohort_retention" -> ((s, dir) => {
       val weeks = Tables.events(s, dir)
-        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .select(col("user_id"), Tables.truncNtz(col("ts"), 7L * 86400000000L,
+          anchorUs = -3L * 86400000000L).as("wk"))
       val cohort = weeks.groupBy(col("user_id"))
         .agg(min(col("wk")).as("cohort_wk"))
       weeks.distinct().join(cohort, Seq("user_id"))
         .groupBy(col("cohort_wk"), col("wk"))
         .agg(countDistinct(col("user_id")).as("n_users"))
-        .select(unix_micros(col("cohort_wk")).as("cohort_us"),
-          unix_micros(col("wk")).as("week_us"), col("n_users"))
+        .select(Tables.ntzMicros(col("cohort_wk")).as("cohort_us"),
+          Tables.ntzMicros(col("wk")).as("week_us"), col("n_users"))
         .orderBy("cohort_us", "week_us")
     }),
 
@@ -834,7 +835,7 @@ object RelationalQueries {
         .rangeBetween(-hourUs, 0)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
+          Tables.ntzMicros(col("ts")).as("ts_us"),
           col("value").cast(DecimalType(18, 6)).as("v"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           count(lit(1)).over(w).as("n_1h"),
@@ -864,9 +865,9 @@ object RelationalQueries {
         .agg(min(col("tv")).as("tv"), min(col("tc")).as("tc"),
           min(col("tp")).as("tp"))
         .select(col("user_id"),
-          unix_micros(col("tv")).as("view_us"),
-          unix_micros(col("tc")).as("click_us"),
-          unix_micros(col("tp")).as("purchase_us"),
+          Tables.ntzMicros(col("tv")).as("view_us"),
+          Tables.ntzMicros(col("tc")).as("click_us"),
+          Tables.ntzMicros(col("tp")).as("purchase_us"),
           when(col("tp").isNotNull, 3).when(col("tc").isNotNull, 2)
             .when(col("tv").isNotNull, 1).otherwise(0).as("stage"))
         .orderBy("user_id")

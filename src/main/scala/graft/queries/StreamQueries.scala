@@ -15,7 +15,7 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> ((s, dir) =>
       StreamingOps.tumblingHourly(Tables.events(s, dir))
-        .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+        .select(Tables.ntzMicros(col("hour")).as("hour_us"), col("event_type"),
           col("n"), round(col("sum_value"), 6).as("sum_value"))
         .orderBy("hour_us", "event_type")),
 
@@ -26,7 +26,7 @@ object StreamQueries {
     // sliding 1h windows every 15min (each event in 4 windows)
     "q_stream_sliding" -> ((s, dir) =>
       StreamingOps.slidingHourly(Tables.events(s, dir))
-        .select(unix_micros(col("wstart")).as("wstart_us"), col("event_type"),
+        .select(Tables.ntzMicros(col("wstart")).as("wstart_us"), col("event_type"),
           col("n"), round(col("sum_value"), 6).as("sum_value"))
         .orderBy("wstart_us", "event_type")),
 
@@ -59,11 +59,11 @@ object StreamQueries {
     "q_stream_hll" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       StreamingOps.approxUsersHourly(ev)
-        .join(ev.select(date_trunc("hour", col("ts")).as("hour"),
+        .join(ev.select(Tables.truncNtz(col("ts"), 3600000000L).as("hour"),
             col("user_id")).distinct()
           .groupBy(col("hour")).agg(count(lit(1)).as("exact_users")),
           Seq("hour"))
-        .select(unix_micros(col("hour")).as("hour_us"), col("est_users"),
+        .select(Tables.ntzMicros(col("hour")).as("hour_us"), col("est_users"),
           col("exact_users"), col("n_events"))
         .orderBy("hour_us")
     }),
@@ -75,7 +75,7 @@ object StreamQueries {
     // regime is spec-tested; StreamingSpec proves micro-batch merge)
     "q_stream_hh" -> ((s, dir) =>
       StreamingOps.topUsersHourly(Tables.events(s, dir))
-        .select(unix_micros(col("hour")).as("hour_us"), col("term"),
+        .select(Tables.ntzMicros(col("hour")).as("hour_us"), col("term"),
           col("cnt"))
         .orderBy("hour_us", "term")))
 

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+import graft.core.Tables
+
 /** Event projection consumed by the stateful per-user operators. */
 final case class UserEvent(user_id: Long, value: Double)
 
@@ -57,26 +59,46 @@ object StreamingOps {
       if (f.name == "ts") f.copy(dataType = scanned("ts").dataType) else f))
   }
 
-  /** Normalize `ts` to session-zone TimestampType; schema-aware so the
-    * same entry point serves both testdata vintages (raw-nanos BIGINT
-    * vs timestamp[us]) — see [[graft.core.Tables.normTs]].
+  /** Normalize `ts` to TIMESTAMP_NTZ; schema-aware so the same entry
+    * point serves both testdata vintages (raw-nanos BIGINT vs
+    * timestamp[us]) — see [[graft.core.Tables.normTs]]. NTZ in, NTZ
+    * out: no session-timezone dependence anywhere downstream.
     */
   def withTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", graft.core.Tables.normTs(df))
+    df.withColumn("ts", Tables.normTs(df))
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Structured Streaming event time must be TimestampType
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so the streaming
+    * flavors convert at entry — TZ-FREE: the instant is built as
+    * wall-as-UTC via `timestamp_micros(ntzMicros(ts))`, never an
+    * NTZ→LTZ session-zone cast. window()/watermark arithmetic on
+    * instants is pure epoch math, so emitted window starts carry the
+    * same epochs the batch flavors' NTZ truncations do. A ts that is
+    * already an instant (or raw-nanos BIGINT) normalizes through the
+    * same schema-aware branch.
+    */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case _ => df.withColumn("ts",
+        timestamp_micros(Tables.tsMicros(df)))
+    }
 
   /** Tumbling 1-hour aggregation; identical plan for batch input and
     * readStream input.
     */
   def tumblingHourly(events: DataFrame): DataFrame =
     events.groupBy(
-        date_trunc("hour", col("ts")).as("hour"),
+        Tables.truncNtz(col("ts"), HourUs).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(30, 12))).cast("double").as("sum_value"))
 
   /** Streaming flavor: explicit window() + watermark (append-ready). */
   def tumblingHourlyStream(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours")
+    withEventTime(events).withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(30, 12))).cast("double").as("sum_value"))
@@ -153,9 +175,9 @@ object StreamingOps {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    gapUs: Long): DataFrame = {
     val l = left.select(col(key), col("event_id").as("l_id"),
-      unix_micros(col("ts")).as("l_us"))
+      Tables.ntzMicros(col("ts")).as("l_us"))
     val r = right.select(col(key), col("event_id").as("r_id"),
-      unix_micros(col("ts")).as("r_us"))
+      Tables.ntzMicros(col("ts")).as("r_us"))
     l.join(r, Seq(key))
       .filter(col("r_us") >= col("l_us") &&
         col("r_us") - col("l_us") <= gapUs)
@@ -171,9 +193,9 @@ object StreamingOps {
     */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
                          gapUs: Long): DataFrame = {
-    val l = left.select(col(key), col("event_id").as("l_id"),
+    val l = withEventTime(left).select(col(key), col("event_id").as("l_id"),
       col("ts").as("l_ts")).withWatermark("l_ts", "1 hour")
-    val r = right.select(col(key).as("r_key"), col("event_id").as("r_id"),
+    val r = withEventTime(right).select(col(key).as("r_key"), col("event_id").as("r_id"),
       col("ts").as("r_ts")).withWatermark("r_ts", "1 hour")
     l.join(r,
         col(key) === col("r_key") && col("r_ts") >= col("l_ts") &&
@@ -379,7 +401,7 @@ object StreamingOps {
     * readStream input via [[approxUsersHourlyStream]].
     */
   def approxUsersHourly(events: DataFrame): DataFrame =
-    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+    events.groupBy(Tables.truncNtz(col("ts"), HourUs).as("hour"))
       .agg(graft.functions.HllAgg.hll_est(col("user_id"), 11L).as("est_users"),
         count(lit(1)).as("n_events"))
 
@@ -387,7 +409,7 @@ object StreamingOps {
     * the HLL buffer IS the aggregation state in the state store.
     */
   def approxUsersHourlyStream(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours")
+    withEventTime(events).withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(graft.functions.HllAgg.hll_est(col("user_id"), 11L).as("est_users"),
         count(lit(1)).as("n_events"))
@@ -405,7 +427,7 @@ object StreamingOps {
     */
   def topUsersHourly(events: DataFrame): DataFrame =
     events.filter(col("user_id").isNotNull)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(Tables.truncNtz(col("ts"), HourUs).as("hour"))
       .agg(graft.functions.MisraGries.heavy_hitters(
         col("user_id").cast("string"), 512).as("hh"))
       .select(col("hour"), explode(col("hh")).as("e"))
@@ -417,7 +439,7 @@ object StreamingOps {
     * the mergeable-summaries reduction.
     */
   def topUsersHourlyStream(events: DataFrame): DataFrame =
-    events.filter(col("user_id").isNotNull)
+    withEventTime(events.filter(col("user_id").isNotNull))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(graft.functions.MisraGries.heavy_hitters(
@@ -432,17 +454,17 @@ object StreamingOps {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
     val marked = events
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("prev_us", lag(Tables.ntzMicros(col("ts")), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          Tables.ntzMicros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
       .withColumn("session_id",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
     marked.groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        min(unix_micros(col("ts"))).as("start_us"),
-        max(unix_micros(col("ts"))).as("end_us"))
+        min(Tables.ntzMicros(col("ts"))).as("start_us"),
+        max(Tables.ntzMicros(col("ts"))).as("end_us"))
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_us"), col("end_us"),
         (col("end_us") - col("start_us")).as("duration_us"))

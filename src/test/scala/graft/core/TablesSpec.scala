@@ -2,14 +2,18 @@ package graft.core
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Both driver-testdata vintages of `events.ts` must normalize to the
-  * same timestamp/micros values: raw-nanos BIGINT (the
+  * same NTZ timestamp / epoch-micros values: raw-nanos BIGINT (the
   * TIMESTAMP(NANOS)-under-nanosAsLong read) and timestamp[us]
-  * (TIMESTAMP_NTZ read). Sessions run UTC, so the casts are
-  * value-preserving.
+  * (TIMESTAMP_NTZ read). The normalization is timezone-FREE — every
+  * epoch/trunc computation goes through NTZ arithmetic
+  * (timestamp_diff/timestamp_add against the NTZ epoch), never an
+  * NTZ→LTZ session-zone cast — so a vanilla SparkSession with any
+  * `spark.sql.session.timeZone` computes identical values (pinned by
+  * the cross-session test below).
   */
 class TablesSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -21,8 +25,8 @@ class TablesSpec extends AnyFunSuite {
     val df = Seq(micros * 1000 + 789).toDF("ts") // sub-µs nanos truncate
     assert(df.schema("ts").dataType == LongType)
     val ts = df.select(Tables.normTs(df).as("ts"))
-    assert(ts.schema("ts").dataType == TimestampType)
-    assert(ts.select(unix_micros(col("ts"))).head().getLong(0) == micros)
+    assert(ts.schema("ts").dataType == TimestampNTZType)
+    assert(ts.select(Tables.ntzMicros(col("ts"))).head().getLong(0) == micros)
     assert(df.select(Tables.tsMicros(df)).head().getLong(0) == micros)
   }
 
@@ -30,13 +34,62 @@ class TablesSpec extends AnyFunSuite {
     import spark.implicits._
     val ntz = Seq(micros).toDF("us")
       .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
-    assert(ntz.select(Tables.normTs(ntz).as("ts"))
-      .select(unix_micros(col("ts"))).head().getLong(0) == micros)
+    val normed = ntz.select(Tables.normTs(ntz).as("ts"))
+    assert(normed.schema("ts").dataType == TimestampNTZType)
+    assert(normed.select(Tables.ntzMicros(col("ts"))).head().getLong(0)
+      == micros)
     assert(ntz.select(Tables.tsMicros(ntz)).head().getLong(0) == micros)
+    // a genuine instant column passes through and keeps its epoch
     val ltz = Seq(micros).toDF("us")
       .select(timestamp_micros(col("us")).as("ts"))
-    assert(ltz.select(Tables.normTs(ltz).as("ts"))
-      .select(unix_micros(col("ts"))).head().getLong(0) == micros)
+    assert(ltz.select(Tables.normTs(ltz).as("ts")).schema("ts").dataType
+      == TimestampType)
     assert(ltz.select(Tables.tsMicros(ltz)).head().getLong(0) == micros)
+  }
+
+  test("truncNtz: hour floor and Monday-anchored week floor") {
+    import spark.implicits._
+    val df = Seq(micros).toDF("us")
+      .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+    val hourUs = 3600L * 1000000L
+    val hour = df.select(
+      Tables.ntzMicros(Tables.truncNtz(col("ts"), hourUs))).head().getLong(0)
+    assert(hour == (micros / hourUs) * hourUs)
+    // 2024-01-25 is a Thursday; its ISO week starts Monday 2024-01-22
+    val week = df.select(Tables.ntzMicros(Tables.truncNtz(col("ts"),
+      7L * 86400000000L, anchorUs = -3L * 86400000000L))).head().getLong(0)
+    assert(week == 1705881600000000L) // 2024-01-22T00:00:00Z
+  }
+
+  test("ts arithmetic is identical under a non-UTC session timezone") {
+    // A cloned session running America/New_York must produce the SAME
+    // epochs, dates, and truncations as the UTC test session — the
+    // self-sufficiency contract for query functions handed a vanilla
+    // SparkSession (driver-gate robustness).
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val dir = "/root/testdata/sf0.001"
+    def probe(s: org.apache.spark.sql.SparkSession): Seq[(Long, String, Long)] = {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_id") <= 50)
+        .select(col("event_id"),
+          to_date(col("ts")).cast("string").as("d"),
+          Tables.ntzMicros(Tables.truncNtz(col("ts"), 3600L * 1000000L))
+            .as("hour_us"))
+        .orderBy("event_id")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    }
+    val utcRows = probe(spark)
+    val nyRows = probe(ny)
+    assert(utcRows.nonEmpty)
+    assert(utcRows == nyRows)
+    val utcMicros = Tables.eventsMicros(spark, dir)
+      .filter(col("event_id") <= 50).orderBy("event_id")
+      .select(col("ts")).collect().map(_.getLong(0)).toSeq
+    val nyMicros = Tables.eventsMicros(ny, dir)
+      .filter(col("event_id") <= 50).orderBy("event_id")
+      .select(col("ts")).collect().map(_.getLong(0)).toSeq
+    assert(utcMicros == nyMicros)
   }
 }

@@ -27,7 +27,7 @@ class FormatSourcesSpec extends AnyFunSuite {
         Tables.load(spark, tmp, "documents"), "doc_id", "text")
       // array<float> embedding column survives byte-for-byte
       val embOrc = Tables.load(spark, tmp, "embeddings")
-      // timestamp column survives (written post-normTs as TimestampType)
+      // timestamp column survives (written post-normTs as TIMESTAMP_NTZ)
       val evOrc = Tables.load(spark, tmp, "events")
       spark.conf.unset(Tables.SourceKey)
       val viaParquet = graft.ops.Dedup.exactGroups(docs, "doc_id", "text")
@@ -36,7 +36,7 @@ class FormatSourcesSpec extends AnyFunSuite {
       assert(viaParquet.exceptAll(viaOrc).count() == 0)
       assert(embOrc.exceptAll(emb).count() == 0)
       assert(evOrc.schema("ts").dataType ==
-        org.apache.spark.sql.types.TimestampType)
+        org.apache.spark.sql.types.TimestampNTZType)
       assert(evOrc.exceptAll(ev).count() == 0)
     } finally spark.conf.unset(Tables.SourceKey)
   }

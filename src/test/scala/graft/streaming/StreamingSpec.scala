@@ -49,8 +49,9 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))
-    val stream = StreamingOps.withTs(spark.readStream
-      .schema(StreamingOps.eventsSchema).parquet(tmp.toString))
+    val stream = StreamingOps.withEventTime(StreamingOps.withTs(
+      spark.readStream
+        .schema(StreamingOps.eventsSchema).parquet(tmp.toString)))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -487,7 +488,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming windowed heavy-hitters merges sketches across micro-batches") {
     val batch = StreamingOps.topUsersHourly(Tables.events(spark, dir))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .select(Tables.ntzMicros(col("hour")).as("h"), col("term"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
       .toMap
 
     // two copies, one file per micro-batch: in the exact regime the
@@ -514,7 +516,8 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
 
     val got = spark.table("hh_out")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .select(unix_micros(col("hour")).as("h"), col("term"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
       .toMap
     assert(got.keySet == batch.keySet && got.nonEmpty)
     got.foreach { case (k, c) =>
