@@ -106,4 +106,44 @@ class PlanSpec extends AnyFunSuite {
       Tables.load(spark, dir, "documents"), "doc_id", 5))
     assert(!p.contains("Exchange"), s"kfold shuffles in:\n$p")
   }
+
+  test("NTZ epoch arithmetic keeps scan pushdown and column pruning") {
+    // the timezone-free tsMicros (timestamp_diff against the NTZ
+    // epoch) must not block predicate pushdown on sibling columns or
+    // widen the read schema
+    val ev = Tables.eventsMicros(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val p = plan(ev)
+    Seq("IsNotNull(user_id)", "IsNotNull(event_type)",
+        "EqualTo(event_type,click)").foreach(f =>
+      assert(p.contains(f), s"filter $f not pushed in:\n$p"))
+    assert(p.contains("ReadSchema: struct<ts:"),
+      s"unexpected read schema in:\n$p")
+    assert(!p.contains("props"), s"scan reads unused columns in:\n$p")
+  }
+
+  test("NTZ hour truncation groups inside whole-stage codegen") {
+    // truncNtz is pure timestamp_diff/timestamp_add arithmetic — the
+    // tumbling aggregation must stay a codegen'd scan+agg, no UDF
+    val df = graft.streaming.StreamingOps.tumblingHourly(
+      Tables.events(spark, dir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the final plan tree
+    assert(p.contains("isFinalPlan=true") && p.contains("*(") &&
+      p.contains("HashAggregate"), s"no codegen span in:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"non-codegen eval in:\n$p")
+  }
+
+  test("PageRank leaves the session shuffle-partitions conf untouched") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    graft.ops.PageRank.ranks(edges, iters = 2).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "PageRank mutated the session conf")
+  }
 }

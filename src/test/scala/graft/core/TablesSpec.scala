@@ -92,4 +92,25 @@ class TablesSpec extends AnyFunSuite {
       .select(col("ts")).collect().map(_.getLong(0)).toSeq
     assert(utcMicros == nyMicros)
   }
+
+  test("ntzMicros crosses DST boundaries intact under a non-UTC session") {
+    // New York's offset differs between January (-5h) and July (-4h);
+    // a session-zone NTZ→LTZ shortcut would shift the two epochs by
+    // different amounts. Non-foldable path: write NTZ parquet, read it
+    // back under the America/New_York session.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ntz_dst").toString
+    Seq(1706140800123456L, // 2024-01-25T00:00:00.123456Z (winter)
+        1721044800000000L) // 2024-07-15T12:00:00Z        (summer)
+      .toDF("us")
+      .select(col("us"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val got = ny.read.parquet(tmp)
+      .select(col("us"), Tables.ntzMicros(col("ts")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (want, m) => assert(m == want, s"epoch $want -> $m") }
+  }
 }
