@@ -278,6 +278,14 @@ object Dedup {
     // returned labels are already materialized by the final
     // convergence count, so nothing downstream re-plans under the
     // narrowed conf).
+    // CONCURRENCY NOTE: the width is applied via the session conf —
+    // unlike PageRank (explicit pin/repartition), every one of CC's
+    // 4-per-round shuffles must run narrowed WITH map-side combine,
+    // which a user-level repartition cannot express (the partial agg
+    // would move above the exchange and ship raw edge rows). The
+    // mutation is restore-in-finally; do not run connectedComponents
+    // concurrently with other queries on the same SparkSession —
+    // Verify/Bench/Hyperband never do.
     val spark = e.sparkSession
     val nEdges = e.count()
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -32,4 +32,35 @@ object Sink {
       .drop("_file_salt")
       .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
   }
+
+  /** Bucketed (hash-clustered) table write — the CO-LOCATED-JOIN
+    * layout for fact tables that join on the same key repeatedly
+    * (orders ⋈ lineitem on the order key at every SF). Both sides
+    * written with the SAME bucket count on their join keys make the
+    * join shuffle-FREE: each bucket file pair joins locally, so a
+    * 100-TB fact⋈fact pays zero exchange on its hottest key
+    * (SortMergeJoin with no Exchange on either side — asserted on the
+    * physical plan in SinkSpec, not just claimed). `sortCols`
+    * (default: the bucket keys) pre-sorts within buckets, eliding the
+    * per-task sort too.
+    *
+    * Requires a table name (bucket metadata lives in the catalog, not
+    * the parquet footer); `spark.conf spark.sql.sources.
+    * bucketing.enabled` (default true) governs whether readers use it.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int,
+                    sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty && numBuckets > 0)
+    val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
+    val w = df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+    // explicit location = external table (the warehouse dir is a
+    // STATIC conf; callers without a configured warehouse pass a path)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

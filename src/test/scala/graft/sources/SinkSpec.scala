@@ -37,4 +37,51 @@ class SinkSpec extends AnyFunSuite {
       assert(files.length <= 2, s"${d.getName}: ${files.length} files")
     }
   }
+
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed_wh").toString
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    Sink.writeBucketed(orders, "orders_b", Seq("o_orderkey"), 8,
+      path = Some(s"$wh/orders_b"))
+    Sink.writeBucketed(lineitem, "lineitem_b", Seq("l_orderkey"), 8,
+      path = Some(s"$wh/lineitem_b"))
+    try {
+      // at sf0.001 AQE would broadcast these tiny tables; the MERGE
+      // hint forces the sort-merge path the layout exists for (at
+      // fact×fact scale the planner picks it unhinted)
+      val joined = spark.table("lineitem_b").hint("merge")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      // co-located: same bucket count on both join keys ⇒ the
+      // SortMergeJoin reads bucket pairs directly — zero shuffle, and
+      // the in-bucket sortBy elides the per-task sort
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"not a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join shuffled:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"buckets unused:\n$p")
+      // row parity with the plain (shuffling) join
+      val want = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == want && want > 0)
+      // bucket pruning: an equality predicate on the bucket key scans
+      // ONE bucket, not all 8. (autoBucketedScan skips the bucketed
+      // layout when no join/agg needs the distribution — turn it off
+      // so the pure-filter scan exercises the pruning path.)
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val one =
+        try spark.table("orders_b").filter(col("o_orderkey") === 7L)
+          .queryExecution.executedPlan.toString.replaceAll("\n", " ")
+        finally spark.conf.unset(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      assert(one.matches(".*SelectedBucketsCount: 1 out of 8.*"),
+        s"no bucket pruning in:\n$one")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }
