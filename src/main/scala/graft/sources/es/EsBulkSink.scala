@@ -1,0 +1,89 @@
+package graft.sources.es
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Write side of the ES round-trip — the engine's results flowing back
+  * into an index via the public `_bulk` API (the reference's eland
+  * `pandas_to_eland` round-trip, re-expressed as a distributed sink).
+  *
+  * Scale shape: `foreachPartition` — every task streams ITS partition
+  * as `batch`-sized NDJSON bulk bodies over its own JDK HTTP client,
+  * so write parallelism equals the upstream partitioning (repartition
+  * before calling to choose the indexing fan-in; ES bulk sizing folk
+  * wisdom caps bodies at a few MB, which `batch` controls). Each
+  * bulk response is checked for `errors` — a failed item fails the
+  * TASK (and Spark retries it), never silently drops rows.
+  *
+  * `idCol`: optional document-id column (upserts become idempotent —
+  * the retry-safety condition for a task-retried distributed write);
+  * without it ES assigns ids and retries can duplicate (documented ES
+  * at-least-once behavior).
+  */
+object EsBulkSink {
+
+  def write(df: DataFrame, nodes: String, index: String,
+            idCol: Option[String] = None, batch: Int = 500): Unit = {
+    val schema = df.schema
+    val idIdx = idCol.map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"id column '$c' not in ${schema.fieldNames.toSeq}")
+      i
+    }
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val mapper = new ObjectMapper()
+      val http = HttpClient.newHttpClient()
+      def flush(buf: StringBuilder, n: Int): Unit = if (n > 0) {
+        val req = HttpRequest.newBuilder(URI.create(s"$nodes/$index/_bulk"))
+          .header("Content-Type", "application/x-ndjson")
+          .POST(HttpRequest.BodyPublishers.ofString(buf.toString,
+            StandardCharsets.UTF_8))
+          .build()
+        val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 != 2)
+          throw new java.io.IOException(
+            s"ES bulk ${resp.statusCode()}: ${resp.body().take(500)}")
+        val parsed = mapper.readTree(resp.body())
+        if (parsed.path("errors").asBoolean(false))
+          throw new java.io.IOException(
+            s"ES bulk reported item errors: ${resp.body().take(500)}")
+      }
+      val buf = new StringBuilder
+      var n = 0
+      rows.foreach { row =>
+        val action = mapper.createObjectNode()
+        val meta = action.putObject("index")
+        idIdx.foreach(i => if (!row.isNullAt(i))
+          meta.put("_id", row.get(i).toString))
+        val doc = mapper.createObjectNode()
+        var i = 0
+        while (i < schema.length) {
+          val f = schema(i)
+          if (row.isNullAt(i)) doc.putNull(f.name)
+          else f.dataType match {
+            case LongType => doc.put(f.name, row.getLong(i))
+            case IntegerType => doc.put(f.name, row.getInt(i))
+            case DoubleType => doc.put(f.name, row.getDouble(i))
+            case FloatType => doc.put(f.name, row.getFloat(i))
+            case BooleanType => doc.put(f.name, row.getBoolean(i))
+            case StringType => doc.put(f.name, row.getString(i))
+            case dt => throw new UnsupportedOperationException(
+              s"EsBulkSink: unsupported dtype $dt for column ${f.name}")
+          }
+          i += 1
+        }
+        buf.append(action.toString).append('\n')
+          .append(doc.toString).append('\n')
+        n += 1
+        if (n >= batch) { flush(buf, n); buf.clear(); n = 0 }
+      }
+      flush(buf, n)
+    }
+  }
+}

@@ -1,0 +1,349 @@
+package graft.sources.es
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executable Elasticsearch reader — a DataSource V2 implementation of
+  * the reference's live entry point (`ed.DataFrame(es_client,
+  * es_index_pattern)`, reference src/elastic_surv/dataset.py:260, and
+  * its batch-paged cursor scan, dataset.py:189-225), built on nothing
+  * but the PUBLIC ES REST contract (search + scroll + sliced scroll)
+  * and JDK HTTP. Unlike the format-string adapter in
+  * [[graft.core.ElasticsearchSource]] (which needs the external
+  * elasticsearch-hadoop jar), this source is fully exercisable: the
+  * spec drives it end-to-end against an in-process mock ES cluster,
+  * and the identical wire protocol runs against a real one.
+  *
+  * Spark-first shape:
+  *  - **partitions = ES slices**: `slices=N` plans N input partitions,
+  *    each opening its own sliced scroll (`"slice":{"id":i,"max":N}`)
+  *    — the distributed form of the reference's single cursor, so a
+  *    1000-executor cluster scans one index in parallel;
+  *  - **filter pushdown**: Catalyst filters translate to the ES query
+  *    DSL (`term`/`terms`/`range`/`exists` under `bool.filter`);
+  *    untranslatable filters stay in Spark — correctness never
+  *    depends on the translation;
+  *  - **projection pushdown**: the pruned column set becomes
+  *    `_source`, so ES ships only the columns the plan reads;
+  *  - **paging = scroll**: each page is one `size`-bounded batch
+  *    (the reference's `batch_size`, dataset.py:148), the scroll
+  *    cursor is freed on close.
+  *
+  * Options: `nodes` (base URL, e.g. `http://localhost:9200`), `index`,
+  * `slices` (default 1), `batch` (page size, default 1000), `scroll`
+  * (keep-alive, default `2m`). The read schema is caller-supplied
+  * (`spark.read.schema(...)`) — long/int/double/float/boolean/string
+  * columns; `_source` fields absent in a hit read as null.
+  */
+final class EsScrollSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "EsScrollSource needs an explicit read schema: " +
+        "spark.read.schema(...).format(...).load() — ES mappings are " +
+        "lossy (everything is nullable, numerics widen), so schema " +
+        "inference would silently change engine dtypes")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new EsTable(schema)
+}
+
+private[es] final class EsTable(schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-es"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EsScanBuilder(schema, options)
+}
+
+private[es] final class EsScanBuilder(fullSchema: StructType,
+                                      options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(EsQuery.translatable)
+    pushed = sup
+    unsup // Spark keeps evaluating these post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new EsScan(required, pushed,
+    nodes = require("nodes"), index = require("index"),
+    slices = Option(options.get("slices")).map(_.toInt).getOrElse(1),
+    batch = Option(options.get("batch")).map(_.toInt).getOrElse(1000),
+    scrollKeep = Option(options.get("scroll")).getOrElse("2m"))
+
+  private def require(k: String): String = {
+    val v = options.get(k)
+    if (v == null || v.isEmpty)
+      throw new IllegalArgumentException(s"EsScrollSource: missing option '$k'")
+    v
+  }
+}
+
+private[es] final class EsScan(schema: StructType, filters: Array[Filter],
+                               nodes: String, index: String, slices: Int,
+                               batch: Int, scrollKeep: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"EsScan(index=$index, slices=$slices, query=${EsQuery.render(filters)})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(slices)(i => EsInputPartition(i, slices))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EsReaderFactory(schema.json, EsQuery.render(filters),
+      schema.fieldNames, nodes, index, batch, scrollKeep)
+}
+
+private[es] final case class EsInputPartition(sliceId: Int, sliceMax: Int)
+    extends InputPartition
+
+/** Everything a reader task needs, in serializable primitives; the
+  * schema travels as its JSON form.
+  */
+private[es] final class EsReaderFactory(schemaJson: String, queryJson: String,
+                                        sourceFields: Array[String],
+                                        nodes: String, index: String,
+                                        batch: Int, scrollKeep: String)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ep = p.asInstanceOf[EsInputPartition]
+    new EsPartitionReader(
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], queryJson,
+      sourceFields, nodes, index, batch, scrollKeep, ep.sliceId, ep.sliceMax)
+  }
+}
+
+/** One sliced scroll: open on first `next()`, page on demand, free the
+  * scroll cursor on close. Pure JDK HttpClient — no client library.
+  */
+private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
+                                          sourceFields: Array[String],
+                                          nodes: String, index: String,
+                                          batch: Int, scrollKeep: String,
+                                          sliceId: Int, sliceMax: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+  private var scrollId: String = _
+  private var hits: java.util.Iterator[JsonNode] = _
+  private var row: InternalRow = _
+  private var opened = false
+  private var exhausted = false
+
+  private def post(url: String, body: String): JsonNode = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"ES ${resp.statusCode()} from $url: ${resp.body().take(500)}")
+    mapper.readTree(resp.body())
+  }
+
+  private def open(): Unit = {
+    val body = mapper.createObjectNode()
+    body.put("size", batch)
+    body.set[ObjectNode]("query", mapper.readTree(queryJson).asInstanceOf[ObjectNode])
+    val src = body.putArray("_source")
+    sourceFields.foreach(src.add)
+    if (sliceMax > 1) {
+      val slice = body.putObject("slice")
+      slice.put("id", sliceId)
+      slice.put("max", sliceMax)
+    }
+    consume(post(s"$nodes/$index/_search?scroll=$scrollKeep", body.toString))
+    opened = true
+  }
+
+  private def consume(page: JsonNode): Unit = {
+    scrollId = page.path("_scroll_id").asText(null)
+    val arr = page.path("hits").path("hits")
+    hits =
+      if (arr.isArray && arr.size() > 0) arr.elements()
+      else { exhausted = true; java.util.Collections.emptyIterator() }
+  }
+
+  private def nextPage(): Unit = {
+    if (scrollId == null) { exhausted = true; return }
+    val body = mapper.createObjectNode()
+    body.put("scroll", scrollKeep)
+    body.put("scroll_id", scrollId)
+    consume(post(s"$nodes/_search/scroll", body.toString))
+  }
+
+  override def next(): Boolean = {
+    if (!opened) open()
+    while (!hits.hasNext && !exhausted) nextPage()
+    if (!hits.hasNext) return false
+    row = convert(hits.next().path("_source"))
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  private def convert(src: JsonNode): InternalRow = {
+    val out = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      val v = src.path(f.name)
+      if (v.isMissingNode || v.isNull) out.setNullAt(i)
+      else f.dataType match {
+        case LongType => out.setLong(i, v.asLong())
+        case IntegerType => out.setInt(i, v.asInt())
+        case DoubleType => out.setDouble(i, v.asDouble())
+        case FloatType => out.setFloat(i, v.asDouble().toFloat)
+        case BooleanType => out.setBoolean(i, v.asBoolean())
+        case StringType => out.update(i, UTF8String.fromString(v.asText()))
+        case dt => throw new UnsupportedOperationException(
+          s"EsScrollSource: unsupported dtype $dt for column ${f.name}")
+      }
+      i += 1
+    }
+    out
+  }
+
+  override def close(): Unit = {
+    if (scrollId != null) {
+      try {
+        val body = mapper.createObjectNode()
+        body.put("scroll_id", scrollId)
+        val req = HttpRequest.newBuilder(URI.create(s"$nodes/_search/scroll"))
+          .header("Content-Type", "application/json")
+          .method("DELETE",
+            HttpRequest.BodyPublishers.ofString(body.toString,
+              StandardCharsets.UTF_8))
+          .build()
+        http.send(req, HttpResponse.BodyHandlers.ofString())
+      } catch { case _: Exception => () } // cursor expiry races are benign
+    }
+  }
+}
+
+/** [[graft.core.SourceProvider]] over [[EsScrollSource]] — the seam
+  * registration that makes `spark.conf.set("graft.source", "es-rest")`
+  * route every `Tables.load` through the live scroll reader. `dir`
+  * plays the reference's index-prefix role (`es_index_pattern`);
+  * per-table read schemas are explicit for the same dtype-fidelity
+  * reason the CSV/JSONL providers require them.
+  */
+final class EsRestSource(nodes: String,
+                         schemas: Map[String, StructType],
+                         options: Map[String, String] = Map.empty)
+    extends graft.core.SourceProvider {
+  def indexFor(dir: String, name: String): String =
+    if (dir == null || dir.isEmpty) name else s"${dir}_$name"
+  def table(spark: org.apache.spark.sql.SparkSession, dir: String,
+            name: String): org.apache.spark.sql.DataFrame = {
+    val schema = schemas.getOrElse(name, throw new IllegalArgumentException(
+      s"EsRestSource needs an explicit schema for table '$name'"))
+    spark.read.schema(schema)
+      .format(classOf[EsScrollSource].getName)
+      .options(options ++ Map("nodes" -> nodes,
+        "index" -> indexFor(dir, name)))
+      .load()
+  }
+}
+
+/** Catalyst `Filter` → ES query DSL. Only translates what the DSL
+  * expresses exactly (term/terms/range/exists); everything else stays
+  * a Spark-side filter, so the translation can only REDUCE bytes off
+  * the wire, never change results.
+  */
+private[es] object EsQuery {
+  private val mapper = new ObjectMapper()
+
+  def translatable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+    case And(l, r) => translatable(l) && translatable(r)
+    case _ => false
+  }
+
+  def render(filters: Array[Filter]): String =
+    if (filters.isEmpty) """{"match_all":{}}"""
+    else {
+      val root = mapper.createObjectNode()
+      val filterArr = root.putObject("bool").putArray("filter")
+      filters.foreach(f => filterArr.add(node(f)))
+      root.toString
+    }
+
+  private def scalar(target: ObjectNode, key: String, v: Any): Unit = v match {
+    case null => target.putNull(key)
+    case b: Boolean => target.put(key, b)
+    case i: Int => target.put(key, i)
+    case l: Long => target.put(key, l)
+    case f: Float => target.put(key, f)
+    case d: Double => target.put(key, d)
+    case other => target.put(key, other.toString)
+  }
+
+  private def scalarInto(arr: ArrayNode, v: Any): Unit = v match {
+    case null => arr.addNull()
+    case b: Boolean => arr.add(b)
+    case i: Int => arr.add(i)
+    case l: Long => arr.add(l)
+    case f: Float => arr.add(f)
+    case d: Double => arr.add(d)
+    case other => arr.add(other.toString)
+  }
+
+  private def node(f: Filter): ObjectNode = {
+    val n = mapper.createObjectNode()
+    f match {
+      case EqualTo(c, v) => scalar(n.putObject("term"), c, v)
+      case In(c, vs) =>
+        val arr = n.putObject("terms").putArray(c)
+        vs.foreach(scalarInto(arr, _))
+      case GreaterThan(c, v) => scalar(n.putObject("range").putObject(c), "gt", v)
+      case GreaterThanOrEqual(c, v) =>
+        scalar(n.putObject("range").putObject(c), "gte", v)
+      case LessThan(c, v) => scalar(n.putObject("range").putObject(c), "lt", v)
+      case LessThanOrEqual(c, v) =>
+        scalar(n.putObject("range").putObject(c), "lte", v)
+      case IsNotNull(c) => n.putObject("exists").put("field", c)
+      case IsNull(c) =>
+        n.putObject("bool").putObject("must_not")
+          .putObject("exists").put("field", c)
+      case And(l, r) =>
+        val arr = n.putObject("bool").putArray("filter")
+        arr.add(node(l)); arr.add(node(r))
+      case other =>
+        throw new IllegalArgumentException(s"untranslatable filter $other")
+    }
+    n
+  }
+}
