@@ -18,6 +18,21 @@ object DedupQueries {
       Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("h")),
 
+    // Bloom ingest gate, two-phase: row-local mightContain splits the
+    // batch, only the maybe-seen sliver pays the (broadcast) exact
+    // confirmation — output is EXACTLY the truly-new rows, so the
+    // oracle is a plain anti-join; the fpp moves work, never rows
+    "q_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("k"))
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), md5(col("text")).as("k"))
+      graft.ops.BloomGate.decontaminate(batch, corpus, "k",
+          expectedItems = 200000L, numBits = 1600000L)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", n = 3, minJac = 0.05, maxDocFreq = 100)
@@ -177,6 +192,16 @@ object DedupQueries {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
         |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    // the gate's two-phase output is exactly the truly-new rows
+    "q_bloom_decontam" ->
+      """WITH corpus AS (SELECT md5(text) AS k FROM documents
+        |                WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, md5(text) AS k FROM documents
+        |      WHERE doc_id % 3 = 0)
+        |SELECT doc_id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.k = b.k)
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors the engine's maxDocFreq=100 stop-shingle cap: shingles
     // in >100 documents leave the shingle space before sizes/pairs

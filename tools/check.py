@@ -50,9 +50,23 @@ def table_of(con, sql, oracle=False):
     return sorted(cols), sorted(out)
 
 
+def table_of_pandas(con, sql):
+    # Driver-faithful path: fetch via pandas (the driver's comparator
+    # normalizes through DataFrames, where DuckDB HUGEINT -> float64,
+    # DECIMAL -> float64, TIMESTAMPTZ -> tz-aware). Running both modes
+    # catches type-seam divergences the exact path can't see.
+    df = con.sql(sql).df()
+    df = df[sorted(df.columns)]
+    rows = sorted(tuple(str(v) for v in r)
+                  for r in df.itertuples(index=False, name=None))
+    return list(df.columns), rows
+
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = [a for a in sys.argv[1:] if a != "--pandas"]
+    pandas_mode = "--pandas" in sys.argv
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -69,9 +83,13 @@ def main():
             n_fail += 1
             continue
         try:
-            got_cols, got = table_of(
-                con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            want_cols, want = table_of(con, sql, oracle=True)
+            spark_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            if pandas_mode:
+                got_cols, got = table_of_pandas(con, spark_sql)
+                want_cols, want = table_of_pandas(con, sql)
+            else:
+                got_cols, got = table_of(con, spark_sql)
+                want_cols, want = table_of(con, sql, oracle=True)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
