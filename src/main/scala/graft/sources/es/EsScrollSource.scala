@@ -52,12 +52,51 @@ import org.apache.spark.unsafe.types.UTF8String
 final class EsScrollSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new IllegalArgumentException(
-      "EsScrollSource needs an explicit read schema: " +
-        "spark.read.schema(...).format(...).load() — ES mappings are " +
-        "lossy (everything is nullable, numerics widen), so schema " +
-        "inference would silently change engine dtypes")
+  /** Schema from `GET /{index}/_mapping` when the caller supplies
+    * none. Field-type mapping follows the ES docs (`long`/`integer`/
+    * `double`/`float`/`boolean`/`keyword`/`text`); anything else —
+    * nested objects, dates (whose wire format is mapping-dependent) —
+    * fails fast with the explicit-schema escape hatch rather than
+    * silently widening dtypes.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val nodes = Option(options.get("nodes")).getOrElse(
+      throw new IllegalArgumentException("EsScrollSource: missing 'nodes'"))
+    val index = Option(options.get("index")).getOrElse(
+      throw new IllegalArgumentException("EsScrollSource: missing 'index'"))
+    val http = HttpClient.newHttpClient()
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"$nodes/$index/_mapping")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"ES mapping ${resp.statusCode()}: ${resp.body().take(300)}")
+    val root = new ObjectMapper().readTree(resp.body())
+    // response shape: { "<concrete-index>": { "mappings": { "properties": {...}}}}
+    val mappings = root.elements()
+    if (!mappings.hasNext)
+      throw new IllegalArgumentException(s"no mapping returned for '$index'")
+    val props = mappings.next().path("mappings").path("properties")
+    val fields = props.properties().iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    while (fields.hasNext) {
+      val e = fields.next()
+      val dt = e.getValue.path("type").asText("") match {
+        case "long" => LongType
+        case "integer" | "short" | "byte" => IntegerType
+        case "double" => DoubleType
+        case "float" | "half_float" => FloatType
+        case "boolean" => BooleanType
+        case "keyword" | "text" => StringType
+        case other => throw new UnsupportedOperationException(
+          s"EsScrollSource cannot infer field '${e.getKey}' of ES type " +
+            s"'$other' — pass an explicit spark.read.schema(...)")
+      }
+      out += StructField(e.getKey, dt)
+    }
+    require(out.nonEmpty, s"index '$index' has an empty mapping")
+    StructType(out.toSeq.sortBy(_.name))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
@@ -260,17 +299,18 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
   * reason the CSV/JSONL providers require them.
   */
 final class EsRestSource(nodes: String,
-                         schemas: Map[String, StructType],
+                         schemas: Map[String, StructType] = Map.empty,
                          options: Map[String, String] = Map.empty)
     extends graft.core.SourceProvider {
   def indexFor(dir: String, name: String): String =
     if (dir == null || dir.isEmpty) name else s"${dir}_$name"
   def table(spark: org.apache.spark.sql.SparkSession, dir: String,
             name: String): org.apache.spark.sql.DataFrame = {
-    val schema = schemas.getOrElse(name, throw new IllegalArgumentException(
-      s"EsRestSource needs an explicit schema for table '$name'"))
-    spark.read.schema(schema)
-      .format(classOf[EsScrollSource].getName)
+    val reader = spark.read
+    // explicit schema pins dtypes; otherwise the source infers from
+    // GET /{index}/_mapping (columns come back name-sorted)
+    schemas.get(name).foreach(reader.schema)
+    reader.format(classOf[EsScrollSource].getName)
       .options(options ++ Map("nodes" -> nodes,
         "index" -> indexFor(dir, name)))
       .load()

@@ -123,6 +123,11 @@ class EsScrollSourceSpec extends AnyFunSuite {
         } else if (path == "/_search/scroll") {
           scrollCalls.incrementAndGet()
           page(mapper.readTree(body).get("scroll_id").asText())
+        } else if (path.endsWith("/_mapping")) {
+          """{"docs":{"mappings":{"properties":{
+            "doc_id":{"type":"long"},"lang":{"type":"keyword"},
+            "score":{"type":"double"},"flagged":{"type":"boolean"}}}}}"""
+            .replaceAll("\\s+", "")
         } else if (path.endsWith("/_bulk")) {
           bulks.incrementAndGet()
           body.linesIterator.filter(_.nonEmpty).grouped(2).foreach { pair =>
@@ -246,6 +251,23 @@ class EsScrollSourceSpec extends AnyFunSuite {
       val back = read(es).collect().map(r => (r.getLong(0), r.getString(1),
         r.getDouble(2), r.getBoolean(3))).toSet
       assert(back == docs.toSet)
+    } finally es.stop()
+  }
+
+  test("schema inference from _mapping round-trips without a user schema") {
+    val es = new MockEs
+    try {
+      val df = spark.read
+        .format(classOf[EsScrollSource].getName)
+        .option("nodes", es.url).option("index", "docs")
+        .load()
+      assert(df.schema.fieldNames.toSeq ==
+        Seq("doc_id", "flagged", "lang", "score"))
+      assert(df.schema("doc_id").dataType == LongType &&
+        df.schema("lang").dataType == StringType &&
+        df.schema("score").dataType == DoubleType &&
+        df.schema("flagged").dataType == BooleanType)
+      assert(df.count() == docs.length)
     } finally es.stop()
   }
 }
