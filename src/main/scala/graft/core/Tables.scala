@@ -60,15 +60,17 @@ object Tables {
     * microseconds (hour = 3600e6, day = 86400e6) — the timezone-free
     * replacement for `date_trunc`, which casts NTZ through the
     * session zone. `anchorUs` shifts the grid (ISO weeks anchor on
-    * Monday 1969-12-29 = −3 days). Assumes post-1970 data (`div`
-    * truncates toward zero).
+    * Monday 1969-12-29 = −3 days). Floors in exact LONG arithmetic
+    * (x − pmod(x, unit) — pmod is non-negative), so pre-1970
+    * timestamps floor like `date_trunc` does instead of rounding
+    * toward zero, and no double division enters the path.
     */
   def truncNtz(c: org.apache.spark.sql.Column, unitUs: Long,
                anchorUs: Long = 0L): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    val x = ntzMicros(c) - lit(anchorUs)
     timestamp_add("MICROSECOND",
-      ((ntzMicros(c) - lit(anchorUs)).divide(lit(unitUs)).cast("long") *
-        lit(unitUs)) + lit(anchorUs), ntzEpoch)
+      (x - pmod(x, lit(unitUs))) + lit(anchorUs), ntzEpoch)
   }
 
   /** Normalize an events `ts` column to TIMESTAMP_NTZ, robust to both

@@ -58,16 +58,31 @@ object BloomGate {
       Literal(filter, BinaryType),
       new XxHash64(Seq(bridge.toExpression(key)))))
 
-  /** Truly-new rows of `batch` w.r.t. `corpus` on `key`, exact, with
-    * corpus work bounded by one scan + two broadcast probes (phase-2
-    * candidates must fit a broadcast — guaranteed when the batch is
-    * ingest-sized, the regime the gate exists for).
+  /** Truly-new rows of `batch` w.r.t. `corpus` on `key`, exact.
+    * Builds the filter (one full corpus aggregation scan) then
+    * delegates to the prebuilt-filter overload (one more corpus scan
+    * for the confirmation probe) — two corpus scans total for a
+    * one-shot call. Repeated ingests should [[buildFilter]] ONCE,
+    * store the bytes next to the corpus snapshot, and call the
+    * overload: steady-state cost is then a single corpus scan per
+    * ingest, and only for the confirmation probe.
     */
   def decontaminate(batch: DataFrame, corpus: DataFrame, key: String,
-                    expectedItems: Long, numBits: Long): DataFrame = {
-    val bf = buildFilter(corpus, key, expectedItems, numBits)
-    val flagged = batch.withColumn("_maybe",
-      coalesce(mightContain(col(key), bf), lit(false)))
+                    expectedItems: Long, numBits: Long): DataFrame =
+    decontaminate(batch, corpus, key,
+      buildFilter(corpus, key, expectedItems, numBits))
+
+  /** The prebuilt-filter flavor: ONE corpus scan (the confirmation
+    * semi probe) + two broadcast probes; phase-2 candidates must fit
+    * a broadcast — guaranteed when the batch is ingest-sized, the
+    * regime the gate exists for. The flagged batch is pinned
+    * (caller's cache scope releases it) so the probe evaluates once,
+    * not once per consumer branch.
+    */
+  def decontaminate(batch: DataFrame, corpus: DataFrame, key: String,
+                    filter: Array[Byte]): DataFrame = {
+    val flagged = graft.core.Pins.pin(batch.withColumn("_maybe",
+      coalesce(mightContain(col(key), filter), lit(false))))
     val definitelyNew = flagged.filter(!col("_maybe")).drop("_maybe")
     val maybe = flagged.filter(col("_maybe")).drop("_maybe")
     val maybeKeys = maybe.select(col(key)).distinct()

@@ -35,8 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    1000-executor cluster scans one index in parallel;
   *  - **filter pushdown**: Catalyst filters translate to the ES query
   *    DSL (`term`/`terms`/`range`/`exists` under `bool.filter`);
-  *    untranslatable filters stay in Spark — correctness never
-  *    depends on the translation;
+  *    untranslatable filters stay in Spark, and string term/terms
+  *    filters are only pushed under `keywordStrings=true` (ES `term`
+  *    matches ANALYZED tokens on a text-mapped field, which would
+  *    silently drop rows) — correctness never depends on the
+  *    translation;
   *  - **projection pushdown**: the pruned column set becomes
   *    `_source`, so ES ships only the columns the plan reads;
   *  - **paging = scroll**: each page is one `size`-bounded batch
@@ -45,7 +48,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options: `nodes` (base URL, e.g. `http://localhost:9200`), `index`,
   * `slices` (default 1), `batch` (page size, default 1000), `scroll`
-  * (keep-alive, default `2m`). The read schema is caller-supplied
+  * (keep-alive, default `2m`), `keywordStrings` (default false — set
+  * true only when every queried string field is keyword-mapped, which
+  * unlocks `term`/`terms` pushdown on strings). The read schema is caller-supplied
   * (`spark.read.schema(...)`) — long/int/double/float/boolean/string
   * columns; `_source` fields absent in a hit read as null.
   */
@@ -120,9 +125,19 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  // String equality/In push down as ES `term`/`terms`, which match
+  // ANALYZED tokens — on a text-mapped field that silently drops rows
+  // (the probe filters server-side; Spark cannot resurrect them).
+  // Safe only when the caller asserts string fields are keyword-mapped
+  // via option keywordStrings=true; otherwise string term filters stay
+  // entirely Spark-side. Range/exists/numeric/boolean semantics match
+  // on every field type.
+  private val keywordStrings =
+    Option(options.get("keywordStrings")).exists(_.toBoolean)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, unsup) = filters.partition(EsQuery.translatable)
+    val (sup, unsup) =
+      filters.partition(EsQuery.translatable(_, fullSchema, keywordStrings))
     pushed = sup
     unsup // Spark keeps evaluating these post-scan
   }
@@ -325,11 +340,23 @@ final class EsRestSource(nodes: String,
 private[es] object EsQuery {
   private val mapper = new ObjectMapper()
 
-  def translatable(f: Filter): Boolean = f match {
-    case _: EqualTo | _: In | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
-    case And(l, r) => translatable(l) && translatable(r)
-    case _ => false
+  def translatable(f: Filter, schema: StructType,
+                   keywordStrings: Boolean): Boolean = {
+    def stringCol(c: String): Boolean =
+      schema.fields.exists(x => x.name == c &&
+        x.dataType == org.apache.spark.sql.types.StringType)
+    f match {
+      case EqualTo(c, _) => keywordStrings || !stringCol(c)
+      case In(c, vs) =>
+        // ES rejects null inside a terms array (400 → whole-query
+        // failure), and term matching on analyzed text drops rows
+        !vs.contains(null) && (keywordStrings || !stringCol(c))
+      case _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+      case And(l, r) => translatable(l, schema, keywordStrings) &&
+        translatable(r, schema, keywordStrings)
+      case _ => false
+    }
   }
 
   def render(filters: Array[Filter]): String =

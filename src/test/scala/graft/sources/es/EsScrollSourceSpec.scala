@@ -189,7 +189,9 @@ class EsScrollSourceSpec extends AnyFunSuite {
   test("filters translate to the query DSL and prune rows server-side") {
     val es = new MockEs
     try {
-      val df = read(es).filter(col("lang") === "en" && col("score") > 0.5)
+      // keywordStrings: the mock's lang is keyword-shaped (exact terms)
+      val df = read(es, "keywordStrings" -> "true")
+        .filter(col("lang") === "en" && col("score") > 0.5)
         .select(col("doc_id"))
       val got = df.collect().map(_.getLong(0)).toSet
       val want = docs.filter(d => d._2 == "en" && d._3 > 0.5)
@@ -203,9 +205,13 @@ class EsScrollSourceSpec extends AnyFunSuite {
         .elements().asScala.map(_.asText()).toSet
       assert(src.subsetOf(Set("doc_id", "lang", "score")), src.toString)
       assert(!src.contains("flagged"), "unused column fetched")
-      // and the Spark plan agrees the filters were pushed
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedFilters") || plan.contains("EsScan"), plan)
+      // and the scan itself reports the pushed query in its description
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }
+      assert(scans.exists(d => d.contains("\"term\":{\"lang\":\"en\"}")),
+        s"pushed query missing from scan description: $scans")
     } finally es.stop()
   }
 
@@ -218,6 +224,27 @@ class EsScrollSourceSpec extends AnyFunSuite {
       assert(got == want && want.nonEmpty)
       val sent = es.searches.asScala.head.get("query").toString
       assert(!sent.contains("contains"), sent)
+    } finally es.stop()
+  }
+
+  test("string term filters stay Spark-side unless keywordStrings is set") {
+    val es = new MockEs
+    try {
+      // without the option: ES term on an analyzed text field would
+      // match tokens, not values — so the filter must NOT be pushed
+      val got = read(es).filter(col("lang") === "en")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == docs.filter(_._2 == "en").map(_._1).toSet)
+      val sent = es.searches.asScala.head.get("query").toString
+      assert(!sent.contains("term"), s"string term pushed unsafely: $sent")
+      // an In containing null is never pushed (ES 400s on null terms)
+      es.searches.clear()
+      val got2 = read(es, "keywordStrings" -> "true")
+        .filter(col("lang").isin("en", null))
+        .collect().map(_.getLong(0)).toSet
+      assert(got2 == docs.filter(_._2 == "en").map(_._1).toSet)
+      val sent2 = es.searches.asScala.head.get("query").toString
+      assert(!sent2.contains("null"), s"null leaked into terms: $sent2")
     } finally es.stop()
   }
 

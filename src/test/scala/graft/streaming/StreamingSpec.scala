@@ -26,7 +26,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))
     val stream = spark.readStream
-      .schema(StreamingOps.eventsSchema)
+      .schema(StreamingOps.eventsReadSchema(spark, tmp.toString))
       .parquet(tmp.toString)
     val agg = StreamingOps.tumblingHourlyStream(StreamingOps.withTs(stream))
     val q = agg.writeStream
