@@ -295,6 +295,23 @@ object DiscreteQueries {
   /** DeepHit per-k fixed-weight expressions, generated to mirror the
     * Scala constants exactly.
     */
+  /** The max-shift softmax + cumulative-survival expression strings
+    * (mx/es/tot/ps/ss) shared by the three discrete-head oracle
+    * builders — one definition of the numerically-stable pipeline so
+    * the exp-shift/cumsum shape cannot drift between flavors.
+    */
+  private def softmaxChain(): (String, String, String, String, String) = {
+    val mx = s"greatest(${(0 until K).map(k => s"z$k").mkString(", ")})"
+    val es = (0 until K).map(k => s"exp(z$k - mx) AS e$k").mkString(", ")
+    val tot = (0 until K).map(k => s"e$k").mkString(" + ")
+    val ps = (0 until K).map(k => s"e$k / tot AS p$k").mkString(", ")
+    val ss = (0 until K).map { k =>
+      val cum = (0 to k).map(j => s"p$j").mkString(" + ")
+      s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
+    }.mkString(", ")
+    (mx, es, tot, ps, ss)
+  }
+
   private val deephitSelect: String = {
     def zk(k: Int) =
       s"""(CAST(0.1 AS DOUBLE) * $k - CAST(0.2 AS DOUBLE)
@@ -305,14 +322,7 @@ object DiscreteQueries {
     val fracs = (0 until K).map(k =>
       s"CAST(${k + 1} AS DOUBLE) / CAST(5 AS DOUBLE) AS frac$k").mkString(", ")
     val zs = (0 until K).map(k => s"${zk(k)} AS z$k").mkString(", ")
-    val mx = s"greatest(${(0 until K).map(k => s"z$k").mkString(", ")})"
-    val es = (0 until K).map(k => s"exp(z$k - mx) AS e$k").mkString(", ")
-    val tot = (0 until K).map(k => s"e$k").mkString(" + ")
-    val ps = (0 until K).map(k => s"e$k / tot AS p$k").mkString(", ")
-    val ss = (0 until K).map { k =>
-      val cum = (0 to k).map(j => s"p$j").mkString(" + ")
-      s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
-    }.mkString(", ")
+    val (mx, es, tot, ps, ss) = softmaxChain()
     s"""dh0 AS (SELECT rn, id, $fracs FROM churn_rn CROSS JOIN tl WHERE rn >= train_len),
        |dh0b AS (SELECT dh0.rn AS id, $zs
        |         FROM dh0 JOIN churn ON dh0.id = churn.id),
@@ -335,14 +345,7 @@ object DiscreteQueries {
     val zs = (0 until K).map(k =>
       s"(CAST(${cs(k)} AS DOUBLE) + (CAST(${w0(k)} AS DOUBLE) * h0" +
         s" + CAST(${w1(k)} AS DOUBLE) * h1)) AS z$k").mkString(", ")
-    val mx = s"greatest(${(0 until K).map(k => s"z$k").mkString(", ")})"
-    val es = (0 until K).map(k => s"exp(z$k - mx) AS e$k").mkString(", ")
-    val tot = (0 until K).map(k => s"e$k").mkString(" + ")
-    val ps = (0 until K).map(k => s"e$k / tot AS p$k").mkString(", ")
-    val ss = (0 until K).map { k =>
-      val cum = (0 to k).map(j => s"p$j").mkString(" + ")
-      s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
-    }.mkString(", ")
+    val (mx, es, tot, ps, ss) = softmaxChain()
     val lp = lpSql.replaceAll("\n", " ")
     s"""mh AS (SELECT rn AS id,
        |             greatest(CAST(0 AS DOUBLE), CAST(0.01 AS DOUBLE) + ($lp)) AS h0,
@@ -368,14 +371,7 @@ object DiscreteQueries {
     val zs = (0 until K).map(k =>
       s"(CAST(${cs(k)} AS DOUBLE) + (CAST(${w0(k)} AS DOUBLE) * g0" +
         s" + CAST(${w1(k)} AS DOUBLE) * g1)) AS z$k").mkString(", ")
-    val mx = s"greatest(${(0 until K).map(k => s"z$k").mkString(", ")})"
-    val es = (0 until K).map(k => s"exp(z$k - mx) AS e$k").mkString(", ")
-    val tot = (0 until K).map(k => s"e$k").mkString(" + ")
-    val ps = (0 until K).map(k => s"e$k / tot AS p$k").mkString(", ")
-    val ss = (0 until K).map { k =>
-      val cum = (0 to k).map(j => s"p$j").mkString(" + ")
-      s"CAST(1 AS DOUBLE) - ($cum) AS s$k"
-    }.mkString(", ")
+    val (mx, es, tot, ps, ss) = softmaxChain()
     s"""mg AS (SELECT id,
        |  greatest(CAST(0 AS DOUBLE), CAST(0.05 AS DOUBLE)
        |    + (CAST(0.8 AS DOUBLE) * h0 + CAST(-0.6 AS DOUBLE) * h1)) AS g0,

@@ -873,6 +873,26 @@ object RelationalQueries {
         .orderBy("user_id")
     }))
 
+  // SCD2 run-collapse interval derivation — shared by the three SCD2
+  // oracles (intervals / merge-equals-full-recompute / point-in-time
+  // lookup) so their semantics can never drift apart.
+  private val scd2Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+      |           FROM events
+      |           WHERE user_id IS NOT NULL
+      |             AND event_type IN ('view', 'click')),
+      |     m AS (SELECT user_id, event_id, t, event_type,
+      |                  lag(event_type) OVER w AS prev,
+      |                  row_number() OVER w AS rn
+      |           FROM e
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |     runs AS (SELECT user_id, event_type, t, event_id FROM m
+      |              WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      |     iv AS (SELECT user_id, event_type, t AS valid_from,
+      |                   lead(t) OVER (PARTITION BY user_id
+      |                                 ORDER BY t, event_id) AS valid_to
+      |            FROM runs)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_count_tables" ->
       Tables.all.map(t => s"SELECT '$t' AS tbl, count(*) AS n FROM $t")
@@ -962,7 +982,8 @@ object RelationalQueries {
         |       CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
         |         / CAST(count(*) AS DOUBLE) AS avg_k
         |FROM (SELECT event_type,
-        |             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |             TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1)
+        |                      AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1038,25 +1059,11 @@ object RelationalQueries {
 
     // SCD2 run-collapse + lead intervals, zero-length versions dropped
     "q_scd2_intervals" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
-        |           FROM events
-        |           WHERE user_id IS NOT NULL
-        |             AND event_type IN ('view', 'click')),
-        |     m AS (SELECT user_id, event_id, t, event_type,
-        |                  lag(event_type) OVER w AS prev,
-        |                  row_number() OVER w AS rn
-        |           FROM e
-        |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-        |     runs AS (SELECT user_id, event_type, t, event_id FROM m
-        |              WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
-        |     iv AS (SELECT user_id, event_type, t AS valid_from,
-        |                   lead(t) OVER (PARTITION BY user_id
-        |                                 ORDER BY t, event_id) AS valid_to
-        |            FROM runs)
+      (scd2Sql + """
         |SELECT user_id, event_type AS seg, valid_from AS valid_from_us,
         |       valid_to AS valid_to_us
         |FROM iv WHERE valid_to IS NULL OR valid_to > valid_from
-        |ORDER BY user_id, valid_from_us""".stripMargin,
+        |ORDER BY user_id, valid_from_us""".stripMargin),
 
     // first-touch rollup + running sum over the day table
     "q_cum_users" ->
@@ -1147,44 +1154,16 @@ object RelationalQueries {
     // the incremental merge must equal the FULL recompute over
     // base ∪ changes — which is exactly the q_scd2_intervals oracle
     "q_scd2_merge" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
-        |           FROM events
-        |           WHERE user_id IS NOT NULL
-        |             AND event_type IN ('view', 'click')),
-        |     m AS (SELECT user_id, event_id, t, event_type,
-        |                  lag(event_type) OVER w AS prev,
-        |                  row_number() OVER w AS rn
-        |           FROM e
-        |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-        |     runs AS (SELECT user_id, event_type, t, event_id FROM m
-        |              WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
-        |     iv AS (SELECT user_id, event_type, t AS valid_from,
-        |                   lead(t) OVER (PARTITION BY user_id
-        |                                 ORDER BY t, event_id) AS valid_to
-        |            FROM runs)
+      (scd2Sql + """
         |SELECT user_id, event_type AS seg, valid_from AS valid_from_us,
         |       valid_to AS valid_to_us
         |FROM iv WHERE valid_to IS NULL OR valid_to > valid_from
-        |ORDER BY user_id, valid_from_us""".stripMargin,
+        |ORDER BY user_id, valid_from_us""".stripMargin),
 
     // point-in-time: ASOF against the strictly-increasing interval
     // starts ≡ containing-interval lookup (open last version)
     "q_scd2_lookup" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
-        |           FROM events
-        |           WHERE user_id IS NOT NULL
-        |             AND event_type IN ('view', 'click')),
-        |     m AS (SELECT user_id, event_id, t, event_type,
-        |                  lag(event_type) OVER w AS prev,
-        |                  row_number() OVER w AS rn
-        |           FROM e
-        |           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-        |     runs AS (SELECT user_id, event_type, t, event_id FROM m
-        |              WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
-        |     iv AS (SELECT user_id, event_type, t AS valid_from,
-        |                   lead(t) OVER (PARTITION BY user_id
-        |                                 ORDER BY t, event_id) AS valid_to
-        |            FROM runs),
+      (scd2Sql + """,
         |     iv2 AS (SELECT * FROM iv
         |             WHERE valid_to IS NULL OR valid_to > valid_from),
         |     p AS (SELECT event_id, user_id, epoch_us(ts) AS t
@@ -1194,7 +1173,7 @@ object RelationalQueries {
         |       iv2.event_type AS seg, iv2.valid_from AS seg_from_us
         |FROM p ASOF LEFT JOIN iv2
         |  ON p.user_id = iv2.user_id AND p.t >= iv2.valid_from
-        |ORDER BY purchase_id""".stripMargin,
+        |ORDER BY purchase_id""".stripMargin),
 
     // per-(column, metric) unions mirroring Profile.summarize's one
     // aggregation pass (identical DECIMAL-exact mean arithmetic)

@@ -56,65 +56,48 @@ object SelectQueries {
   private val bucketSql =
     s"CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % $DsirBuckets AS INT)"
 
+  // shared DSIR importance-weight derivation (hashed n-gram buckets ->
+  // add-1-smoothed log-ratio lambda -> per-doc DECIMAL-exact log_w) --
+  // both selection oracles rank over the SAME weights, factored so the
+  // smoothing/accumulation arithmetic cannot drift between them
+  private val dsirWeightsSql =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |f AS (SELECT doc_id AS id, $bucketSql AS bucket, count(*) AS cnt
+       |      FROM tok GROUP BY 1, 2),
+       |rc AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM f GROUP BY 1),
+       |tt AS (SELECT $bucketSql AS bucket FROM
+       |         (SELECT unnest(string_split(text, ' ')) AS tok
+       |          FROM documents WHERE lang = 'en')),
+       |tc AS (SELECT bucket, count(*) AS ct FROM tt GROUP BY 1),
+       |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rc),
+       |nt AS (SELECT count(*) AS nt FROM tt),
+       |lam AS (SELECT rc.bucket,
+       |          CAST(round(ln(
+       |            (CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+       |             * CAST(nr.nr + $DsirBuckets AS DOUBLE))
+       |            / (CAST(rc.cr + 1 AS DOUBLE)
+       |               * CAST(nt.nt + $DsirBuckets AS DOUBLE))), 9)
+       |            AS DECIMAL(20,9)) AS lam
+       |        FROM rc LEFT JOIN tc USING (bucket)
+       |        CROSS JOIN nr CROSS JOIN nt),
+       |w AS (SELECT f.id, CAST(sum(f.cnt) AS BIGINT) AS n_feat,
+       |        CAST(round(sum(CAST(CAST(f.cnt AS DECIMAL(9,0)) * lam.lam
+       |                            AS DECIMAL(38,12))), 6)
+       |             AS DOUBLE) AS log_w
+       |      FROM f JOIN lam USING (bucket) GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q_dsir_select" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |             FROM documents),
-         |f AS (SELECT doc_id AS id, $bucketSql AS bucket, count(*) AS cnt
-         |      FROM tok GROUP BY 1, 2),
-         |rc AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM f GROUP BY 1),
-         |tt AS (SELECT $bucketSql AS bucket FROM
-         |         (SELECT unnest(string_split(text, ' ')) AS tok
-         |          FROM documents WHERE lang = 'en')),
-         |tc AS (SELECT bucket, count(*) AS ct FROM tt GROUP BY 1),
-         |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rc),
-         |nt AS (SELECT count(*) AS nt FROM tt),
-         |lam AS (SELECT rc.bucket,
-         |          CAST(round(ln(
-         |            (CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
-         |             * CAST(nr.nr + $DsirBuckets AS DOUBLE))
-         |            / (CAST(rc.cr + 1 AS DOUBLE)
-         |               * CAST(nt.nt + $DsirBuckets AS DOUBLE))), 9)
-         |            AS DECIMAL(20,9)) AS lam
-         |        FROM rc LEFT JOIN tc USING (bucket)
-         |        CROSS JOIN nr CROSS JOIN nt),
-         |w AS (SELECT f.id, CAST(sum(f.cnt) AS BIGINT) AS n_feat,
-         |        CAST(round(sum(CAST(CAST(f.cnt AS DECIMAL(9,0)) * lam.lam
-         |                            AS DECIMAL(38,12))), 6)
-         |             AS DOUBLE) AS log_w
-         |      FROM f JOIN lam USING (bucket) GROUP BY 1),
+      (dsirWeightsSql + s""",
          |top AS (SELECT id FROM w ORDER BY log_w DESC, id LIMIT $DsirK)
          |SELECT w.id, w.n_feat, w.log_w,
          |       CASE WHEN top.id IS NULL THEN 0 ELSE 1 END AS sel
-         |FROM w LEFT JOIN top USING (id) ORDER BY id""".stripMargin,
+         |FROM w LEFT JOIN top USING (id) ORDER BY id""".stripMargin),
 
     "q_dsir_gumbel" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |             FROM documents),
-         |f AS (SELECT doc_id AS id, $bucketSql AS bucket, count(*) AS cnt
-         |      FROM tok GROUP BY 1, 2),
-         |rc AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM f GROUP BY 1),
-         |tt AS (SELECT $bucketSql AS bucket FROM
-         |         (SELECT unnest(string_split(text, ' ')) AS tok
-         |          FROM documents WHERE lang = 'en')),
-         |tc AS (SELECT bucket, count(*) AS ct FROM tt GROUP BY 1),
-         |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rc),
-         |nt AS (SELECT count(*) AS nt FROM tt),
-         |lam AS (SELECT rc.bucket,
-         |          CAST(round(ln(
-         |            (CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
-         |             * CAST(nr.nr + $DsirBuckets AS DOUBLE))
-         |            / (CAST(rc.cr + 1 AS DOUBLE)
-         |               * CAST(nt.nt + $DsirBuckets AS DOUBLE))), 9)
-         |            AS DECIMAL(20,9)) AS lam
-         |        FROM rc LEFT JOIN tc USING (bucket)
-         |        CROSS JOIN nr CROSS JOIN nt),
-         |w AS (SELECT f.id, CAST(sum(f.cnt) AS BIGINT) AS n_feat,
-         |        CAST(round(sum(CAST(CAST(f.cnt AS DECIMAL(9,0)) * lam.lam
-         |                            AS DECIMAL(38,12))), 6)
-         |             AS DOUBLE) AS log_w
-         |      FROM f JOIN lam USING (bucket) GROUP BY 1),
+      (dsirWeightsSql + s""",
          |g AS (SELECT id, n_feat, log_w,
          |        round(log_w + -ln(-ln(
          |          (CAST(('0x' || substr(md5('29:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
@@ -123,7 +106,7 @@ object SelectQueries {
          |top AS (SELECT id FROM g ORDER BY gkey DESC, id LIMIT $DsirK)
          |SELECT g.id, g.n_feat, g.log_w, g.gkey,
          |       CASE WHEN top.id IS NULL THEN 0 ELSE 1 END AS sel
-         |FROM g LEFT JOIN top USING (id) ORDER BY id""".stripMargin,
+         |FROM g LEFT JOIN top USING (id) ORDER BY id""".stripMargin),
 
     "q_text_lm_buckets" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok

@@ -210,6 +210,29 @@ object SimQueries {
        |${argmin("ca1", "a2")}""".stripMargin
   }
 
+  // shared coarse-quantizer CTE chain (vec_id % 8 init centroids ->
+  // per-vector argmin cell assignment over a `v` CTE) used identically
+  // by the semdedup / IVF / recall oracles — one definition so the
+  // distance arithmetic and tie-break can never drift between them.
+  // Emitted pre-stripped; hosts embed it via interpolation inside
+  // their own stripMargin strings (embedded lines carry no margins).
+  private val quantizerCtes: String = {
+    val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+    val dot = dotSql
+    s"""cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
+       |                round(avg(x[j + 1]), 6) AS c
+       |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+       |         GROUP BY 1, 2),
+       |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
+       |asgn AS (SELECT vec_id, x, cell FROM (
+       |  SELECT v.vec_id, v.x, ca.cell,
+       |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |           (${vv.format("v.x")}
+       |            - 2 * ${dot.format("v.x", "ca.carr")}
+       |            + ${vv.format("ca.carr")}), ca.cell) AS rk
+       |  FROM v CROSS JOIN ca) WHERE rk = 1)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_sim_topk" -> {
       val dot = dotSql.format("q.x", "c.x")
@@ -278,18 +301,7 @@ object SimQueries {
       val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
       val dot = dotSql
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         |cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
-         |                round(avg(x[j + 1]), 6) AS c
-         |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
-         |         GROUP BY 1, 2),
-         |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
-         |asgn AS (SELECT vec_id, x, cell FROM (
-         |  SELECT v.vec_id, v.x, ca.cell,
-         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |           (${vv.format("v.x")}
-         |            - 2 * ${dot.format("v.x", "ca.carr")}
-         |            + ${vv.format("ca.carr")}), ca.cell) AS rk
-         |  FROM v CROSS JOIN ca) WHERE rk = 1),
+         |$quantizerCtes,
          |dup AS (SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
          |        FROM asgn a JOIN asgn b
          |          ON a.cell = b.cell AND b.vec_id < a.vec_id
@@ -354,18 +366,7 @@ object SimQueries {
       val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
       val dot = dotSql
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         |cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
-         |                round(avg(x[j + 1]), 6) AS c
-         |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
-         |         GROUP BY 1, 2),
-         |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
-         |asgn AS (SELECT vec_id, x, cell FROM (
-         |  SELECT v.vec_id, v.x, ca.cell,
-         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |           (${vv.format("v.x")}
-         |            - 2 * ${dot.format("v.x", "ca.carr")}
-         |            + ${vv.format("ca.carr")}), ca.cell) AS rk
-         |  FROM v CROSS JOIN ca) WHERE rk = 1),
+         |$quantizerCtes,
          |sc AS (SELECT q.vec_id AS qid, q.cell AS cell, c.vec_id AS vec_id,
          |              ${dot.format("q.x", "c.x")}
          |              / (sqrt(${vv.format("q.x")}) * sqrt(${vv.format("c.x")})) AS cos
@@ -397,18 +398,7 @@ object SimQueries {
          |           ORDER BY $cosExpr DESC, c.vec_id) AS rank
          |  FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 10) WHERE rank <= $TopK),
-         |cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
-         |                round(avg(x[j + 1]), 6) AS c
-         |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
-         |         GROUP BY 1, 2),
-         |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
-         |asgn AS (SELECT vec_id, x, cell FROM (
-         |  SELECT v.vec_id, v.x, ca.cell,
-         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |           (${vv.format("v.x")}
-         |            - 2 * ${dot.format("v.x", "ca.carr")}
-         |            + ${vv.format("ca.carr")}), ca.cell) AS rk
-         |  FROM v CROSS JOIN ca) WHERE rk = 1),
+         |$quantizerCtes,
          |ivf AS (SELECT qid, vec_id FROM (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
          |         row_number() OVER (PARTITION BY q.vec_id

@@ -106,13 +106,22 @@ object SketchQueries {
         .join(hs.filter(col("lang") === "de").select(col("h")),
           Seq("h"), "left_semi")
         .agg(count(lit(1)).as("common_k"))
-      est.crossJoin(common)
+      // Jaccard denominator: the number of union-sketch survivors
+      // actually inspected — min(K, |union sketch|). Dividing by the
+      // fixed K when the union holds fewer than K hashes (small or
+      // highly-overlapping vocabularies) understates the overlap: an
+      // identical en/de token set must report jaccard = 1.0, not
+      // |vocab|/K (the under-full branch kmvEstimate already has).
+      val unionK = union.agg(count(lit(1)).as("union_k"))
+      est.crossJoin(common).crossJoin(unionK)
         .select(col("common_k"), col("est_de"), col("est_en"),
           col("est_union"),
-          round(col("common_k").cast("double") / Sketches.KmvK, 6)
-            .as("jaccard"),
-          round(col("common_k").cast("double") * col("est_union")
-            / Sketches.KmvK, 4).as("inter_est"))
+          round(col("common_k").cast("double") /
+            least(lit(Sketches.KmvK.toDouble), col("union_k").cast("double")),
+            6).as("jaccard"),
+          round(col("common_k").cast("double") * col("est_union") /
+            least(lit(Sketches.KmvK.toDouble), col("union_k").cast("double")),
+            4).as("inter_est"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -205,9 +214,12 @@ object SketchQueries {
          |        FROM est),
          |cm AS (SELECT count(*) AS common_k FROM usk
          |       WHERE h IN (SELECT h FROM hs WHERE lang = 'en')
-         |         AND h IN (SELECT h FROM hs WHERE lang = 'de'))
+         |         AND h IN (SELECT h FROM hs WHERE lang = 'de')),
+         |uk AS (SELECT least(CAST(256 AS DOUBLE), CAST(count(*) AS DOUBLE))
+         |         AS union_k FROM usk)
          |SELECT common_k, est_de, est_en, est_union,
-         |       round(CAST(common_k AS DOUBLE) / 256, 6) AS jaccard,
-         |       round(CAST(common_k AS DOUBLE) * est_union / 256, 4) AS inter_est
-         |FROM piv, cm""".stripMargin)
+         |       round(CAST(common_k AS DOUBLE) / union_k, 6) AS jaccard,
+         |       round(CAST(common_k AS DOUBLE) * est_union / union_k, 4)
+         |         AS inter_est
+         |FROM piv, cm, uk""".stripMargin)
 }

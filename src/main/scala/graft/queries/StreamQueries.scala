@@ -125,7 +125,7 @@ object StreamQueries {
          |  FROM events),
          |h AS (SELECT hour,
          |    ('0x' || substr(md5('11:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-         |  FROM hu),
+         |  FROM hu WHERE user_id IS NOT NULL),
          |b AS (SELECT hour, h % 4096 AS bucket, h // 4096 AS w FROM h),
          |r AS (SELECT hour, bucket,
          |        max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS r

@@ -367,6 +367,34 @@ object TextQueries {
     s"CASE $cases ELSE '${langs.last}' END"
   }
 
+  // shared BM25 derivation (k1 = 1.2, b = 0.75 folded into the 2.2 /
+  // 1.2 / 0.25 / 0.75 literals) over the fixed query terms — the
+  // standalone ranking and the hybrid fusion leg score with the SAME
+  // CTE chain, factored so the parameters cannot drift between them.
+  // Pre-stripped; hosts append their own ranking CTEs.
+  private val bm25Sql: String =
+    """WITH lens AS (SELECT doc_id AS id,
+      |                CAST(len(string_split(text, ' ')) AS INT) AS dl
+      |              FROM documents),
+      |st AS (SELECT count(*) AS n_docs,
+      |              sum(len(string_split(text, ' '))) AS sum_dl
+      |       FROM documents),
+      |tf AS (SELECT id, tok, count(*) AS tf
+      |       FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents)
+      |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY id, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |sc AS (SELECT tf.id,
+      |  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+      |  * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+      |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+      |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
+      |  FROM tf JOIN df ON tf.tok = df.tok
+      |  JOIN lens ON tf.id = lens.id CROSS JOIN st),
+      |agg AS (SELECT id, round(sum(s), 6) AS score FROM sc GROUP BY id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_text_tokens" ->
       s"""SELECT doc_id,
@@ -688,54 +716,14 @@ object TextQueries {
         |FROM s JOIN topbg ON s.id = topbg.id ORDER BY id""".stripMargin,
 
     "q_text_bm25" ->
-      """WITH lens AS (SELECT doc_id AS id,
-        |                CAST(len(string_split(text, ' ')) AS INT) AS dl
-        |              FROM documents),
-        |st AS (SELECT count(*) AS n_docs,
-        |              sum(len(string_split(text, ' '))) AS sum_dl
-        |       FROM documents),
-        |tf AS (SELECT id, tok, count(*) AS tf
-        |       FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
-        |             FROM documents)
-        |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY id, tok),
-        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |sc AS (SELECT tf.id,
-        |  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-        |  * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
-        |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
-        |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
-        |  FROM tf JOIN df ON tf.tok = df.tok
-        |  JOIN lens ON tf.id = lens.id CROSS JOIN st),
-        |agg AS (SELECT id, round(sum(s), 6) AS score FROM sc GROUP BY id),
+      (bm25Sql + """,
         |top AS (SELECT id, score FROM agg ORDER BY score DESC, id LIMIT 20)
         |SELECT id, score,
         |       CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rnk
-        |FROM top ORDER BY rnk""".stripMargin,
+        |FROM top ORDER BY rnk""".stripMargin),
 
     "q_hybrid_topk" ->
-      """WITH lens AS (SELECT doc_id AS id,
-        |                CAST(len(string_split(text, ' ')) AS INT) AS dl
-        |              FROM documents),
-        |st AS (SELECT count(*) AS n_docs,
-        |              sum(len(string_split(text, ' '))) AS sum_dl
-        |       FROM documents),
-        |tf AS (SELECT id, tok, count(*) AS tf
-        |       FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
-        |             FROM documents)
-        |       WHERE tok IN ('dup', 'spark', 'join') GROUP BY id, tok),
-        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |sc AS (SELECT tf.id,
-        |  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-        |  * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
-        |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
-        |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS s
-        |  FROM tf JOIN df ON tf.tok = df.tok
-        |  JOIN lens ON tf.id = lens.id CROSS JOIN st),
-        |agg AS (SELECT id, round(sum(s), 6) AS score FROM sc GROUP BY id),
+      (bm25Sql + """,
         |ltop AS (SELECT id, score FROM agg ORDER BY score DESC, id LIMIT 20),
         |lex AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
         |        FROM ltop),
@@ -756,7 +744,7 @@ object TextQueries {
         |ftop AS (SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 10)
         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT) AS rank,
         |       id, rrf
-        |FROM ftop ORDER BY rank""".stripMargin,
+        |FROM ftop ORDER BY rank""".stripMargin),
 
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id AS id,
