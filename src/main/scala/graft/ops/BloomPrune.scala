@@ -40,7 +40,10 @@ object BloomPrune {
     val pruned = fact.filter(bridge.toColumn(
       BloomFilterMightContain(Literal(bloomBin, BinaryType),
         bridge.toExpression(xxhash64(col(factKey))))))
-    pruned.join(dim.select(col(dimKey)), col(factKey) === col(dimKey),
+    // alias the dim key: with factKey == dimKey (the common case) an
+    // unqualified equality predicate is AMBIGUOUS_REFERENCE
+    val rk = s"__bp_$dimKey"
+    pruned.join(dim.select(col(dimKey).as(rk)), col(factKey) === col(rk),
       "leftsemi")
   }
 }

@@ -68,7 +68,12 @@ object Dedup {
     // entirely (intersection AND union stay consistent); a shingle
     // present in that many documents carries no dedup signal. One
     // extra groupBy on the shingle key the join shuffles on anyway.
-    val shAll = shingles(docs, idCol, textCol, n)
+    // with the cap, shAll feeds BOTH the df aggregate and the join's
+    // probe side — pin it so the dominant tokenize+hash+distinct
+    // pipeline runs once, not once per consumer
+    val shAll =
+      if (maxDocFreq == Int.MaxValue) shingles(docs, idCol, textCol, n)
+      else Pins.pin(shingles(docs, idCol, textCol, n))
     val sh = Pins.pin(if (maxDocFreq == Int.MaxValue) shAll
       else {
         val freq = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -394,8 +399,13 @@ object Dedup {
       .select(col("id"),
         coalesce(col("cov"), array().cast("array<int>")).as("cov"),
         col("toks"))
+      // empty/null token arrays: size <= 0 makes sequence(1, size)
+      // DESCEND ([1, 0, -1] for null's size = -1) — guard to an empty
+      // keep list, the same hazard shingles() guards above
       .withColumn("keep_pos",
-        array_except(sequence(lit(1), size(col("toks"))), col("cov")))
+        when(size(col("toks")) >= 1,
+          array_except(sequence(lit(1), size(col("toks"))), col("cov")))
+          .otherwise(array().cast("array<int>")))
       .select(col("id"),
         concat_ws(" ", transform(col("keep_pos"),
           p => element_at(col("toks"), p))).as("text_clean"),

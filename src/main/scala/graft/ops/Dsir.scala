@@ -80,7 +80,11 @@ object Dsir {
     */
   def select(raw: DataFrame, target: DataFrame, idCol: String,
              textCol: String, numBuckets: Int, k: Int): DataFrame = {
-    val w = importanceWeights(raw, target, idCol, textCol, numBuckets)
+    // pinned: both the top-k branch and the join spine consume the
+    // weight table — unpinned, the two-corpus importance pipeline
+    // would execute once per branch
+    val w = graft.core.Pins.pin(
+      importanceWeights(raw, target, idCol, textCol, numBuckets))
     val top = w.orderBy(col("log_w").desc, col("id")).limit(k)
       .select(col("id"))
     w.join(top.withColumn("sel", lit(1)), Seq("id"), "left")
@@ -108,8 +112,9 @@ object Dsir {
     val w = importanceWeights(raw, target, idCol, textCol, numBuckets)
     val u = (Sampling.hash60(col("id"), seed).cast("double") + lit(0.5)) /
       lit(GumbelDen)
-    val keyed = w.withColumn("gkey",
-      round(col("log_w") + -log(-log(u)), 6))
+    // pinned for the same two-consumer reason as select()
+    val keyed = graft.core.Pins.pin(w.withColumn("gkey",
+      round(col("log_w") + -log(-log(u)), 6)))
     val top = keyed.orderBy(col("gkey").desc, col("id")).limit(k)
       .select(col("id"))
     keyed.join(top.withColumn("sel", lit(1)), Seq("id"), "left")

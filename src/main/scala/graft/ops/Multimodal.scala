@@ -213,10 +213,16 @@ object Multimodal {
             val n = math.min(frames, (buf.length / fs).toLong).toInt
             var sum = 0.0
             var i = 0
+            // sample byte order follows the container: WAV is
+            // little-endian, AU/AIFF are big-endian — reading a fixed
+            // order would byte-swap the amplitudes of the other family
+            val big = f.isBigEndian
             while (i < n) {
-              val lo = buf(i * fs) & 0xFF
-              val hi = buf(i * fs + 1).toInt
-              val s = (hi << 8) | lo
+              val b0 = buf(i * fs) & 0xFF
+              val b1 = buf(i * fs + 1) & 0xFF
+              val s =
+                if (big) ((buf(i * fs).toInt) << 8) | b1
+                else ((buf(i * fs + 1).toInt) << 8) | b0
               sum += s.toDouble * s.toDouble
               i += 1
             }
@@ -282,12 +288,17 @@ object Multimodal {
   def resize(p: Column, n: Int): Column = substring(p, 1, n)
 
   /** "Frame-sample" a text payload: every `stride`-th character —
-    * the stride-slicing dataflow of video frame extraction.
+    * the stride-slicing dataflow of video frame extraction. Empty (or
+    * null-length) payloads sample to "" — an unguarded
+    * sequence(1, 0, stride) throws Illegal sequence boundaries (the
+    * ascending step contradicts the descending range).
     */
   def frameSample(text: Column, stride: Int): Column =
-    array_join(
-      transform(sequence(lit(1), length(text), lit(stride)),
-        i => text.substr(i, lit(1))), "")
+    when(length(text) >= 1,
+      array_join(
+        transform(sequence(lit(1), length(text), lit(stride)),
+          i => text.substr(i, lit(1))), ""))
+      .otherwise(lit(""))
 
   /** Full multimodal feature row for a documents-like table. */
   def features(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

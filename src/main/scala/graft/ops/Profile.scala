@@ -86,9 +86,15 @@ object QualityChecks {
   private def one(name: String, df: DataFrame): DataFrame =
     df.select(lit(name).as("check_name"), col("violations").cast("long"))
 
-  /** count − countDistinct over the key tuple (0 ⇔ unique). */
+  /** non-null-keyed rows − countDistinct over the key tuple
+    * (0 ⇔ unique). Null-keyed rows don't violate (the convention
+    * every other check here uses): Spark's countDistinct excludes
+    * tuples containing null, so counting ALL rows would flag every
+    * null-keyed row as a duplicate.
+    */
   def uniqueness(name: String, df: DataFrame, cols: Seq[String]): CheckFn =
-    () => one(name, df.agg((count(lit(1)) -
+    () => one(name, df.agg((count(when(
+      cols.map(c => col(c).isNotNull).reduce(_ && _), 1)) -
       countDistinct(cols.head, cols.tail: _*)).as("violations")))
 
   /** null count (0 ⇔ complete). */

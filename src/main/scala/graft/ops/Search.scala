@@ -80,13 +80,27 @@ object Search {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     minDf: Long = 1L,
-                    maxDf: Long = Long.MaxValue): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
-      .groupBy(col("term"))
+                    maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+    // the maxDf cap must land BEFORE the posting aggregation: a
+    // billion-document stop term would otherwise funnel its full
+    // posting list through one reducer's collect_list buffer and only
+    // THEN be discarded — the cheap df pre-pass (a count on the same
+    // shuffle key) drops those keys from the heavy aggregate entirely
+    val src =
+      if (maxDf == Long.MaxValue) pairs
+      else {
+        val p2 = graft.core.Pins.pin(pairs)
+        val keep = p2.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        p2.join(keep.select(col("term")), Seq("term"))
+      }
+    src.groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         array_join(sort_array(collect_list(col("id"))), ",").as("postings"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
+  }
 
   /** Hybrid retrieval: fuse the BM25 lexical leg with a cosine
     * vector leg by reciprocal-rank fusion (RRF, Cormack et al.

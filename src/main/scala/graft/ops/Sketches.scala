@@ -154,7 +154,13 @@ object Sketches {
       .select(col("*"),
         posexplode(array((0 until CmsD).map(d =>
           cmsBucket(col("_h"), d)): _*)).as(Seq("d", "bucket")))
-    probes.join(broadcast(sketch), Seq("d", "bucket"))
+    // LEFT join + 0-fill: a probe bucket matching an EMPTY sketch cell
+    // means zero occurrences hashed there — the classic min-over-d
+    // bound must see that 0 (an inner join would drop the row when all
+    // cells are empty, or overestimate by taking min over only the
+    // non-empty ones; an absent key must estimate 0, not disappear)
+    probes.join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy(candidates.columns.map(col): _*)
       .agg(min(col("cnt")).as("est_cnt"))
   }

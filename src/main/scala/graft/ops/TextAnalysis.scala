@@ -172,15 +172,26 @@ object TextAnalysis {
         element_at(col("toks"), col("i") + lit(1))).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(max(col("c")).as("top_bigram_cnt"))
-    base.join(topBg, Seq("id"))
+    // LEFT join + guarded fractions: docs with < 2 tokens have no
+    // bigram rows — an inner join would silently drop exactly the
+    // degenerate/spam candidates a repetition gate exists to see.
+    // Zero denominators (empty/1-token/2-token docs) report 0.0.
+    base.join(topBg, Seq("id"), "left")
+      .withColumn("top_bigram_cnt", coalesce(col("top_bigram_cnt"), lit(0L)))
       .select(col("id"), col("n_tokens"), col("uniq_tokens"),
-        round6HalfUp((col("n_tokens") - col("uniq_tokens")).cast("double") /
-          col("n_tokens").cast("double")).as("dup_tok_frac"),
+        when(col("n_tokens") > 0,
+          round6HalfUp((col("n_tokens") - col("uniq_tokens")).cast("double") /
+            col("n_tokens").cast("double"))).otherwise(lit(0.0))
+          .as("dup_tok_frac"),
         col("top_bigram_cnt"),
-        round6HalfUp(col("top_bigram_cnt").cast("double") /
-          col("n_bg").cast("double")).as("top_bigram_frac"),
-        round6HalfUp((col("n_tg") - col("uniq_tg")).cast("double") /
-          col("n_tg").cast("double")).as("dup_trigram_frac"))
+        when(col("n_bg") > 0,
+          round6HalfUp(col("top_bigram_cnt").cast("double") /
+            col("n_bg").cast("double"))).otherwise(lit(0.0))
+          .as("top_bigram_frac"),
+        when(col("n_tg") > 0,
+          round6HalfUp((col("n_tg") - col("uniq_tg")).cast("double") /
+            col("n_tg").cast("double"))).otherwise(lit(0.0))
+          .as("dup_trigram_frac"))
   }
 
   /** Sliding token-window document chunks — the standard context-

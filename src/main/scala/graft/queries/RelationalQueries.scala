@@ -1226,11 +1226,15 @@ object RelationalQueries {
         |WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
         |UNION ALL
         |SELECT 'unique_lineitem_pk',
-        |       count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |       count(CASE WHEN l_orderkey IS NOT NULL
+        |                   AND l_linenumber IS NOT NULL THEN 1 END)
+        |       - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+        |                              AND l_linenumber IS NOT NULL
+        |                             THEN (l_orderkey, l_linenumber) END)
         |FROM lineitem
         |UNION ALL
         |SELECT 'unique_orderkey',
-        |       count(*) - count(DISTINCT o_orderkey) FROM orders
+        |       count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
         |ORDER BY check_name""".stripMargin,
 
     // identical bin arithmetic: (v-mn)/(mx-mn)*20 floored, top edge

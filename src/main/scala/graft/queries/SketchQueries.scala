@@ -171,8 +171,9 @@ object SketchQueries {
         |       FROM (SELECT tok, exact_cnt,
         |               ('0x' || substr(md5('101:' || tok), 1, 15))::BIGINT AS h
         |             FROM cand), ds)
-        |SELECT pr.tok, pr.exact_cnt, min(sk.cnt) AS est_cnt
-        |FROM pr JOIN sk USING (d, bucket)
+        |SELECT pr.tok, pr.exact_cnt,
+        |       min(coalesce(sk.cnt, 0)) AS est_cnt
+        |FROM pr LEFT JOIN sk USING (d, bucket)
         |GROUP BY 1, 2 ORDER BY tok""".stripMargin,
 
     "q_sketch_quantiles" ->

@@ -706,14 +706,20 @@ object TextQueries {
         |                GROUP BY id, g)
         |          GROUP BY id)
         |SELECT s.id AS id, n_tokens, uniq_tokens,
-        |  floor(CAST(n_tokens - uniq_tokens AS DOUBLE)
-        |        / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_tok_frac,
-        |  top_bigram_cnt,
-        |  floor(CAST(top_bigram_cnt AS DOUBLE)
-        |        / CAST(n_bg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_bigram_frac,
-        |  floor(CAST(n_tg - uniq_tg AS DOUBLE)
-        |        / CAST(n_tg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
-        |FROM s JOIN topbg ON s.id = topbg.id ORDER BY id""".stripMargin,
+        |  CASE WHEN n_tokens > 0
+        |       THEN floor(CAST(n_tokens - uniq_tokens AS DOUBLE)
+        |            / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |       ELSE CAST(0 AS DOUBLE) END AS dup_tok_frac,
+        |  coalesce(top_bigram_cnt, 0) AS top_bigram_cnt,
+        |  CASE WHEN n_bg > 0
+        |       THEN floor(CAST(coalesce(top_bigram_cnt, 0) AS DOUBLE)
+        |            / CAST(n_bg AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |       ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+        |  CASE WHEN n_tg > 0
+        |       THEN floor(CAST(n_tg - uniq_tg AS DOUBLE)
+        |            / CAST(n_tg AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |       ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
+        |FROM s LEFT JOIN topbg ON s.id = topbg.id ORDER BY id""".stripMargin,
 
     "q_text_bm25" ->
       (bm25Sql + """,
