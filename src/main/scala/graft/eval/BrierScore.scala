@@ -40,10 +40,15 @@ object BrierScore {
     val nDf = df.agg(count(lit(1)).cast("double").as("_n"))
     val cens = KaplanMeier.censoringCurve(df, tCol, eCol)
 
-    val gridDf = gridTimes.zipWithIndex
-      .foldLeft(Seq.empty[(Int, Double)])((acc, p) => acc :+ (p._2, p._1))
+    // duplicate grid values would each join every surv row at that tau
+    // and inflate bs by the multiplicity — a degenerate [t_min, t_max]
+    // span (all linspace points equal, or step < ulp) must fail loudly,
+    // not silently double-count
+    require(gridTimes.distinct.length == gridTimes.length,
+      s"grid contains duplicate time points (degenerate range? " +
+        s"${gridTimes.take(3).mkString(",")}...)")
     import spark.implicits._
-    val g = gridDf.toDF("tau_idx", "tau")
+    val g = gridTimes.zipWithIndex.map(_.swap).toSeq.toDF("tau_idx", "tau")
 
     // G(τ) per grid point (100 rows, driver-free broadcast lookup)
     val gAtTau = KaplanMeier.lookup(g, "tau", cens, strict = false, "g_tau")

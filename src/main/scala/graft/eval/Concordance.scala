@@ -29,9 +29,14 @@ object Concordance {
     */
   def harrell(df: DataFrame, tCol: String, eCol: String,
               riskCol: String): DataFrame = {
-    val i = df.select(col(tCol).cast("double").as("ti"),
+    // contract (shared with ScalableConcordance.harrell, which must
+    // produce the identical counts): rows with null t/e/risk carry no
+    // pair semantics and are excluded up front
+    val clean = df.filter(col(tCol).isNotNull && col(eCol).isNotNull &&
+      col(riskCol).isNotNull)
+    val i = clean.select(col(tCol).cast("double").as("ti"),
       col(eCol).cast("int").as("ei"), col(riskCol).cast("double").as("ri"))
-    val j = df.select(col(tCol).cast("double").as("tj"),
+    val j = clean.select(col(tCol).cast("double").as("tj"),
       col(riskCol).cast("double").as("rj"))
     pairCindex(
       i.filter(col("ei") === 1).join(broadcast(j), col("ti") < col("tj")),
@@ -48,13 +53,21 @@ object Concordance {
     * t_i below the grid are excluded (no step value), matching the
     * range-join semantics.
     */
+  /** Step lookup τ(t): the LAST grid point <= t, null below the grid
+    * — the single definition of "which events are scoreable", shared
+    * with [[ScalableConcordance.antolini]] (their agreement is a
+    * correctness invariant: q_cindex_td must equal q_cindex_td_sorted).
+    */
+  def tauStep(grid: Array[Double], t: Column): Column = {
+    val eligible = filter(array(grid.map(lit(_)): _*), g => g <= t)
+    when(size(eligible) > 0, element_at(eligible, -1))
+  }
+
   def antolini(df: DataFrame, idCol: String, tCol: String, eCol: String,
                surv: DataFrame, grid: Array[Double]): DataFrame = {
     val base = df.select(col(idCol).as("i"), col(tCol).cast("double").as("ti"),
       col(eCol).cast("int").as("ei"))
-    val gridArr = array(grid.map(lit(_)): _*)
-    val eligible = filter(gridArr, g => g <= col("ti"))
-    val tauStep = when(size(eligible) > 0, element_at(eligible, -1))
+    val tauStep = Concordance.tauStep(grid, col("ti"))
     val sAt = base.filter(col("ei") === 1)
       .withColumn("tau_i", tauStep)
       .filter(col("tau_i").isNotNull)

@@ -48,8 +48,14 @@ object KaplanMeier {
     // One shuffle to the grouped distinct-time table, range-ordered:
     // partition p holds strictly smaller t than p+1, rows sorted
     // within.
-    val g = df.groupBy(t.cast("double").as("t"))
-      .agg(sum(e.cast("long")).as("d"), count(lit(1)).as("m"))
+    // null-t rows would produce a null-keyed cell whose getDouble NPEs
+    // in the emit pass, and an all-null-e cell a null d — drop the
+    // uninterpretable rows (no time = no curve position; no event flag
+    // = no at-risk semantics) and 0-fill the sum
+    val g = df.filter(t.isNotNull && e.isNotNull)
+      .groupBy(t.cast("double").as("t"))
+      .agg(coalesce(sum(e.cast("long")), lit(0L)).as("d"),
+        count(lit(1)).as("m"))
       .repartitionByRange(np, col("t"))
       .sortWithinPartitions(col("t"))
       .select(col("t"), col("d"), col("m"))
@@ -113,10 +119,16 @@ object KaplanMeier {
     * '13), EXACT for a step function (rectangle sum over the steps,
     * no quadrature error). Returns one row (tau, rmst).
     *
-    * Determinism/scale: the curve collapses to |distinct t| rows, so
-    * the next-knot lookup is a broadcast non-equi self-join + min —
-    * never a global single-partition window — and the step areas sum
-    * in DECIMAL (order-independent). S is rounded to 6dp FIRST: the
+    * Determinism/scale: the next-knot lookup is a broadcast non-equi
+    * self-join + min — O(k²) comparisons over the k curve knots with a
+    * k-row broadcast, which is fine while the curve fits
+    * [[SmallCurveRows]] but NOT the continuous-time regime (|distinct
+    * t| ≈ n) that [[lookup]]'s distributed branch handles; callers in
+    * that regime should pre-coarsen t to a bounded grid (the same
+    * capped-grid treatment interpolation uses) before calling — the
+    * guard below makes the limit loud instead of letting the
+    * BroadcastNestedLoopJoin OOM. The step areas sum in DECIMAL
+    * (order-independent). S is rounded to 6dp FIRST: the
     * engine and the oracle prove 6dp agreement on the curve (q_km),
     * and building on the rounded values keeps the horizon-scaled sum
     * engine-exact instead of amplifying sub-6dp product noise by the
@@ -125,9 +137,13 @@ object KaplanMeier {
   def rmst(df: DataFrame, tCol: String, eCol: String,
            horizon: Double): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cv = curve(df, tCol, eCol)
+    val cv = graft.core.Pins.pin(curve(df, tCol, eCol)
       .select(col("t"), round(col("s"), 6).as("s"))
-      .filter(col("t") < lit(horizon))
+      .filter(col("t") < lit(horizon)))
+    require(cv.count() <= SmallCurveRows,
+      s"rmst: curve has more than $SmallCurveRows knots — coarsen t " +
+        "to a bounded grid first (continuous-time curves make the " +
+        "next-knot broadcast join quadratic)")
     val nxt = cv
       .join(broadcast(cv.select(col("t").as("t2"))), col("t2") > col("t"),
         "left")

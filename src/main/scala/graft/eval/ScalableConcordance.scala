@@ -43,9 +43,15 @@ object ScalableConcordance {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // null t/e/r rows are excluded — the same contract as
+    // Concordance.harrell (a null would NPE the primitive-tuple
+    // encoder in the within-bucket sweep; NaN risks are handled, see
+    // countWithin)
     val (s, ownS) = graft.core.Caches.acquire(
-      df.select(col(tCol).cast("double").as("t"),
-        col(eCol).cast("int").as("e"), col(riskCol).cast("double").as("r")))
+      df.filter(col(tCol).isNotNull && col(eCol).isNotNull &&
+          col(riskCol).isNotNull)
+        .select(col(tCol).cast("double").as("t"),
+          col(eCol).cast("int").as("e"), col(riskCol).cast("double").as("r")))
 
     // ---- bucket assignment: monotone value→bucket map ----
     // (approxQuantile is the one unavoidable pre-pass — it defines the
@@ -156,12 +162,10 @@ object ScalableConcordance {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // Step lookup τ(t): last grid point <= t (null below the grid) —
-    // same literal-array expression as Concordance.antolini, so the
-    // two agree on which events are scoreable.
-    val gridArr = array(grid.map(lit(_)): _*)
-    val eligible = filter(gridArr, g => g <= col("t"))
-    val tauStep = when(size(eligible) > 0, element_at(eligible, -1))
+    // Step lookup τ(t): THE shared Concordance.tauStep definition, so
+    // the two antolini implementations agree on which events are
+    // scoreable by construction.
+    val tauStep = Concordance.tauStep(grid, col("t"))
     val base = df.select(col(idCol).as("k"), col(tCol).cast("double").as("t"),
         col(eCol).cast("int").as("e"))
       .withColumn("tau_i", tauStep)
@@ -423,14 +427,22 @@ object ScalableConcordance {
     */
   private[eval] def countWithin(rows: Seq[(Double, Int, Double)]): Long = {
     if (rows.size < 2) return 0L
-    val ranks = rows.map(_._3).distinct.sorted.zipWithIndex.toMap
+    // rank map keyed by CANONICAL bits: doubleToLongBits folds every
+    // NaN payload to one pattern, so a NaN risk ranks (largest — the
+    // Spark SQL ordering the bucket map used) instead of throwing
+    // NoSuchElementException from a boxed-Double map where NaN != NaN
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    val ranks = rows.map(r => bits(r._3)).distinct
+      .map(b => b -> java.lang.Double.longBitsToDouble(b))
+      .sortWith((a, b) => java.lang.Double.compare(a._2, b._2) < 0)
+      .map(_._1).zipWithIndex.toMap
     val bit = new Fenwick(ranks.size)
     var total = 0L
     rows.groupBy(_._1).toSeq.sortBy(-_._1).foreach { case (_, grp) =>
       grp.foreach { case (_, e, r) =>
-        if (e == 1) total += bit.queryBelow(ranks(r)) // inserted have t_j > t_i
+        if (e == 1) total += bit.queryBelow(ranks(bits(r))) // inserted have t_j > t_i
       }
-      grp.foreach { case (_, _, r) => bit.add(ranks(r)) }
+      grp.foreach { case (_, _, r) => bit.add(ranks(bits(r))) }
     }
     total
   }

@@ -45,8 +45,12 @@ object ChurnView {
 
     // global max order date: a SCALAR SUBQUERY — planned as its own
     // tiny subquery job whose 1-row result substitutes as a literal,
-    // so the main scan carries no join at all (not even a broadcast)
-    val mx = co.agg(max(col("last_order")).as("max_date"))
+    // so the main scan carries no join at all (not even a broadcast).
+    // Computed from the RAW orders scan (shuffle-free partial-max),
+    // not from `co`: max over co's last_order equals max(o_orderdate)
+    // exactly, and referencing co here would re-execute the orders
+    // group-by once for the subquery and once for the main plan.
+    val mx = orders.agg(max(to_date(col("o_orderdate"))).as("max_date"))
 
     co.withColumn("max_date", mx.scalar())
       .join(customer, col("o_custkey") === col("c_custkey"))
@@ -71,12 +75,29 @@ object ChurnView {
   // memoize so the many queries sharing it don't refit encoders /
   // recount (the reference re-fits on every copy(); SURVEY §4.2.3
   // flags that as a pure perf artifact).
+  // WEAK keys on the session: a stopped SparkSession must not stay
+  // pinned (with its persisted row-numbered frame) for the driver's
+  // lifetime just because this memo saw it once. Access synchronized —
+  // WeakHashMap is not thread-safe and Verify/Bench/Hyperband share
+  // the memo.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), SurvDataset]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Double), SurvDataset]]()
 
   def dataset(spark: SparkSession, dir: String,
-              trainRatio: Double = 0.9): SurvDataset =
-    cache.getOrElseUpdate((spark, dir, trainRatio), buildDataset(spark, dir, trainRatio))
+              trainRatio: Double = 0.9): SurvDataset = cache.synchronized {
+    val perSession = {
+      val cur = cache.get(spark)
+      if (cur != null) cur
+      else {
+        val m = scala.collection.mutable.Map.empty[(String, Double), SurvDataset]
+        cache.put(spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate((dir, trainRatio),
+      buildDataset(spark, dir, trainRatio))
+  }
 
   private def buildDataset(spark: SparkSession, dir: String,
                            trainRatio: Double): SurvDataset = {

@@ -8,6 +8,11 @@ import org.apache.spark.sql.types._
 /** A typed row at the model boundary (encoded features + outcome). */
 final case class SurvRow(rn: Long, x: Array[Float], t: Double, e: Int)
 
+/** Split selector for [[SurvDataset.batchIn]]. */
+sealed trait SplitSel
+case object TrainSplit extends SplitSel
+case object TestSplit extends SplitSel
+
 /** The engine's dataset abstraction — the Spark re-expression of the
   * reference's `BasicDataset`/`ESDataset`/`PandasDataset`
   * (reference: src/elastic_surv/dataset.py:15-370).
@@ -54,8 +59,23 @@ final case class SurvDataset(
     * scale happens per-partition inside the training aggregators, not
     * through a driver cursor.
     */
+  // `start` is a GLOBAL row number, not a split-relative offset:
+  // batching the test split starts at trainLen, not 0 (a 0-based
+  // cursor over ds.test silently returns empty windows).
   def batch(split: DataFrame, start: Long, bs: Int): DataFrame =
     split.filter(col(RN) >= start && col(RN) < start + bs)
+
+  /** Split-relative batching: window `start` is an offset WITHIN the
+    * given split (0 = the split's first row) — the direct analog of
+    * the reference's per-split cursor.
+    */
+  def batchIn(split: SplitSel, start: Long, bs: Int): DataFrame = {
+    val base = split match {
+      case TrainSplit => 0L
+      case TestSplit => trainLen
+    }
+    batch(if (split == TrainSplit) train else test, base + start, bs)
+  }
 
   /** Encoded feature names, in reference order: each categorical
     * feature replaced in-place in the (sorted) feature list by its
