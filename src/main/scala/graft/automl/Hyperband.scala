@@ -58,9 +58,12 @@ object ModelFactory {
     */
   def mlpSeeds(hidden: Seq[Int] = Seq(32, 32)): Seq[ModelFactory] = {
     // the reference searches batch_norm per net (model_cox_ph.py:73-76);
-    // here it toggles MlpStack's affine frozen-stats flavor. Added at
-    // the SEED level so the linear parity seeds' sample streams (and
-    // their oracle-pinned quirk tests) stay untouched.
+    // here it toggles MlpStack's BATCH-statistics flavor (bnBatch —
+    // batch-coupled BatchNorm1d train mode, the mode the reference's
+    // nets actually train with; see the MlpStack scaladoc, NOT the
+    // affine frozen-stats flavor). Added at the SEED level so the
+    // linear parity seeds' sample streams (and their oracle-pinned
+    // quirk tests) stay untouched.
     val bnParam = graft.model.CategoricalP("batch_norm", Seq(false, true))
     def bnOf(params: Map[String, Any]): Boolean =
       params.getOrElse("batch_norm", false).asInstanceOf[Boolean]

@@ -49,13 +49,17 @@ private[model] object AdamLoop {
       val (loss, grad) = lossGrad(th)
       step += 1
       val newTheta = theta.clone()
+      // bias corrections are i-invariant — hoisted (2 pow calls per
+      // epoch instead of 2|theta|)
+      val c1 = 1 - math.pow(b1, step)
+      val c2 = 1 - math.pow(b2, step)
       var i = 0
       while (i < theta.length) {
         val g = grad(i)
         mAdam(i) = b1 * mAdam(i) + (1 - b1) * g
         vAdam(i) = b2 * vAdam(i) + (1 - b2) * g * g
-        val mh = mAdam(i) / (1 - math.pow(b1, step))
-        val vh = vAdam(i) / (1 - math.pow(b2, step))
+        val mh = mAdam(i) / c1
+        val vh = vAdam(i) / c2
         newTheta(i) = theta(i) - lr * mh / (math.sqrt(vh) + eps)
         i += 1
       }

@@ -61,7 +61,7 @@ final case class CoxMlp(
 
     // Config-independent prefix (tensorize + scaler fit + standardize
     // + persist) — shared across a search's configs via TrainCache.
-    val ((train, mu, sd), owned) = TrainCache.acquire(
+    val ((train, mu, sd), releasePrep) = TrainCache.acquire(
       TrainCache.key("cox_mlp_std", ds)) {
       val raw = ds.tensorized(ds.train)
         .select(col("rn"), col("t").cast("double").as("t"),
@@ -74,7 +74,13 @@ final case class CoxMlp(
         .agg(avg(col("xv")).as("mu"), stddev_pop(col("xv")).as("sd"))
         .orderBy("idx").collect()
       val mu0 = stats.map(_.getAs[Double]("mu"))
-      val sd0 = stats.map(r => math.max(r.getAs[Double]("sd"), 1e-12))
+      val sd0 = stats.map { r =>
+        val sd = r.getAs[Double]("sd")
+        // math.max(NaN, x) = NaN: a single NaN feature would zero the
+        // whole fit (every loss NaN -> AdamLoop returns the random
+        // init); mirror linear CoxPH's NaN -> 1.0 guard
+        if (sd.isNaN || sd <= 1e-12) 1.0 else sd
+      }
 
       val muA = array(mu0.map(lit(_)): _*)
       val sdA = array(sd0.map(lit(_)): _*)
@@ -133,7 +139,7 @@ final case class CoxMlp(
       if (batchNorm && hidden.nonEmpty)
         Some(MlpStack.populationStats(train.rdd.map(_._2), stack, bestTheta))
       else None
-    if (owned) { train.unpersist(); () }
+    releasePrep()
 
     val w = bestTheta.take(q)
     val layers = stack.extract(bestTheta, bnStats)

@@ -46,9 +46,13 @@ final case class CoxPH(
 
   // Mirrors the spirit of model_cox_ph.py:67-84 (lr, batch_norm, ...)
   // restricted to what a linear model has.
+  // no max_iter knob: Hyperband's rung budget IS the iteration count
+  // (build() maps epochs -> maxIter), so sampling one would create
+  // distinct-keyed configs training identical models — a full wasted
+  // train+score per duplicate. (The reference's cox_ph space has no
+  // iteration knob either, model_cox_ph.py:68-77.)
   def hyperparameterSpace: Seq[Param] = Seq(
-    FloatP("l2", 1e-6, 1e-1),
-    IntegerP("max_iter", 50, 200, 50))
+    FloatP("l2", 1e-6, 1e-1))
 
   def fit(ds: SurvDataset): FittedCoxPH = {
     val p = ds.numFeatures
@@ -56,7 +60,7 @@ final case class CoxPH(
     // Config-independent prefix (scaler + standardized train + the
     // range-partitioned training rows) — shared across a search's
     // configs via TrainCache (l2/maxIter touch none of it).
-    val ((train, sortedRows, mu, sd), owned) = TrainCache.acquire(
+    val ((train, sortedRows, mu, sd), releasePrep) = TrainCache.acquire(
       TrainCache.key("cox_ph_std", ds)) {
       val raw = ds.tensorized(ds.train)
         .select(col("t").cast("double").as("t"), col("e").cast("int").as("e"),
@@ -114,7 +118,8 @@ final case class CoxPH(
     }
     val lbfgs = new LBFGS[DenseVector[Double]](maxIter, 7, tol)
     val beta = lbfgs.minimize(objective, DenseVector.zeros[Double](p))
-    if (owned) { sortedRows.unpersist(blocking = false); () }
+    // sortedRows rides releasePrep below (the staged early release
+    // conflicted with shared ownership)
 
     // ---- Breslow baseline on the FULL train split at final β ----
     // (deviation from the reference's last-batch artifact, SURVEY §4.2.1)
@@ -124,7 +129,7 @@ final case class CoxPH(
       .persist(StorageLevel.MEMORY_AND_DISK)
     baseline.count()
 
-    if (owned) { train.unpersist(); () }
+    releasePrep()
     FittedCoxPH(this, beta.toArray, mu, sd, baseline)
   }
 
@@ -159,7 +164,11 @@ final case class CoxPH(
       val swx = new Array[Double](p)
       it.foreach { r =>
         val x = r.getSeq[Double](2)
-        val w = math.exp(dot(x, b))
+        // clamp before exp: a divergent iterate past ~709 would make
+        // w = Inf -> S0 = Inf -> NaN gradients corrupting the line
+        // search; at ±500 results are bit-identical in the sane regime
+        // and saturate gracefully outside it
+        val w = math.exp(math.min(500.0, math.max(-500.0, dot(x, b))))
         sw += w
         var j = 0; while (j < p) { swx(j) += x(j) * w; j += 1 }
       }
@@ -201,7 +210,7 @@ final case class CoxPH(
           val r = buf.next()
           val x = r.getSeq[Double](2)
           val sc = dot(x, b)
-          val w = math.exp(sc)
+          val w = math.exp(math.min(500.0, math.max(-500.0, sc)))
           s0 += w
           var j = 0; while (j < p) { s1(j) += x(j) * w; j += 1 }
           if (r.getInt(1) == 1) {
@@ -255,7 +264,10 @@ object CoxPH {
   def breslow(df: DataFrame, sc: Column): DataFrame = {
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
-    val g = df.select(col("t").cast("double").as("t"), col("e"), exp(sc).as("w"))
+    // same ±500 clamp as the likelihood passes: one Inf weight would
+    // poison S0 for every earlier event time (h0 = 0 or NaN)
+    val g = df.select(col("t").cast("double").as("t"), col("e"),
+      exp(least(lit(500.0), greatest(lit(-500.0), sc))).as("w"))
       .groupBy(col("t"))
       .agg(sum(col("w")).as("w_t"), sum(col("e").cast("long")).as("d"))
       .repartitionByRange(np, col("t").desc)

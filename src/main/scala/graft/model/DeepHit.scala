@@ -61,7 +61,7 @@ final case class DeepHit(
 
     // Config-independent prefix (cuts + tensorize + persist) — shared
     // with LogisticHazardMlp too (identical plan given numDurations).
-    val ((train, cuts, nRows), owned) = TrainCache.acquire(
+    val ((train, cuts, nRows), releasePrep) = TrainCache.acquire(
       TrainCache.key("discrete_ti", ds, s"$numDurations")) {
       val cts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
       val (tr, ownTr) = graft.core.Caches.acquire(ds.tensorized(ds.train)
@@ -123,7 +123,7 @@ final case class DeepHit(
       if (batchNorm && hidden.nonEmpty)
         Some(MlpStack.populationStats(train.rdd.map(_._2), stack, bestTheta))
       else None
-    if (owned) { train.unpersist(); () }
+    releasePrep()
 
     val c = bestTheta.take(k)
     val w = Array.tabulate(k, q)((kk, j) => bestTheta(k + kk * q + j))

@@ -36,7 +36,9 @@ final case class LogisticHazard(
 
   def hyperparameterSpace: Seq[Param] = Seq(
     FloatP("reg_param", 1e-6, 1e-1),
-    IntegerP("max_iter", 50, 200, 50))
+    // no max_iter knob — the rung budget is the iteration count (see
+    // CoxPH.hyperparameterSpace)
+  )
 
   def fit(ds: SurvDataset): FittedLogisticHazard = {
     val cuts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
@@ -105,7 +107,7 @@ final case class LogisticHazardMlp(
 
     // Same config-independent prefix (and TrainCache key) as DeepHit:
     // the encoded train table is identical given numDurations.
-    val ((train, cuts, _), owned) = TrainCache.acquire(
+    val ((train, cuts, _), releasePrep) = TrainCache.acquire(
       TrainCache.key("discrete_ti", ds, s"$numDurations")) {
       val cts = DurationCuts.fit(ds.train, ds.timeCol, numDurations)
       val (tr, ownTr) = graft.core.Caches.acquire(ds.tensorized(ds.train)
@@ -161,7 +163,7 @@ final case class LogisticHazardMlp(
       if (batchNorm && hidden.nonEmpty)
         Some(MlpStack.populationStats(train.rdd.map(_._2), stack, bestTheta))
       else None
-    if (owned) { train.unpersist(); () }
+    releasePrep()
 
     val b = bestTheta.take(k)
     val w = Array.tabulate(k, q)((ki, j) => bestTheta(k + ki * q + j))

@@ -70,20 +70,23 @@ object TrainCache {
   }
 
   /** Build-or-reuse a config-independent prep. `build` returns the
-    * value and a release callback for the sharing scope. Returns the
-    * value plus `owned`: true ⇒ no sharing is active and the CALLER
-    * keeps its usual own-lifecycle release; false ⇒ the value is
-    * shared and the caller must NOT release it.
+    * value and an OWNERSHIP-AWARE release callback. Returns the value
+    * plus the release the caller must invoke when done: outside a
+    * sharing scope that is the build's own callback (which already
+    * folds in Caches.acquire ownership — returning a bare `owned`
+    * boolean here once made callers unpersist plans a CONCURRENT
+    * standalone fit owned, un-caching it mid-training); inside a
+    * scope it is a no-op, the scope releases at exit.
     */
-  def acquire[A](key: String)(build: => (A, () => Unit)): (A, Boolean) = {
+  def acquire[A](key: String)(build: => (A, () => Unit)): (A, () => Unit) = {
     val m = memo
-    if (m == null) (build._1, true)
+    if (m == null) build
     else {
       val e = m.computeIfAbsent(key, _ => {
         val (a, release) = build
         Entry(a, release)
       })
-      (e.value.asInstanceOf[A], false)
+      (e.value.asInstanceOf[A], () => ())
     }
   }
 
