@@ -34,35 +34,52 @@ import org.apache.spark.unsafe.types.UTF8String
   *    — the distributed form of the reference's single cursor, so a
   *    1000-executor cluster scans one index in parallel;
   *  - **filter pushdown**: Catalyst filters translate to the ES query
-  *    DSL (`term`/`terms`/`range`/`exists` under `bool.filter`);
-  *    untranslatable filters stay in Spark, and string term/terms
-  *    filters are only pushed under `keywordStrings=true` (ES `term`
-  *    matches ANALYZED tokens on a text-mapped field, which would
-  *    silently drop rows) — correctness never depends on the
-  *    translation;
+  *    DSL (`term`/`terms`/`range`/`exists` under `bool.filter`,
+  *    `And` nesting, `Or` as `bool.should` + `minimum_should_match`);
+  *    untranslatable filters stay in Spark, and string term/terms/range
+  *    filters are only pushed under `keywordStrings=true` (ES matches
+  *    ANALYZED tokens on a text-mapped field — term equality AND range
+  *    bounds alike — which would silently change results) —
+  *    correctness never depends on the translation;
   *  - **projection pushdown**: the pruned column set becomes
   *    `_source`, so ES ships only the columns the plan reads;
-  *  - **paging = scroll**: each page is one `size`-bounded batch
-  *    (the reference's `batch_size`, dataset.py:148), the scroll
-  *    cursor is freed on close.
+  *  - **paging**: `scroll` (default, every ES version) pages a
+  *    `size`-bounded scroll cursor (the reference's `batch_size`,
+  *    dataset.py:148) freed on close; `pit` uses point-in-time +
+  *    `search_after` over a `_shard_doc` sort — the ES 8 recommended
+  *    deep-pagination path, snapshot-consistent, PIT freed on close.
   *
   * Options: `nodes` (base URL, e.g. `http://localhost:9200`), `index`,
   * `slices` (default 1), `batch` (page size, default 1000), `scroll`
-  * (keep-alive, default `2m`), `keywordStrings` (default false — set
-  * true only when every queried string field is keyword-mapped, which
-  * unlocks `term`/`terms` pushdown on strings). The read schema is caller-supplied
-  * (`spark.read.schema(...)`) — long/int/double/float/boolean/string
-  * columns; `_source` fields absent in a hit read as null.
+  * (keep-alive, default `2m`), `paging` (`scroll`|`pit`),
+  * `keywordStrings` (default false — set true only when every queried
+  * string field is keyword-mapped, which unlocks `term`/`terms`/range
+  * pushdown on strings). The read schema is caller-supplied
+  * (`spark.read.schema(...)`) or inferred from `_mapping` —
+  * long/int/double/float/boolean/string/timestamp_ntz columns;
+  * `_source` fields absent in a hit read as null.
   */
 final class EsScrollSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
   /** Schema from `GET /{index}/_mapping` when the caller supplies
     * none. Field-type mapping follows the ES docs (`long`/`integer`/
-    * `double`/`float`/`boolean`/`keyword`/`text`); anything else —
-    * nested objects, dates (whose wire format is mapping-dependent) —
-    * fails fast with the explicit-schema escape hatch rather than
-    * silently widening dtypes.
+    * `double`/`float`/`boolean`/`keyword`/`text`/`date`); anything
+    * else — nested objects, custom-format dates beyond the contract
+    * below — fails fast with the explicit-schema escape hatch rather
+    * than silently widening dtypes.
+    *
+    * `date` fields read as [[TimestampNTZType]] carrying the UTC
+    * wall-clock: ES stores dates as UTC instants, and `_source`
+    * returns the value as indexed — this reader accepts epoch-millis
+    * numbers and ISO-8601 strings (offset normalized to UTC; no
+    * offset = already UTC). Indices using a custom non-ISO `format`
+    * need an explicit StringType schema.
+    *
+    * When `index` is a pattern matching several concrete indices, the
+    * per-index mappings are UNIONED; the same field mapped to two
+    * different Spark types across indices fails fast (reading it as
+    * either type would misparse the other index's rows).
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val nodes = Option(options.get("nodes")).getOrElse(
@@ -77,35 +94,72 @@ final class EsScrollSource extends TableProvider {
       throw new java.io.IOException(
         s"ES mapping ${resp.statusCode()}: ${resp.body().take(300)}")
     val root = new ObjectMapper().readTree(resp.body())
-    // response shape: { "<concrete-index>": { "mappings": { "properties": {...}}}}
-    val mappings = root.elements()
-    if (!mappings.hasNext)
+    // response shape: { "<concrete-index>": { "mappings": { "properties": {...}}}},
+    // one top-level entry PER concrete index matched by the pattern
+    val indexEntries = root.properties().iterator()
+    if (!indexEntries.hasNext)
       throw new IllegalArgumentException(s"no mapping returned for '$index'")
-    val props = mappings.next().path("mappings").path("properties")
-    val fields = props.properties().iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[StructField]
-    while (fields.hasNext) {
-      val e = fields.next()
-      val dt = e.getValue.path("type").asText("") match {
-        case "long" => LongType
-        case "integer" | "short" | "byte" => IntegerType
-        case "double" => DoubleType
-        case "float" | "half_float" => FloatType
-        case "boolean" => BooleanType
-        case "keyword" | "text" => StringType
-        case other => throw new UnsupportedOperationException(
-          s"EsScrollSource cannot infer field '${e.getKey}' of ES type " +
-            s"'$other' — pass an explicit spark.read.schema(...)")
+    // field -> (spark type, first concrete index that declared it)
+    val merged =
+      scala.collection.mutable.LinkedHashMap.empty[String, (DataType, String)]
+    while (indexEntries.hasNext) {
+      val entry = indexEntries.next()
+      val concreteIndex = entry.getKey
+      val fields = entry.getValue.path("mappings").path("properties")
+        .properties().iterator()
+      while (fields.hasNext) {
+        val e = fields.next()
+        val dt = e.getValue.path("type").asText("") match {
+          case "long" => LongType
+          case "integer" | "short" | "byte" => IntegerType
+          case "double" => DoubleType
+          case "float" | "half_float" => FloatType
+          case "boolean" => BooleanType
+          case "keyword" | "text" => StringType
+          case "date" => TimestampNTZType
+          case other => throw new UnsupportedOperationException(
+            s"EsScrollSource cannot infer field '${e.getKey}' of ES type " +
+              s"'$other' (index '$concreteIndex') — pass an explicit " +
+              "spark.read.schema(...)")
+        }
+        merged.get(e.getKey) match {
+          case Some((prev, from)) if prev != dt =>
+            throw new IllegalArgumentException(
+              s"field '${e.getKey}' maps to $prev in index '$from' but $dt " +
+                s"in index '$concreteIndex' — pattern '$index' spans " +
+                "conflicting mappings; pass an explicit spark.read.schema(...)")
+          case Some(_) => // same type — fine
+          case None => merged += e.getKey -> (dt, concreteIndex)
+        }
       }
-      out += StructField(e.getKey, dt)
     }
-    require(out.nonEmpty, s"index '$index' has an empty mapping")
-    StructType(out.toSeq.sortBy(_.name))
+    require(merged.nonEmpty, s"index '$index' has an empty mapping")
+    StructType(merged.map { case (n, (dt, _)) => StructField(n, dt) }
+      .toSeq.sortBy(_.name))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new EsTable(schema)
+}
+
+private[es] object EsScrollSource {
+  /** ISO-8601 → UTC wall-clock micros. With an offset the instant is
+    * normalized to UTC; without one the value is taken as already-UTC
+    * (ES's own convention for offset-less dates).
+    */
+  def parseIsoUtcMicros(s: String): Long = {
+    val instant =
+      try java.time.OffsetDateTime.parse(s).toInstant
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(s)
+            .toInstant(java.time.ZoneOffset.UTC)
+      }
+    Math.addExact(
+      Math.multiplyExact(instant.getEpochSecond, 1000000L),
+      instant.getNano / 1000L)
+  }
 }
 
 private[es] final class EsTable(schema: StructType)
@@ -150,7 +204,12 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
     nodes = require("nodes"), index = require("index"),
     slices = Option(options.get("slices")).map(_.toInt).getOrElse(1),
     batch = Option(options.get("batch")).map(_.toInt).getOrElse(1000),
-    scrollKeep = Option(options.get("scroll")).getOrElse("2m"))
+    scrollKeep = Option(options.get("scroll")).getOrElse("2m"),
+    paging = Option(options.get("paging")).getOrElse("scroll") match {
+      case p @ ("scroll" | "pit") => p
+      case other => throw new IllegalArgumentException(
+        s"EsScrollSource: paging must be 'scroll' or 'pit', got '$other'")
+    })
 
   private def require(k: String): String = {
     val v = options.get(k)
@@ -162,19 +221,20 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
 
 private[es] final class EsScan(schema: StructType, filters: Array[Filter],
                                nodes: String, index: String, slices: Int,
-                               batch: Int, scrollKeep: String)
+                               batch: Int, scrollKeep: String, paging: String)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"EsScan(index=$index, slices=$slices, query=${EsQuery.render(filters)})"
+    s"EsScan(index=$index, slices=$slices, paging=$paging, " +
+      s"query=${EsQuery.render(filters)})"
 
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(slices)(i => EsInputPartition(i, slices))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EsReaderFactory(schema.json, EsQuery.render(filters),
-      schema.fieldNames, nodes, index, batch, scrollKeep)
+      schema.fieldNames, nodes, index, batch, scrollKeep, paging)
 }
 
 private[es] final case class EsInputPartition(sliceId: Int, sliceMax: Int)
@@ -186,38 +246,51 @@ private[es] final case class EsInputPartition(sliceId: Int, sliceMax: Int)
 private[es] final class EsReaderFactory(schemaJson: String, queryJson: String,
                                         sourceFields: Array[String],
                                         nodes: String, index: String,
-                                        batch: Int, scrollKeep: String)
+                                        batch: Int, scrollKeep: String,
+                                        paging: String)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ep = p.asInstanceOf[EsInputPartition]
     new EsPartitionReader(
       DataType.fromJson(schemaJson).asInstanceOf[StructType], queryJson,
-      sourceFields, nodes, index, batch, scrollKeep, ep.sliceId, ep.sliceMax)
+      sourceFields, nodes, index, batch, scrollKeep, paging,
+      ep.sliceId, ep.sliceMax)
   }
 }
 
-/** One sliced scroll: open on first `next()`, page on demand, free the
-  * scroll cursor on close. Pure JDK HttpClient — no client library.
+/** One sliced cursor: open on first `next()`, page on demand, free the
+  * server-side context on close. Pure JDK HttpClient — no client
+  * library. Two paging modes:
+  *  - `scroll` (default): classic scroll cursor, works on every ES;
+  *  - `pit`: point-in-time + `search_after` over a `_shard_doc` sort —
+  *    the ES 8 recommended deep-pagination path (scroll is deprecated
+  *    for it); the PIT pins a consistent snapshot across pages and the
+  *    server keeps no per-cursor result state.
   */
 private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
                                           sourceFields: Array[String],
                                           nodes: String, index: String,
                                           batch: Int, scrollKeep: String,
+                                          paging: String,
                                           sliceId: Int, sliceMax: Int)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
+  private val usePit = paging == "pit"
   private var scrollId: String = _
+  private var pitId: String = _
+  private var lastSort: ArrayNode = _
   private var hits: java.util.Iterator[JsonNode] = _
   private var row: InternalRow = _
   private var opened = false
   private var exhausted = false
 
-  private def post(url: String, body: String): JsonNode = {
+  private def send(method: String, url: String, body: String): JsonNode = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .method(method,
+        HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
       .build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
@@ -226,10 +299,15 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
     mapper.readTree(resp.body())
   }
 
-  private def open(): Unit = {
+  private def post(url: String, body: String): JsonNode =
+    send("POST", url, body)
+
+  /** size + query + _source + slice — shared by both paging modes. */
+  private def searchBody(): ObjectNode = {
     val body = mapper.createObjectNode()
     body.put("size", batch)
-    body.set[ObjectNode]("query", mapper.readTree(queryJson).asInstanceOf[ObjectNode])
+    body.set[ObjectNode]("query",
+      mapper.readTree(queryJson).asInstanceOf[ObjectNode])
     val src = body.putArray("_source")
     sourceFields.foreach(src.add)
     if (sliceMax > 1) {
@@ -237,24 +315,67 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
       slice.put("id", sliceId)
       slice.put("max", sliceMax)
     }
-    consume(post(s"$nodes/$index/_search?scroll=$scrollKeep", body.toString))
+    body
+  }
+
+  private def open(): Unit = {
+    if (usePit) {
+      pitId = post(s"$nodes/$index/_pit?keep_alive=$scrollKeep", "")
+        .path("id").asText(null)
+      if (pitId == null)
+        throw new java.io.IOException(s"ES _pit returned no id for $index")
+      consume(post(s"$nodes/_search", pitBody(after = null).toString))
+    } else {
+      consume(post(s"$nodes/$index/_search?scroll=$scrollKeep",
+        searchBody().toString))
+    }
     opened = true
   }
 
+  /** PIT search body: the PIT carries the index (so the URL is bare
+    * `/_search`), `_shard_doc` is the documented cheapest total order,
+    * and `search_after` resumes past the previous page's last sort key.
+    */
+  private def pitBody(after: ArrayNode): ObjectNode = {
+    val body = searchBody()
+    val pit = body.putObject("pit")
+    pit.put("id", pitId)
+    pit.put("keep_alive", scrollKeep)
+    body.putArray("sort").addObject().put("_shard_doc", "asc")
+    body.put("track_total_hits", false)
+    if (after != null) body.set[ObjectNode]("search_after", after)
+    body
+  }
+
   private def consume(page: JsonNode): Unit = {
-    scrollId = page.path("_scroll_id").asText(null)
+    if (usePit) {
+      // the server may rotate the PIT id between pages
+      val newPit = page.path("pit_id").asText(null)
+      if (newPit != null) pitId = newPit
+    } else {
+      scrollId = page.path("_scroll_id").asText(null)
+    }
     val arr = page.path("hits").path("hits")
-    hits =
-      if (arr.isArray && arr.size() > 0) arr.elements()
-      else { exhausted = true; java.util.Collections.emptyIterator() }
+    if (arr.isArray && arr.size() > 0) {
+      if (usePit) arr.get(arr.size() - 1).path("sort") match {
+        case a: ArrayNode => lastSort = a
+        case _ => throw new java.io.IOException(
+          "ES PIT hit missing its sort key — cannot page with search_after")
+      }
+      hits = arr.elements()
+    } else { exhausted = true; hits = java.util.Collections.emptyIterator() }
   }
 
   private def nextPage(): Unit = {
-    if (scrollId == null) { exhausted = true; return }
-    val body = mapper.createObjectNode()
-    body.put("scroll", scrollKeep)
-    body.put("scroll_id", scrollId)
-    consume(post(s"$nodes/_search/scroll", body.toString))
+    if (usePit) {
+      if (lastSort == null) { exhausted = true; return }
+      consume(post(s"$nodes/_search", pitBody(after = lastSort).toString))
+    } else if (scrollId == null) { exhausted = true } else {
+      val body = mapper.createObjectNode()
+      body.put("scroll", scrollKeep)
+      body.put("scroll_id", scrollId)
+      consume(post(s"$nodes/_search/scroll", body.toString))
+    }
   }
 
   override def next(): Boolean = {
@@ -281,6 +402,14 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
         case FloatType => out.setFloat(i, v.asDouble().toFloat)
         case BooleanType => out.setBoolean(i, v.asBoolean())
         case StringType => out.update(i, UTF8String.fromString(v.asText()))
+        case TimestampNTZType =>
+          // ES `date` contract (see inferSchema): epoch-millis number
+          // or ISO-8601 string; exposed as the UTC wall-clock in NTZ
+          // micros so results are session-timezone-independent.
+          val micros =
+            if (v.isNumber) Math.multiplyExact(v.asLong(), 1000L)
+            else EsScrollSource.parseIsoUtcMicros(v.asText())
+          out.setLong(i, micros)
         case dt => throw new UnsupportedOperationException(
           s"EsScrollSource: unsupported dtype $dt for column ${f.name}")
       }
@@ -290,19 +419,17 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
   }
 
   override def close(): Unit = {
-    if (scrollId != null) {
-      try {
+    try {
+      if (usePit && pitId != null) {
+        val body = mapper.createObjectNode()
+        body.put("id", pitId)
+        send("DELETE", s"$nodes/_pit", body.toString)
+      } else if (scrollId != null) {
         val body = mapper.createObjectNode()
         body.put("scroll_id", scrollId)
-        val req = HttpRequest.newBuilder(URI.create(s"$nodes/_search/scroll"))
-          .header("Content-Type", "application/json")
-          .method("DELETE",
-            HttpRequest.BodyPublishers.ofString(body.toString,
-              StandardCharsets.UTF_8))
-          .build()
-        http.send(req, HttpResponse.BodyHandlers.ofString())
-      } catch { case _: Exception => () } // cursor expiry races are benign
-    }
+        send("DELETE", s"$nodes/_search/scroll", body.toString)
+      }
+    } catch { case _: Exception => () } // cursor/PIT expiry races are benign
   }
 }
 
@@ -342,18 +469,36 @@ private[es] object EsQuery {
 
   def translatable(f: Filter, schema: StructType,
                    keywordStrings: Boolean): Boolean = {
-    def stringCol(c: String): Boolean =
-      schema.fields.exists(x => x.name == c &&
-        x.dataType == org.apache.spark.sql.types.StringType)
+    def colType(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    def stringCol(c: String): Boolean = colType(c).contains(StringType)
+    // Timestamp columns never push value comparisons: the ES `date`
+    // wire format is mapping-dependent (`format` parameter), so a
+    // rendered literal may not parse the way Spark compared it.
+    def tsCol(c: String): Boolean =
+      colType(c).exists(t => t == TimestampNTZType || t == TimestampType)
+    // term/terms/range on a text-ANALYZED field match individual
+    // lowercased tokens, not the whole value Spark compares — and
+    // because a pushed filter is dropped from Spark's post-scan
+    // re-evaluation, that is silently wrong. Push string comparisons
+    // only when the caller asserts keyword mapping.
+    def valueComparable(c: String): Boolean =
+      !tsCol(c) && (keywordStrings || !stringCol(c))
     f match {
-      case EqualTo(c, _) => keywordStrings || !stringCol(c)
+      // `term: null` is an ES 400 (whole-scan failure); leave it Spark-side
+      case EqualTo(c, v) => v != null && valueComparable(c)
       case In(c, vs) =>
         // ES rejects null inside a terms array (400 → whole-query
         // failure), and term matching on analyzed text drops rows
-        !vs.contains(null) && (keywordStrings || !stringCol(c))
-      case _: GreaterThan | _: GreaterThanOrEqual |
-           _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+        !vs.contains(null) && valueComparable(c)
+      case GreaterThan(c, v) => v != null && valueComparable(c)
+      case GreaterThanOrEqual(c, v) => v != null && valueComparable(c)
+      case LessThan(c, v) => v != null && valueComparable(c)
+      case LessThanOrEqual(c, v) => v != null && valueComparable(c)
+      case _: IsNotNull | _: IsNull => true
       case And(l, r) => translatable(l, schema, keywordStrings) &&
+        translatable(r, schema, keywordStrings)
+      case Or(l, r) => translatable(l, schema, keywordStrings) &&
         translatable(r, schema, keywordStrings)
       case _ => false
     }
@@ -408,6 +553,14 @@ private[es] object EsQuery {
       case And(l, r) =>
         val arr = n.putObject("bool").putArray("filter")
         arr.add(node(l)); arr.add(node(r))
+      case Or(l, r) =>
+        // disjunction = bool.should with minimum_should_match:1 (the
+        // default of 1 only applies when there is no sibling filter/
+        // must clause, so state it explicitly)
+        val b = n.putObject("bool")
+        val arr = b.putArray("should")
+        arr.add(node(l)); arr.add(node(r))
+        b.put("minimum_should_match", 1)
       case other =>
         throw new IllegalArgumentException(s"untranslatable filter $other")
     }

@@ -75,23 +75,28 @@ object ChurnView {
   // memoize so the many queries sharing it don't refit encoders /
   // recount (the reference re-fits on every copy(); SURVEY §4.2.3
   // flags that as a pure perf artifact).
-  // WEAK keys on the session: a stopped SparkSession must not stay
-  // pinned (with its persisted row-numbered frame) for the driver's
-  // lifetime just because this memo saw it once. Access synchronized —
-  // WeakHashMap is not thread-safe and Verify/Bench/Hyperband share
-  // the memo.
+  // WEAK keys on the session, SOFT refs on the values: a SurvDataset
+  // holds DataFrames that strongly reference its session, so a plain
+  // WeakHashMap value would pin its own key forever. The SoftReference
+  // breaks that value→key chain — once the caller drops the session,
+  // the only path to it runs through the soft ref, which the GC clears
+  // under memory pressure and the weak key follows. A cleared soft ref
+  // just means a refit on next use (the memo is a perf cache, not
+  // state). Access synchronized — WeakHashMap is not thread-safe and
+  // Verify/Bench/Hyperband share the memo.
   private val cache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, Double), SurvDataset]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      scala.collection.mutable.Map[(String, Double), SurvDataset]]]()
 
   def dataset(spark: SparkSession, dir: String,
               trainRatio: Double = 0.9): SurvDataset = cache.synchronized {
     val perSession = {
-      val cur = cache.get(spark)
+      val ref = cache.get(spark)
+      val cur = if (ref != null) ref.get() else null
       if (cur != null) cur
       else {
         val m = scala.collection.mutable.Map.empty[(String, Double), SurvDataset]
-        cache.put(spark, m)
+        cache.put(spark, new java.lang.ref.SoftReference(m))
         m
       }
     }

@@ -52,6 +52,8 @@ class EsScrollSourceSpec extends AnyFunSuite {
     val searches = new ConcurrentLinkedQueue[JsonNode]()
     val deletes = new AtomicInteger(0)
     val scrollCalls = new AtomicInteger(0)
+    val pits = new AtomicInteger(0)
+    val pitDeletes = new AtomicInteger(0)
     // scroll_id -> (remaining rows, page size)
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[String, (List[Int], Int)]()
@@ -75,15 +77,28 @@ class EsScrollSourceSpec extends AnyFunSuite {
           field(f.getKey).toString == v.asText())
       } else if (q.has("range")) {
         val f = q.get("range").properties().asScala.head
-        val v = field(f.getKey).asInstanceOf[Double]
-        f.getValue.properties().asScala.forall { b =>
-          val bound = b.getValue.asDouble()
-          b.getKey match {
-            case "gt" => v > bound
-            case "gte" => v >= bound
-            case "lt" => v < bound
-            case "lte" => v <= bound
-          }
+        field(f.getKey) match {
+          case s: String => // keyword fields range lexically in ES
+            f.getValue.properties().asScala.forall { b =>
+              val bound = b.getValue.asText()
+              b.getKey match {
+                case "gt" => s > bound
+                case "gte" => s >= bound
+                case "lt" => s < bound
+                case "lte" => s <= bound
+              }
+            }
+          case num =>
+            val v = num.asInstanceOf[Double]
+            f.getValue.properties().asScala.forall { b =>
+              val bound = b.getValue.asDouble()
+              b.getKey match {
+                case "gt" => v > bound
+                case "gte" => v >= bound
+                case "lt" => v < bound
+                case "lte" => v <= bound
+              }
+            }
         }
       } else if (q.has("exists")) true // no null fields in the fixture
       else if (q.has("bool")) {
@@ -92,8 +107,24 @@ class EsScrollSourceSpec extends AnyFunSuite {
           b.get("filter").elements().asScala.forall(evalQuery(_, i))
         val mustNot = !b.has("must_not") ||
           !evalQuery(b.get("must_not"), i)
-        must && mustNot
+        val should = !b.has("should") ||
+          b.get("should").elements().asScala.exists(evalQuery(_, i))
+        must && mustNot && should
       } else sys.error(s"mock cannot evaluate: $q")
+    }
+
+    // date fixture: created(i) = base + id seconds; even ids serve the
+    // epoch-millis wire form, odd ids the ISO-8601 one — both are
+    // legal `_source` shapes for an ES `date` field
+    val dateBase = 1700000000000L
+    private def hitSource(src: com.fasterxml.jackson.databind.node.ObjectNode,
+                          i: Int): Unit = {
+      val (id, lang, score, flagged) = store.get(i)
+      src.put("doc_id", id); src.put("lang", lang)
+      src.put("score", score); src.put("flagged", flagged)
+      if (id % 2 == 0) src.put("created", dateBase + id * 1000)
+      else src.put("created",
+        java.time.Instant.ofEpochMilli(dateBase + id * 1000).toString)
     }
 
     private def page(key: String): String = {
@@ -103,12 +134,7 @@ class EsScrollSourceSpec extends AnyFunSuite {
       val resp = mapper.createObjectNode()
       resp.put("_scroll_id", key)
       val hitsArr = resp.putObject("hits").putArray("hits")
-      now.foreach { i =>
-        val (id, lang, score, flagged) = store.get(i)
-        val src = hitsArr.addObject().putObject("_source")
-        src.put("doc_id", id); src.put("lang", lang)
-        src.put("score", score); src.put("flagged", flagged)
-      }
+      now.foreach(i => hitSource(hitsArr.addObject().putObject("_source"), i))
       resp.toString
     }
 
@@ -123,10 +149,31 @@ class EsScrollSourceSpec extends AnyFunSuite {
         } else if (path == "/_search/scroll") {
           scrollCalls.incrementAndGet()
           page(mapper.readTree(body).get("scroll_id").asText())
+        } else if (path == "/_pit" && ex.getRequestMethod == "DELETE") {
+          pitDeletes.incrementAndGet()
+          """{"succeeded":true,"num_freed":1}"""
+        } else if (path.endsWith("/_pit")) {
+          s"""{"id":"pit-${pits.incrementAndGet()}"}"""
+        } else if (path == "/m2/_mapping") {
+          // pattern spanning two indices with compatible (union-able)
+          // mappings
+          """{"m2-a":{"mappings":{"properties":{
+            "doc_id":{"type":"long"},"lang":{"type":"keyword"}}}},
+            "m2-b":{"mappings":{"properties":{
+            "doc_id":{"type":"long"},"score":{"type":"double"}}}}}"""
+            .replaceAll("\\s+", "")
+        } else if (path == "/mbad/_mapping") {
+          // same field, conflicting types across the matched indices
+          """{"mbad-a":{"mappings":{"properties":{
+            "doc_id":{"type":"long"}}}},
+            "mbad-b":{"mappings":{"properties":{
+            "doc_id":{"type":"keyword"}}}}}"""
+            .replaceAll("\\s+", "")
         } else if (path.endsWith("/_mapping")) {
           """{"docs":{"mappings":{"properties":{
             "doc_id":{"type":"long"},"lang":{"type":"keyword"},
-            "score":{"type":"double"},"flagged":{"type":"boolean"}}}}}"""
+            "score":{"type":"double"},"flagged":{"type":"boolean"},
+            "created":{"type":"date"}}}}}"""
             .replaceAll("\\s+", "")
         } else if (path.endsWith("/_bulk")) {
           bulks.incrementAndGet()
@@ -145,12 +192,35 @@ class EsScrollSourceSpec extends AnyFunSuite {
               (req.get("slice").get("id").asInt(),
                 req.get("slice").get("max").asInt())
             else (0, 1)
-          val rows = (0 until store.size)
-            .filter(_ % smax == sid)
-            .filter(i => evalQuery(req.get("query"), i)).toList
-          val key = s"scroll-${nextId.incrementAndGet()}"
-          cursors.put(key, (rows, size))
-          page(key)
+          if (req.has("pit")) {
+            // PIT + search_after: sort key = store row index (the
+            // mock's `_shard_doc`), page resumes strictly after it
+            val after =
+              if (req.has("search_after"))
+                req.get("search_after").get(0).asInt()
+              else -1
+            val rows = (0 until store.size)
+              .filter(_ % smax == sid)
+              .filter(_ > after)
+              .filter(i => evalQuery(req.get("query"), i))
+              .take(size)
+            val resp = mapper.createObjectNode()
+            resp.put("pit_id", req.get("pit").get("id").asText())
+            val hitsArr = resp.putObject("hits").putArray("hits")
+            rows.foreach { i =>
+              val h = hitsArr.addObject()
+              hitSource(h.putObject("_source"), i)
+              h.putArray("sort").add(i)
+            }
+            resp.toString
+          } else {
+            val rows = (0 until store.size)
+              .filter(_ % smax == sid)
+              .filter(i => evalQuery(req.get("query"), i)).toList
+            val key = s"scroll-${nextId.incrementAndGet()}"
+            cursors.put(key, (rows, size))
+            page(key)
+          }
         } else sys.error(s"unexpected ${ex.getRequestMethod} $path")
       val bytes = out.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -289,12 +359,120 @@ class EsScrollSourceSpec extends AnyFunSuite {
         .option("nodes", es.url).option("index", "docs")
         .load()
       assert(df.schema.fieldNames.toSeq ==
-        Seq("doc_id", "flagged", "lang", "score"))
+        Seq("created", "doc_id", "flagged", "lang", "score"))
       assert(df.schema("doc_id").dataType == LongType &&
         df.schema("lang").dataType == StringType &&
         df.schema("score").dataType == DoubleType &&
-        df.schema("flagged").dataType == BooleanType)
+        df.schema("flagged").dataType == BooleanType &&
+        df.schema("created").dataType == TimestampNTZType)
       assert(df.count() == docs.length)
     } finally es.stop()
+  }
+
+  test("ES date fields parse both wire forms to the UTC wall-clock NTZ") {
+    val es = new MockEs
+    try {
+      // inferred schema (created: TimestampNTZ); fixture serves even
+      // ids as epoch-millis numbers and odd ids as ISO-8601 strings
+      val got = spark.read.format(classOf[EsScrollSource].getName)
+        .option("nodes", es.url).option("index", "docs").load()
+        .select(col("doc_id"), col("created"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1))
+        .toMap
+      assert(got.size == docs.length)
+      docs.foreach { case (id, _, _, _) =>
+        val want = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(es.dateBase + id * 1000),
+          java.time.ZoneOffset.UTC)
+        assert(got(id) == want, s"doc $id")
+      }
+    } finally es.stop()
+  }
+
+  test("PIT + search_after pages every row across slices, frees the PIT") {
+    val es = new MockEs
+    try {
+      val got = read(es, "paging" -> "pit", "slices" -> "2", "batch" -> "4")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2), r.getBoolean(3))).toSet
+      assert(got == docs.toSet)
+      assert(es.pits.get() == 2, "one PIT per slice")
+      assert(es.pitDeletes.get() == 2, "PITs not freed on close")
+      assert(es.scrollCalls.get() == 0 && es.deletes.get() == 0,
+        "PIT mode must not touch the scroll API")
+      val bodies = es.searches.asScala.toSeq
+      assert(bodies.forall(b =>
+        b.get("sort").get(0).has("_shard_doc")), "missing _shard_doc sort")
+      assert(bodies.exists(_.has("search_after")),
+        "never paged via search_after")
+    } finally es.stop()
+  }
+
+  test("Or pushes as bool.should with minimum_should_match") {
+    val es = new MockEs
+    try {
+      val df = read(es, "keywordStrings" -> "true")
+        .filter(col("lang") === "en" || col("score") > 2.0)
+      val got = df.collect().map(_.getLong(0)).toSet
+      val want = docs.filter(d => d._2 == "en" || d._3 > 2.0).map(_._1).toSet
+      assert(got == want && want.nonEmpty && want.size < docs.size)
+      val sent = es.searches.asScala.head.get("query").toString
+      assert(sent.contains("\"should\""), sent)
+      assert(sent.contains("\"minimum_should_match\":1"), sent)
+      assert(sent.contains("\"term\":{\"lang\":\"en\"}"), sent)
+    } finally es.stop()
+  }
+
+  test("string range filters stay Spark-side unless keywordStrings is set") {
+    val es = new MockEs
+    try {
+      // default safe mode: an ES range on an analyzed text field
+      // compares TOKENS, not the value Spark compares — must not push
+      val got = read(es).filter(col("lang") >= "fr")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == docs.filter(_._2 >= "fr").map(_._1).toSet)
+      val sent = es.searches.asScala.head.get("query").toString
+      assert(!sent.contains("\"range\":{\"lang\""),
+        s"string range pushed unsafely: $sent")
+      // keyword-asserted mode: lexical range pushes and stays exact
+      es.searches.clear()
+      val got2 = read(es, "keywordStrings" -> "true")
+        .filter(col("lang") >= "fr").collect().map(_.getLong(0)).toSet
+      assert(got2 == docs.filter(_._2 >= "fr").map(_._1).toSet)
+      val sent2 = es.searches.asScala.head.get("query").toString
+      assert(sent2.contains("\"range\":{\"lang\""), sent2)
+    } finally es.stop()
+  }
+
+  test("multi-index mapping union; conflicting field types fail fast") {
+    val es = new MockEs
+    try {
+      val unioned = spark.read.format(classOf[EsScrollSource].getName)
+        .option("nodes", es.url).option("index", "m2").load().schema
+      assert(unioned.fieldNames.toSeq == Seq("doc_id", "lang", "score"))
+      assert(unioned("doc_id").dataType == LongType &&
+        unioned("lang").dataType == StringType &&
+        unioned("score").dataType == DoubleType)
+      val err = intercept[IllegalArgumentException] {
+        spark.read.format(classOf[EsScrollSource].getName)
+          .option("nodes", es.url).option("index", "mbad").load().schema
+      }
+      assert(err.getMessage.contains("conflicting mappings"), err.getMessage)
+    } finally es.stop()
+  }
+
+  test("null-valued comparisons and timestamp columns never push") {
+    import org.apache.spark.sql.sources._
+    // term:null / range:null are ES 400s that would fail the whole scan
+    assert(!EsQuery.translatable(EqualTo("score", null), schema, true))
+    assert(!EsQuery.translatable(GreaterThan("score", null), schema, true))
+    assert(EsQuery.translatable(EqualTo("score", 1.0), schema, true))
+    // timestamp wire format is mapping-dependent — value comparisons
+    // stay Spark-side even under keywordStrings
+    val withTs = schema.add(StructField("created", TimestampNTZType))
+    assert(!EsQuery.translatable(
+      GreaterThan("created", java.time.LocalDateTime.now()), withTs, true))
+    assert(EsQuery.translatable(IsNotNull("created"), withTs, true))
   }
 }
