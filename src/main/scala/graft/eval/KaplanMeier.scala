@@ -119,16 +119,15 @@ object KaplanMeier {
     * '13), EXACT for a step function (rectangle sum over the steps,
     * no quadrature error). Returns one row (tau, rmst).
     *
-    * Determinism/scale: the next-knot lookup is a broadcast non-equi
-    * self-join + min — O(k²) comparisons over the k curve knots with a
-    * k-row broadcast, which is fine while the curve fits
-    * [[SmallCurveRows]] but NOT the continuous-time regime (|distinct
-    * t| ≈ n) that [[lookup]]'s distributed branch handles; callers in
-    * that regime should pre-coarsen t to a bounded grid (the same
-    * capped-grid treatment interpolation uses) before calling — the
-    * guard below makes the limit loud instead of letting the
-    * BroadcastNestedLoopJoin OOM. The step areas sum in DECIMAL
-    * (order-independent). S is rounded to 6dp FIRST: the
+    * Determinism/scale: [[curveExpr]] hands back the knots
+    * range-partitioned by t and sorted within partitions, so each
+    * knot's successor is literally the NEXT ROW — a per-partition
+    * buffered-iterator shift plus one boundary carry (the first knot
+    * of the next non-empty partition, a numPartitions-bounded driver
+    * array). Linear in knots, zero joins, no broadcast — the
+    * continuous-time regime (|distinct t| ≈ n) that [[lookup]]'s
+    * distributed branch handles works here too. The step areas sum in
+    * DECIMAL (order-independent). S is rounded to 6dp FIRST: the
     * engine and the oracle prove 6dp agreement on the curve (q_km),
     * and building on the rounded values keeps the horizon-scaled sum
     * engine-exact instead of amplifying sub-6dp product noise by the
@@ -136,27 +135,50 @@ object KaplanMeier {
     */
   def rmst(df: DataFrame, tCol: String, eCol: String,
            horizon: Double): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val cv = graft.core.Pins.pin(curve(df, tCol, eCol)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    // select + filter are narrow: the curve's range partitioning and
+    // within-partition t order survive into cv.rdd
+    val cv = curve(df, tCol, eCol)
       .select(col("t"), round(col("s"), 6).as("s"))
-      .filter(col("t") < lit(horizon)))
-    require(cv.count() <= SmallCurveRows,
-      s"rmst: curve has more than $SmallCurveRows knots — coarsen t " +
-        "to a bounded grid first (continuous-time curves make the " +
-        "next-knot broadcast join quadratic)")
-    val nxt = cv
-      .join(broadcast(cv.select(col("t").as("t2"))), col("t2") > col("t"),
-        "left")
-      .groupBy(col("t"), col("s")).agg(min(col("t2")).as("next"))
-    val area = nxt
+      .filter(col("t") < lit(horizon))
+    val rows = graft.core.Pins.pinRdd(cv.rdd)
+    // Pass 1: first knot per partition → boundary successors + the
+    // global first knot (S = 1 on [0, minT); rmst = horizon when no
+    // knot precedes it).
+    val firsts = rows.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid ->
+        (if (it.hasNext) Some(it.next().getDouble(0)) else None))
+    }.collect().sortBy(_._1).map(_._2)
+    val nextFirst: Array[Option[Double]] =
+      firsts.scanRight(Option.empty[Double])((cur, acc) => cur.orElse(acc))
+        .drop(1)
+    val minT = firsts.collectFirst { case Some(t0) => t0 }.getOrElse(horizon)
+    // Pass 2: emit (t, s, next) with the in-partition lookahead; the
+    // last knot of a partition takes the boundary carry (null = no
+    // later knot anywhere → the horizon closes the step).
+    val knotsNext = rows.mapPartitionsWithIndex { (pid, it0) =>
+      val it = it0.buffered
+      new scala.collection.AbstractIterator[Row] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): Row = {
+          val r = it.next()
+          val nxt: Option[Double] =
+            if (it.hasNext) Some(it.head.getDouble(0)) else nextFirst(pid)
+          Row(r.getDouble(0), r.getDouble(1), nxt.map(Double.box).orNull)
+        }
+      }
+    }
+    val nxt = spark.createDataFrame(knotsNext, StructType(Seq(
+      StructField("t", DoubleType), StructField("s", DoubleType),
+      StructField("next", DoubleType))))
+    nxt
       .select((col("s") * (coalesce(col("next"), lit(horizon)) - col("t")))
         .cast(DecimalType(38, 12)).as("c"))
       .agg(coalesce(sum(col("c")).cast("double"), lit(0.0)).as("tail"))
-    // S = 1 on [0, first knot) — the whole horizon if no knot precedes it
-    val head = cv.agg(coalesce(min(col("t")), lit(horizon)).as("h"))
-    area.crossJoin(broadcast(head))
       .select(lit(horizon).as("tau"),
-        round(col("h") + col("tail"), 6).as("rmst"))
+        round(lit(minT) + col("tail"), 6).as("rmst"))
   }
 
   /** Step-function lookup value of `curve` at each `at` time:

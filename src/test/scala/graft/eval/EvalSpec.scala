@@ -21,6 +21,46 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(rmstAt(0.5) - 0.5) < 1e-9)
   }
 
+  test("RMST linear next-knot scan: many knots, partition-independent, " +
+    "matches a sequential integral") {
+    import spark.implicits._
+    // continuous-time regime: 2000 distinct knots, far more than the
+    // shuffle width, so in-partition shifts AND boundary carries both
+    // fire (the old quadratic broadcast join is gone)
+    val data = (1 to 2000).map(i =>
+      (i * 0.173 + (i % 11) * 0.003, if (i % 3 == 0) 0 else 1))
+    val horizon = 250.0
+    // sequential ground truth: textbook KM product over ascending
+    // distinct times + rectangle integral — no partition machinery,
+    // no shift, no carry (shares no code path with the engine)
+    val byT = data.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).sum, g.size)).toSeq.sortBy(_._1)
+    var atRisk = data.size.toLong
+    var s = 1.0
+    val knots = byT.map { case (t, (d, m)) =>
+      s = s * (1.0 - d.toDouble / atRisk); atRisk -= m; (t, s)
+    }.filter(_._1 < horizon)
+    val expected = knots.headOption.map(_._1).getOrElse(horizon) +
+      knots.indices.map { i =>
+        val (t, sv) = knots(i)
+        val nxt = if (i + 1 < knots.size) knots(i + 1)._1 else horizon
+        sv * (nxt - t)
+      }.sum
+    val df = data.toDF("t", "e")
+    // partition independence: different shuffle widths move the
+    // partition boundaries the carry must bridge
+    val got = Seq(3, 32).map { np =>
+      spark.conf.set("spark.sql.shuffle.partitions", np)
+      try KaplanMeier.rmst(df, "t", "e", horizon).head().getDouble(1)
+      finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+    }
+    assert(got.distinct.size == 1,
+      s"rmst not partition-independent: $got")
+    // 6dp pre-rounding of S bounds the divergence at 5e-7 * horizon
+    assert(math.abs(got.head - expected) < 1e-3,
+      s"got ${got.head}, sequential $expected")
+  }
+
   test("KM curve matches hand computation") {
     import spark.implicits._
     val df = Seq((1, 1), (2, 0), (3, 1), (3, 1), (4, 0)).toDF("t", "e")
