@@ -98,47 +98,15 @@ final case class CoxMlp(
     val stack = new MlpStack(p, hidden,
       if (hidden.nonEmpty) hidden.last else p, bn = batchNorm)
     val q = stack.outWidth
-    val theta = {
-      val t = Array.fill(q + stack.size)(0.0)
-      val rng = new scala.util.Random(seed)
-      val limW = 1.0 / math.sqrt(q.toDouble)
-      var i = 0
-      while (i < q) { t(i) = (2 * rng.nextDouble() - 1) * limW; i += 1 }
-      stack.init(t, rng)
-      t
+    // w needs symmetry breaking even with no hidden layers
+    val theta = MlpTrainer.initTheta(0, q, stack, seed,
+      initLinearHead = true)
+    val (hid, bnFlag, dropQ, pp) = (hidden, batchNorm, dropout, p)
+    val (bestTheta, bnStats) = MlpTrainer.fit(train)(_._2, stack, theta,
+      batchSize, epochs, patience, lr, seed, batchNorm) { (th, dropKey0) =>
+      CoxMlp.PartitionAcc(pp, th, hid, bnFlag, dropQ, dropKey0,
+        bnBatch = bnFlag)
     }
-    val bs = batchSize
-    val hid = hidden
-    val bnFlag = batchNorm
-    val dropQ = dropout
-    val seedV = seed
-    val pp = p
-    // epoch counter: dropout masks re-draw every evaluated iterate,
-    // like torch's per-forward Bernoulli draw (driver-side, so the
-    // closure captures a fresh per-iteration key value)
-    var iterNo = 0L
-    val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
-      iterNo += 1
-      val dropKey0 = MlpStack.mixKey(seedV, iterNo)
-      val (lossSum, grad, evs) = train.mapPartitions { it =>
-        val acc = CoxMlp.PartitionAcc(pp, th, hid, bnFlag, dropQ, dropKey0,
-          bnBatch = bnFlag)
-        it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
-        Iterator.single((acc.loss, acc.grad, acc.events))
-      }.reduce { (a, b) =>
-        val g = a._2.clone()
-        var i = 0; while (i < g.length) { g(i) += b._2(i); i += 1 }
-        (a._1 + b._1, g, a._3 + b._3)
-      }
-      val d = math.max(evs, 1L).toDouble
-      (lossSum / d, grad.map(_ / d))
-    }
-    // eval-mode BN calibration (torch running-stats replacement) runs
-    // against the still-cached train rows, BEFORE the cache release
-    val bnStats =
-      if (batchNorm && hidden.nonEmpty)
-        Some(MlpStack.populationStats(train.rdd.map(_._2), stack, bestTheta))
-      else None
     releasePrep()
 
     val w = bestTheta.take(q)
@@ -173,9 +141,11 @@ object CoxMlp {
                                 bn: Boolean = false,
                                 dropout: Double = 0.0,
                                 dropKey0: Long = 0L,
-                                bnBatch: Boolean = false) {
+                                bnBatch: Boolean = false)
+      extends MlpTrainer.BatchAccumulator[(Long, Array[Double], Double, Int)] {
     var loss = 0.0
     var events = 0L
+    def norm: Long = events
     val grad = Array.fill(theta.length)(0.0)
     private val stack = new MlpStack(p, hidden,
       if (hidden.nonEmpty) hidden.last else p, bn = bn, dropout = dropout,
@@ -286,7 +256,8 @@ object CoxMlp {
 
 /** Fitted neural CoxPH: output weights w over the ReLU stack, the
   * scaler, and the persisted Breslow baseline — prediction is the
-  * linear-CoxPH path with the neural score.
+  * shared [[CoxSurvPredict]] path with the neural score (same shape
+  * as FittedDeepHit.featCol: pure let-bound column algebra).
   */
 final case class FittedCoxMlp(
     model: CoxMlp,
@@ -294,30 +265,8 @@ final case class FittedCoxMlp(
     layers: Seq[(Array[Array[Double]], Array[Double])],
     mu: Array[Double],
     sd: Array[Double],
-    baseline: DataFrame) extends FittedSurvModel {
+    baseline: DataFrame) extends CoxSurvPredict {
 
-  override def release(): Unit =
-    if (baseline != null) { baseline.unpersist(); () }
-
-  /** Neural risk score g(x) on the ORIGINAL feature space — pure
-    * let-bound column algebra (same shape as FittedDeepHit.featCol).
-    */
-  def riskScore(x: Column): Column = {
-    val xstd = zip_with(
-      zip_with(x, array(mu.map(lit(_)): _*), (v, m) => v - m),
-      array(sd.map(lit(_)): _*), (v, s) => v / s)
+  protected def scoreStd(xstd: Column): Column =
     CoxPH.scoreCol(MlpStack.stackCol(xstd, layers), w)
-  }
-
-  def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
-    val spark = tensorized.sparkSession
-    import spark.implicits._
-    val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
-    val h0g = CoxPH.baselineAtGrid(baseline, g)
-    val xd = transform(col("x"), _.cast("double"))
-    tensorized.select(col("id"), riskScore(xd).as("sc"))
-      .attach(h0g)
-      .select(col("id"), col("tau_idx"), col("tau"),
-        exp(-col("h0") * exp(col("sc"))).as("s"))
-  }
 }

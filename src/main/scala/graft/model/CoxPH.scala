@@ -355,31 +355,37 @@ object CoxPH {
   }
 }
 
-/** Fitted linear CoxPH: β (standardized space), the scaler, and the
-  * Breslow baseline as a persisted DataFrame (t, H0) with one row per
-  * distinct event time — distributed, never driver-collected.
+/** The Cox prediction path shared by the linear and neural fits:
+  * standardize with the train-fitted scaler, score, and evaluate
+  * S(τ|x) = exp(−H0(τ)·e^{sc}) against the persisted Breslow baseline
+  * stepped onto the τ-grid. The two models differ ONLY in the
+  * standardized-space score (βᵀx vs wᵀ·stack(x)) — everything else
+  * lives here once so the curves can never drift apart.
   */
-final case class FittedCoxPH(
-    model: CoxPH,
-    beta: Array[Double],
-    mu: Array[Double],
-    sd: Array[Double],
-    baseline: DataFrame) extends FittedSurvModel {
+trait CoxSurvPredict extends FittedSurvModel {
+  def mu: Array[Double]
+  def sd: Array[Double]
+  def baseline: DataFrame
+
+  /** Risk score in the STANDARDIZED feature space. */
+  protected def scoreStd(xstd: Column): Column
 
   /** Unpin the persisted Breslow baseline (it recomputes if used
-    * again). Discarded fits (Hyperband losers) must call this.
+    * again). Discarded fits (Hyperband losers) must call this. Null
+    * guard: the pre-baseline fitted0 stage of the neural fit.
     */
-  override def release(): Unit = baseline.unpersist()
+  override def release(): Unit =
+    if (baseline != null) { baseline.unpersist(); () }
 
-  /** Linear risk score on the ORIGINAL feature space. */
-  def riskScore(x: Column): Column = {
+  /** Risk score on the ORIGINAL feature space — pure column algebra. */
+  final def riskScore(x: Column): Column = {
     val xstd = zip_with(
       zip_with(x, array(mu.map(lit(_)): _*), (v, m) => v - m),
       array(sd.map(lit(_)): _*), (v, s) => v / s)
-    CoxPH.scoreCol(xstd, beta)
+    scoreStd(xstd)
   }
 
-  def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
+  final def predictSurv(tensorized: DataFrame, grid: Array[Double]): DataFrame = {
     val spark = tensorized.sparkSession
     import spark.implicits._
     val g = grid.zipWithIndex.map(p => (p._2, p._1)).toSeq.toDF("tau_idx", "tau")
@@ -390,4 +396,18 @@ final case class FittedCoxPH(
       .select(col("id"), col("tau_idx"), col("tau"),
         exp(-col("h0") * exp(col("sc"))).as("s"))
   }
+}
+
+/** Fitted linear CoxPH: β (standardized space), the scaler, and the
+  * Breslow baseline as a persisted DataFrame (t, H0) with one row per
+  * distinct event time — distributed, never driver-collected.
+  */
+final case class FittedCoxPH(
+    model: CoxPH,
+    beta: Array[Double],
+    mu: Array[Double],
+    sd: Array[Double],
+    baseline: DataFrame) extends CoxSurvPredict {
+
+  protected def scoreStd(xstd: Column): Column = CoxPH.scoreCol(xstd, beta)
 }

@@ -85,44 +85,16 @@ final case class DeepHit(
     // fits.
     val q = if (hidden.nonEmpty) hidden.last else p
     val stack = new MlpStack(p, hidden, k + k * q, bn = batchNorm)
-    val theta = {
-      val t = Array.fill(k + k * q + stack.size)(0.0)
-      if (hidden.nonEmpty) {
-        val rng = new scala.util.Random(seed)
-        val limW = 1.0 / math.sqrt(q.toDouble)
-        var i = k
-        while (i < k + k * q) { t(i) = (2 * rng.nextDouble() - 1) * limW; i += 1 }
-        stack.init(t, rng)
-      }
-      t
+    // zero init is correct for the linear head (no symmetry to break)
+    val theta = MlpTrainer.initTheta(k, k * q, stack, seed,
+      initLinearHead = false)
+    val (hid, bnFlag, dropQ, kk, pp) = (hidden, batchNorm, dropout, k, p)
+    val (al, sg) = (alpha, sigma)
+    val (bestTheta, bnStats) = MlpTrainer.fit(train)(_._2, stack, theta,
+      batchSize, epochs, patience, lr, seed, batchNorm) { (th, dropKey0) =>
+      DeepHit.PartitionAcc(kk, pp, th, al, sg, hid, bnFlag,
+        dropQ, dropKey0, bnBatch = bnFlag)
     }
-    val bs = batchSize
-    val hid = hidden
-    val bnFlag = batchNorm
-    val dropQ = dropout
-    val seedV = seed
-    var iterNo = 0L // per-iteration dropout mask re-draw (see CoxMlp.fit)
-    val bestTheta = AdamLoop.run(theta, epochs, patience, lr) { th =>
-      iterNo += 1
-      val dropKey0 = MlpStack.mixKey(seedV, iterNo)
-      val (lossSum, grad, cnt) = train.mapPartitions { it =>
-        val acc = DeepHit.PartitionAcc(k, p, th, alpha, sigma, hid, bnFlag,
-          dropQ, dropKey0, bnBatch = bnFlag)
-        it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
-        Iterator.single((acc.loss, acc.grad, acc.count))
-      }.reduce { (a, b) =>
-        val g = a._2.clone()
-        var i = 0; while (i < g.length) { g(i) += b._2(i); i += 1 }
-        (a._1 + b._1, g, a._3 + b._3)
-      }
-      val d = math.max(cnt, 1L).toDouble
-      (lossSum / d, grad.map(_ / d))
-    }
-    // eval-mode BN calibration before the cache release (see CoxMlp)
-    val bnStats =
-      if (batchNorm && hidden.nonEmpty)
-        Some(MlpStack.populationStats(train.rdd.map(_._2), stack, bestTheta))
-      else None
     releasePrep()
 
     val c = bestTheta.take(k)
@@ -146,9 +118,11 @@ object DeepHit {
                                 bn: Boolean = false,
                                 dropout: Double = 0.0,
                                 dropKey0: Long = 0L,
-                                bnBatch: Boolean = false) {
+                                bnBatch: Boolean = false)
+      extends MlpTrainer.BatchAccumulator[(Long, Array[Double], Int, Int)] {
     var loss = 0.0
     var count = 0L
+    def norm: Long = count
     val grad = Array.fill(theta.length)(0.0)
     private val q = // logit input width
       if (hidden.nonEmpty) hidden.last else p
