@@ -39,7 +39,8 @@ object SparkEntry {
       (StreamQueries.queries, StreamQueries.oracles),
       (SketchQueries.queries, SketchQueries.oracles),
       (SelectQueries.queries, SelectQueries.oracles),
-      (GraphQueries.queries, GraphQueries.oracles))
+      (GraphQueries.queries, GraphQueries.oracles),
+      (SinkQueries.queries, SinkQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.sources.Sink
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The bucketed sink ON the measured path (SURVEY §2.1 S4; VERDICT r9
+  * item 7): `q_q5join_bucketed` runs a q5-shape fact⋈fact revenue
+  * rollup over orders+lineitem REWRITTEN as co-bucketed tables
+  * (`Sink.writeBucketed`, same bucket count on the join key both
+  * sides), `q_q5join_shuffled` runs the identical query over the
+  * plain parquet — so every bench round records the zero-Exchange
+  * delta, and the gate hash-proves the layout changes NOTHING about
+  * the results (both oracles are the same SQL over the same rows).
+  *
+  * 100-TB shape: a fact⋈fact join on the hottest key is THE shuffle
+  * at corpus scale — co-bucketing pays the exchange once at write
+  * time and every subsequent join reads bucket file pairs locally
+  * (SortMergeJoin with zero Exchange below it, asserted in PlanSpec).
+  * The `merge` hint pins the sort-merge path at test SFs where AQE
+  * would broadcast the small side; at production scale the planner
+  * picks it unhinted.
+  */
+object SinkQueries {
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  // (session, dir) -> (ordersTable, lineitemTable). Writing the layout
+  // is per-session setup (the cold bench run pays it once; warm runs
+  // measure the join itself, which is the number that matters — a
+  // bucketed table is written once and joined many times). Weak keys:
+  // values are table-name strings, no session back-reference.
+  private val written = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, (String, String)]]()
+
+  /** Ensure the co-bucketed orders/lineitem tables exist for (session,
+    * dir); returns their catalog names. Only the query's columns are
+    * written (the layout is an INDEX for this workload, not a copy of
+    * the table).
+    */
+  def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    written.synchronized {
+      val perSession = {
+        val cur = written.get(spark)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map.empty[String, (String, String)]
+          written.put(spark, m)
+          m
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+        val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+        val base = java.nio.file.Files.createTempDirectory("graft_bkt_")
+          .toString
+        Sink.writeBucketed(
+          Tables.load(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          ot, Seq("o_orderkey"), numBuckets = 16,
+          path = Some(s"$base/$ot"))
+        Sink.writeBucketed(
+          Tables.load(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount")),
+          lt, Seq("l_orderkey"), numBuckets = 16,
+          path = Some(s"$base/$lt"))
+        (ot, lt)
+      })
+    }
+
+  /** Revenue by order priority over (lineitem ⋈ orders) — the shared
+    * query body; only the input layout differs between the twins.
+    */
+  private def q5Shape(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.hint("merge")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_q5join_bucketed" -> ((s, dir) => {
+      val (ot, lt) = bucketedTables(s, dir)
+      q5Shape(s.table(lt), s.table(ot))
+    }),
+
+    "q_q5join_shuffled" -> ((s, dir) =>
+      q5Shape(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")))))
+
+  // identical SQL for both twins: the layout must not change results
+  private val q5Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_q5join_bucketed" -> q5Sql,
+    "q_q5join_shuffled" -> q5Sql)
+}

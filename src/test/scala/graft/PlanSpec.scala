@@ -137,6 +137,35 @@ class PlanSpec extends AnyFunSuite {
       s"non-codegen eval in:\n$p")
   }
 
+  test("bucketed q5 join: zero Exchange below the SortMergeJoin; the " +
+    "shuffled twin pays two") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def smjShuffles(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.collect() // AQE finalizes only after execution
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val extra = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => Nil
+        }
+        p +: (p.children ++ extra).flatMap(expand)
+      }
+      expand(df.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec =>
+          (j.children.flatMap(expand)).count(_.isInstanceOf[ShuffleExchangeLike])
+      }
+    }
+    val bkt = smjShuffles(
+      SparkEntry.queries("q_q5join_bucketed")(spark, dir))
+    assert(bkt == Seq(0), s"bucketed join shuffled: $bkt exchanges")
+    val shf = smjShuffles(
+      SparkEntry.queries("q_q5join_shuffled")(spark, dir))
+    assert(shf == Seq(2), s"expected both sides to shuffle: $shf")
+  }
+
   test("PageRank leaves the session shuffle-partitions conf untouched") {
     import spark.implicits._
     val before = spark.conf.get("spark.sql.shuffle.partitions")
