@@ -84,4 +84,28 @@ class HyperbandParallelSpec extends AnyFunSuite {
       s"expected 2+ concurrent fits, saw ${maxPar.get()}")
     assert(par == seq, s"parallel selection diverged:\n  par=$par\n  seq=$seq")
   }
+
+  test("REAL models: parallel winner bit-identical to sequential " +
+    "(churn sf0.001, reduced schedule)") {
+    // the stub test proves the concurrency mechanics; this one proves
+    // the real trainers (distributed gradients, TrainCache sharing,
+    // FAIR-pool job interleaving) stay bit-deterministic under
+    // concurrency — the at-scale fold VERDICT r9 asked to prove with
+    // real fits (the sf0.1 wall-time record lives in BASELINE.md)
+    def real(parallelism: Int) = {
+      val ds = graft.surv.ChurnView.dataset(spark, "/root/testdata/sf0.001")
+      val hb = new Hyperband(maxIter = 9, eta = 3, outputEpochs = 11,
+        seedRng = 42L, parallelism = parallelism)
+      val fitted = hb.selectModel(ds)
+      val out = (hb.bestScore, hb.bestModel.map(_.name), hb.bestParams,
+        hb.modelBestScore.toMap, hb.seeds.map(_.name))
+      fitted.release()
+      out
+    }
+    val seq = real(1)
+    val par = real(4)
+    assert(par == seq,
+      s"real-model parallel selection diverged:\n  par=$par\n  seq=$seq")
+    assert(seq._1 > Double.NegativeInfinity && seq._2.nonEmpty)
+  }
 }
