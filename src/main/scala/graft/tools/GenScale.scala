@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: tiles an existing sf directory
+  * `copies`× into a new directory with consistent key spaces, so the
+  * composite queries can be measured one notch past the driver's
+  * largest SF (VERDICT r9 item 8: "nothing has been measured past
+  * sf0.1"). NOT a replacement for the driver's generator — sf1 here
+  * means "sf0.1 shape at 10× rows", used only for scaling RATIOS.
+  *
+  * Faithfulness choices (copy 0 is byte-identical to the source):
+  *  - fact/dim keys offset per copy (custkey += i·maxC, orderkey +=
+  *    i·maxO, …) so FK joins land exactly as in the source — each
+  *    copy is an isomorphic subgraph and the join/graph queries scale
+  *    by pure data volume, not by artificial key collisions;
+  *  - document TEXT is word-shuffled per copy (deterministic
+  *    xxhash64(word, copy, doc) sort): token/char distributions —
+  *    langid, quality, tf-idf shapes — are preserved exactly, while
+  *    3-gram shingles decorrelate across copies, so the near-dup
+  *    pair count scales like a real corpus instead of every doc
+  *    gaining `copies−1` artificial twins;
+  *  - EMBEDDINGS get a per-copy dimension permutation: an isometry
+  *    (all intra-copy distances/cosines exactly preserved) whose
+  *    cross-copy cosines decorrelate — neighborhoods scale, ANN
+  *    recall semantics don't collapse into duplicate clusters;
+  *  - events offset event_id/user_id, timestamps unchanged (each
+  *    copy's users session independently).
+  *
+  * Usage: GenScale <srcDir> <dstDir> <copies>
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+    require(copies >= 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+    def tiled(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      write(name, (0 until copies).map(i => f(read(name), i))
+        .reduce(_ unionByName _))
+
+    // key spans (max+1) of the source, so offsets can never collide
+    def span(name: String, key: String): Long =
+      read(name).agg(max(col(key))).head().getLong(0) + 1L
+
+    val (cSpan, sSpan, pSpan) =
+      (span("customer", "c_custkey"), span("supplier", "s_suppkey"),
+        span("part", "p_partkey"))
+    val oSpan = span("orders", "o_orderkey")
+    val (dSpan, vSpan) = (span("documents", "doc_id"),
+      span("embeddings", "vec_id"))
+    val (eSpan, uSpan) = (span("events", "event_id"),
+      span("events", "user_id"))
+
+    // dimension tables tile with offset keys; region/nation stay as-is
+    // (the 25-nation world is the schema, not the volume)
+    write("region", read("region"))
+    write("nation", read("nation"))
+    tiled("customer")((df, i) => df
+      .withColumn("c_custkey", col("c_custkey") + lit(i * cSpan)))
+    tiled("supplier")((df, i) => df
+      .withColumn("s_suppkey", col("s_suppkey") + lit(i * sSpan)))
+    tiled("part")((df, i) => df
+      .withColumn("p_partkey", col("p_partkey") + lit(i * pSpan)))
+    tiled("orders")((df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * cSpan)))
+    tiled("lineitem")((df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * pSpan))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * sSpan)))
+    tiled("events")((df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * eSpan))
+      .withColumn("user_id", col("user_id") + lit(i * uSpan)))
+
+    // documents: copy 0 verbatim; copies 1.. word-shuffle the text
+    // (deterministic hash sort) and recompute n_chars
+    tiled("documents") { (df, i) =>
+      val base = df.withColumn("doc_id", col("doc_id") + lit(i * dSpan))
+      if (i == 0) base
+      else base
+        .withColumn("text", array_join(
+          transform(
+            array_sort(transform(split(col("text"), " "), w =>
+              struct(xxhash64(w, lit(i), col("doc_id")).as("h"),
+                w.as("w")))),
+            s => s.getField("w")), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+
+    // embeddings: copy 0 verbatim; copies 1.. apply a per-copy fixed
+    // dimension permutation (seeded) — an exact isometry per copy
+    val dims = read("embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    tiled("embeddings") { (df, i) =>
+      val base = df.withColumn("vec_id", col("vec_id") + lit(i * vSpan))
+      if (i == 0) base
+      else {
+        val perm = new scala.util.Random(1000L + i)
+          .shuffle((0 until dims).toVector)
+        base.withColumn("embedding",
+          array(perm.map(j => col("embedding").getItem(j)): _*))
+      }
+    }
+
+    spark.stop()
+  }
+}
