@@ -53,8 +53,13 @@ object SinkQueries {
         }
       }
       perSession.getOrElseUpdate(dir, {
-        val tag = java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+        // per-session ordinal first (two dirs in ONE session can never
+        // collide into one catalog table name — a bare hash could, and
+        // would silently serve one dir's rows for the other's query);
+        // the dir hash only discriminates cloned sessions sharing a
+        // catalog
+        val tag = s"${perSession.size}_" +
+          java.lang.Integer.toHexString(dir.hashCode)
         val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
         val base = java.nio.file.Files.createTempDirectory("graft_bkt_")
           .toString
@@ -100,11 +105,17 @@ object SinkQueries {
         Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")))))
 
-  // identical SQL for both twins: the layout must not change results
+  // identical SQL for both twins: the layout must not change results.
+  // VARCHAR-route cast on the unrounded decimal sum: DuckDB's direct
+  // DECIMAL→DOUBLE double-rounds (int128→double, then /10^scale) and
+  // diverges from Spark's correctly-rounded BigDecimal→double in the
+  // last ulp past ~15 significant digits — per-priority revenue
+  // crosses that at sf1, exactly the scale this pair rehearses
+  // (round-9 postmortem rule; the z-score oracle hit the same seam)
   private val q5Sql: String =
     """SELECT o_orderpriority, count(*) AS n_items,
-      |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
-      |    AS DOUBLE) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+      |    AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

@@ -116,7 +116,26 @@ final class EsScrollSource extends TableProvider {
           case "float" | "half_float" => FloatType
           case "boolean" => BooleanType
           case "keyword" | "text" => StringType
-          case "date" => TimestampNTZType
+          case "date" =>
+            // the reader's parse contract covers epoch-millis numbers
+            // and ISO-8601 strings — exactly what the DEFAULT mapping
+            // format (strict_date_optional_time||epoch_millis) emits.
+            // A custom `format` (epoch_second, basic_date, joda
+            // patterns, …) would be SILENTLY misparsed (e.g.
+            // epoch_second read as millis = dates in 1970), so fail
+            // fast on any format this reader cannot honor.
+            val fmt = e.getValue.path("format").asText("")
+            val ok = fmt.isEmpty || fmt.split("\\|\\|").map(_.trim).forall(
+              Set("strict_date_optional_time", "date_optional_time",
+                "strict_date_optional_time_nanos", "epoch_millis",
+                "strict_date_time", "date_time", "strict_date",
+                "date").contains)
+            if (!ok) throw new UnsupportedOperationException(
+              s"EsScrollSource cannot infer date field '${e.getKey}' with " +
+                s"format '$fmt' (index '$concreteIndex') — only ISO-8601/" +
+                "epoch_millis formats parse; pass an explicit " +
+                "spark.read.schema(...) (e.g. StringType) instead")
+            TimestampNTZType
           case other => throw new UnsupportedOperationException(
             s"EsScrollSource cannot infer field '${e.getKey}' of ES type " +
               s"'$other' (index '$concreteIndex') — pass an explicit " +
@@ -146,15 +165,32 @@ final class EsScrollSource extends TableProvider {
 private[es] object EsScrollSource {
   /** ISO-8601 → UTC wall-clock micros. With an offset the instant is
     * normalized to UTC; without one the value is taken as already-UTC
-    * (ES's own convention for offset-less dates).
+    * (ES's own convention for offset-less dates). Date-only values
+    * ("2023-01-01" — legal under the default
+    * strict_date_OPTIONAL_time) read as UTC midnight. Anything else
+    * fails with the value in the message instead of an anonymous
+    * parse exception killing the scan.
     */
   def parseIsoUtcMicros(s: String): Long = {
     val instant =
       try java.time.OffsetDateTime.parse(s).toInstant
       catch {
         case _: java.time.format.DateTimeParseException =>
-          java.time.LocalDateTime.parse(s)
+          try java.time.LocalDateTime.parse(s)
             .toInstant(java.time.ZoneOffset.UTC)
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(s).atStartOfDay()
+                .toInstant(java.time.ZoneOffset.UTC)
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new java.io.IOException(
+                    s"EsScrollSource: unparseable date value '$s' — " +
+                      "expected ISO-8601 (with/without offset/time) or " +
+                      "epoch-millis; read the field as StringType via an " +
+                      "explicit schema to handle custom formats")
+              }
+          }
       }
     Math.addExact(
       Math.multiplyExact(instant.getEpochSecond, 1000000L),
@@ -264,8 +300,12 @@ private[es] final class EsReaderFactory(schemaJson: String, queryJson: String,
   *  - `scroll` (default): classic scroll cursor, works on every ES;
   *  - `pit`: point-in-time + `search_after` over a `_shard_doc` sort —
   *    the ES 8 recommended deep-pagination path (scroll is deprecated
-  *    for it); the PIT pins a consistent snapshot across pages and the
-  *    server keeps no per-cursor result state.
+  *    for it); each slice's PIT pins a consistent snapshot across its
+  *    OWN pages and the server keeps no per-cursor result state.
+  *    Like sliced scroll, slices open their contexts independently, so
+  *    a write racing the scan can land between two slices' opens —
+  *    per-slice consistency, not one global snapshot (same contract as
+  *    the scroll mode and the es-hadoop reader).
   */
 private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
                                           sourceFields: Array[String],

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -76,23 +73,6 @@ class PlanLintSpec extends AnyFunSuite {
       ("all-pairs Hamming baseline by design; scale paths = the " +
         "_bucketed variants (pigeonhole-block equi-joins)"))
 
-  /** Flatten the executed plan INCLUDING adaptive subtrees, reused
-    * query stages, InMemoryRelation build plans, and subqueries.
-    */
-  private def allNodes(p: SparkPlan,
-                       seen: java.util.IdentityHashMap[SparkPlan, Boolean] =
-                         new java.util.IdentityHashMap()): Seq[SparkPlan] = {
-    if (seen.containsKey(p)) return Nil
-    seen.put(p, true)
-    val extra: Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
-      case _ => Nil
-    }
-    p +: (p.children ++ extra ++ p.subqueries).flatMap(allNodes(_, seen))
-  }
-
   test("every gate query: no CartesianProduct, no unbounded BNL, " +
     "no unpartitioned Window") {
     // same session prep as graft.Verify: the shared churn dataset's
@@ -105,7 +85,7 @@ class PlanLintSpec extends AnyFunSuite {
         try {
           val df = fn(spark, dir)
           df.collect() // materialize: AQE decisions are final only now
-          val nodes = allNodes(df.queryExecution.executedPlan)
+          val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
           ran += 1
           nodes.foreach {
             case _: CartesianProductExec =>

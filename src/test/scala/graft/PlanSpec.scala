@@ -139,23 +139,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("bucketed q5 join: zero Exchange below the SortMergeJoin; the " +
     "shuffled twin pays two") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     def smjShuffles(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
       df.collect() // AQE finalizes only after execution
-      def expand(p: SparkPlan): Seq[SparkPlan] = {
-        val extra = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case _ => Nil
-        }
-        p +: (p.children ++ extra).flatMap(expand)
-      }
-      expand(df.queryExecution.executedPlan).collect {
+      PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
         case j: SortMergeJoinExec =>
-          (j.children.flatMap(expand)).count(_.isInstanceOf[ShuffleExchangeLike])
+          j.children.flatMap(PlanWalk.allNodes(_))
+            .count(_.isInstanceOf[ShuffleExchangeLike])
       }
     }
     val bkt = smjShuffles(

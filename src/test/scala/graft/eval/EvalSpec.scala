@@ -48,11 +48,14 @@ class EvalSpec extends AnyFunSuite {
       }.sum
     val df = data.toDF("t", "e")
     // partition independence: different shuffle widths move the
-    // partition boundaries the carry must bridge
+    // partition boundaries the carry must bridge (restore the SHARED
+    // session's configured width — leaking 32 into later suites would
+    // make plan-shape assertions order-dependent)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
     val got = Seq(3, 32).map { np =>
       spark.conf.set("spark.sql.shuffle.partitions", np)
       try KaplanMeier.rmst(df, "t", "e", horizon).head().getDouble(1)
-      finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
     }
     assert(got.distinct.size == 1,
       s"rmst not partition-independent: $got")
