@@ -198,6 +198,115 @@ class StatisticalOracleSpec extends AnyFunSuite {
     assert(sil(99L) == 0.0, s"midpoint scored ${sil(99L)}")
   }
 
+  // --------------------------------------------------------- PageRank
+
+  test("PageRank analytic invariants: uniform fixed point on a regular " +
+    "graph; mass conservation with dangling nodes") {
+    import spark.implicits._
+    // a directed cycle is 1-regular: the stationary distribution is
+    // uniform for EVERY damping factor (analytic fact, no formula
+    // shared with the power-iteration implementation)
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val r = PageRank.ranks(cycle, iters = 20)
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("m")).toMap
+    assert(r.size == 4)
+    r.values.foreach(v => assert(math.abs(v - 1.0) < 1e-6, r.toString))
+    // dangling node: 'sink' has no out-edges; total mass must still be
+    // conserved at n (the teleport + dangling redistribution identity)
+    val dangling = Seq(("a", "b"), ("b", "sink"), ("a", "sink"))
+      .toDF("src", "dst")
+    val masses = PageRank.ranks(dangling, iters = 15)
+      .collect().map(_.getAs[Double]("m"))
+    assert(masses.length == 3)
+    assert(math.abs(masses.sum - 3.0) < 1e-4,
+      s"mass not conserved: ${masses.sum}")
+  }
+
+  // ------------------------------------------------------------- BM25
+
+  test("BM25 matches an independently-coded Robertson/Okapi computation") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "apple banana apple",
+      2L -> "apple cherry",
+      3L -> "banana banana banana cherry")
+    val docs = texts.toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("apple", "banana"), k1 = 1.2, b = 0.75, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // plain-Scala textbook BM25 (Robertson '94 idf with +1 smoothing,
+    // the variant the engine documents) over the same corpus
+    val toks = texts.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size).sum / n
+    def dfOf(term: String): Double =
+      toks.count(_._2.contains(term)).toDouble
+    def scoreOf(id: Long): Double = {
+      val dl = toks.find(_._1 == id).get._2.size.toDouble
+      Seq("apple", "banana").map { term =>
+        val tf = toks.find(_._1 == id).get._2.count(_ == term).toDouble
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log((n - dfOf(term) + 0.5) / (dfOf(term) + 0.5) + 1.0)
+          idf * tf * (1.2 + 1.0) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        }
+      }.sum
+    }
+    texts.foreach { case (id, _) =>
+      assert(math.abs(got(id) - scoreOf(id)) < 1e-5,
+        s"doc $id: engine ${got(id)} vs textbook ${scoreOf(id)}")
+    }
+    // ranking sanity: the banana-heavy doc wins on the banana term
+    assert(got(3L) > got(2L))
+  }
+
+  // ---------------------------------------------------- language model
+
+  test("bigram LM: exact hand computation; repeated bigrams score " +
+    "higher than hapax bigrams") {
+    import spark.implicits._
+    // corpus ["x y", "x z"]: c(x)=2, V=3, c(x y)=c(x z)=1 →
+    // lm_score of each doc = ln((1+1)/(2+3)) = ln(0.4)
+    val tiny = Seq(1L -> "x y", 2L -> "x z").toDF("doc_id", "text")
+    val lm = LangModel.bigramScore(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = BigDecimal(math.log(0.4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(lm(1L) == want && lm(2L) == want, s"$lm vs $want")
+    // fluency ordering: a doc whose bigrams the corpus repeats often
+    // must outscore a doc of corpus-unique bigrams
+    val corpus = ((1 to 10).map(i => i.toLong -> "the cat sat") :+
+      (99L -> "qq rr ss")).toDF("doc_id", "text")
+    val sc = LangModel.bigramScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(1L) > sc(99L), s"repeated ${sc(1L)} !> hapax ${sc(99L)}")
+  }
+
+  // ---------------------------------------------------------- anomaly
+
+  test("z-score anomaly: injected outlier flagged with the exact " +
+    "population z; inliers unflagged") {
+    import spark.implicits._
+    val inliers = (1 to 40).map(i => ("g", 10.0 + (i % 5) - 2.0))
+    val rows = inliers :+ (("g", 1000.0))
+    val df = rows.toDF("grp", "v")
+    val flags = Anomaly.zscoreFlags(df, "grp", "v", threshold = 3.0)
+      .collect().map(r => r.getAs[Double]("v") ->
+        (r.getAs[Boolean]("is_anomaly"), r.getAs[java.lang.Double]("z")))
+      .toMap
+    // plain-Scala population moments over the same values
+    val vs = rows.map(_._2)
+    val mu = vs.sum / vs.size
+    val sd = math.sqrt(vs.map(x => (x - mu) * (x - mu)).sum / vs.size)
+    val zOut = (1000.0 - mu) / sd
+    assert(flags(1000.0)._1, "outlier not flagged")
+    assert(math.abs(flags(1000.0)._2 - zOut) < 1e-9,
+      s"z ${flags(1000.0)._2} vs scalar $zOut")
+    inliers.map(_._2).distinct.foreach(v =>
+      assert(!flags(v)._1, s"inlier $v flagged"))
+  }
+
   // ------------------------------------------------------------ Brier
 
   test("Brier on UNCENSORED data equals the plain mean squared error " +
