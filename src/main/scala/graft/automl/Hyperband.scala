@@ -260,8 +260,18 @@ final class Hyperband(
               }
             })
           }
-          futures.map(_.get())
-        } finally pool.shutdown()
+          try futures.map(_.get())
+          catch {
+            case e: Throwable =>
+              // a failed config fails the SEARCH — cancel the rung's
+              // queued/running siblings instead of letting them train
+              // to completion on non-daemon threads (hours of orphan
+              // cluster work after the search already threw, against
+              // prep caches the sharing scope is about to release)
+              futures.foreach(_.cancel(true))
+              throw e
+          }
+        } finally { pool.shutdownNow(); () }
       }
     configs.lazyZip(scores).foreach { case ((m, params), score) =>
       recordBest(m, params, score)
@@ -291,9 +301,13 @@ final class Hyperband(
         i += 1
       }
     }
-    // seeds := 2 best model names (optimizer.py:172-174)
-    seeds = modelBestScore.toSeq.sortBy(-_._2).take(2)
-      .flatMap { case (nm, _) => seeds.find(_.name == nm) }
+    // seeds := 2 best model names (optimizer.py:172-174). Iterate the
+    // SEED list, not the HashMap (hash-arbitrary order): with the
+    // typical all-but-one-at-−Infinity scores, ties must break by
+    // registration order — Scala's stable sortBy over the seed order
+    // reproduces Python's stable sort over the insertion-ordered dict.
+    seeds = seeds.map(m => m -> modelBestScore(m.name))
+      .sortBy(-_._2).take(2).map(_._1)
     val winner = bestModel.getOrElse(throw new IllegalStateException("no model evaluated"))
     winner.build(bestParams, outputEpochs).fit(ds)
   }

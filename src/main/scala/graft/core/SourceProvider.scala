@@ -23,6 +23,16 @@ trait SourceProvider {
   def table(spark: SparkSession, dir: String, name: String): DataFrame
 }
 
+object SourceProvider {
+  /** The one dir/name → ES index rule (the reference's
+    * `es_index_pattern` prefix role) — shared by every ES-shaped
+    * provider so the same `graft.source` conf swap always reads the
+    * same indices regardless of which connector serves it.
+    */
+  def esIndexFor(dir: String, name: String): String =
+    if (dir == null || dir.isEmpty) name else s"${dir}_$name"
+}
+
 /** Default provider over the driver testdata parquet layout. */
 object ParquetSource extends SourceProvider {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -55,7 +65,7 @@ final class ElasticsearchSource(
     format: String = "org.elasticsearch.spark.sql")
     extends SourceProvider {
   def indexFor(dir: String, name: String): String =
-    if (dir == null || dir.isEmpty) name else s"${dir}_$name"
+    SourceProvider.esIndexFor(dir, name)
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.format(format).options(options).load(indexFor(dir, name))
 }

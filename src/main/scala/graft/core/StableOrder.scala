@@ -44,10 +44,14 @@ object StableOrder {
     // different partitionings — numbering would then be wrong. Caching
     // pins one physical partitioning for both passes. (At 100 TB you
     // don't do this on the fly at all: materialize rn once at ingest.)
-    // ownership-aware: two stable orders over the SAME canonical plan
-    // (a dataset built twice over one source) must share the one
-    // cached partitioning — a raw second persist would warn + no-op.
-    val (sorted, _) = Caches.acquire(df
+    // Pins.pin: ownership-aware (two stable orders over the SAME
+    // canonical plan share the one cached partitioning — a raw second
+    // persist would warn + no-op) AND scope-registered, so an
+    // enclosing CacheScope releases it at the DATASET level. The old
+    // acquire-and-drop-the-flag shape left the pin releasable only by
+    // the raw-RDD fallback sweep, whose dead CacheManager entry
+    // poisons any later persist of the same plan (Pins scaladoc).
+    val sorted = Pins.pin(df
       .repartitionByRange(np, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("_pid", spark_partition_id()))

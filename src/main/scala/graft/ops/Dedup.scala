@@ -125,6 +125,19 @@ object Dedup {
     * key (content-addressed), never all-pairs. One persisted (id, sh)
     * table feeds signatures, sizes, and the exact-Jaccard branch.
     */
+  /** Band `b`'s LSH bucket key from a minhash signature array: the
+    * rowsPerBand slice serialized as a comma-joined string. ONE
+    * definition on purpose — the streaming ingest gates
+    * ([[graft.streaming.StreamingOps]]) and this batch path compare
+    * these keys AS STRINGS, so any drift (separator, slice bounds,
+    * cast) between hand-rolled copies would silently break their
+    * batch-vs-stream parity.
+    */
+  def bandKey(sig: Column, b: Column, rowsPerBand: Int): Column =
+    concat_ws(",", transform(
+      slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
+      _.cast("string")))
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, rowsPerBand: Int = 4,
                       n: Int = 3): DataFrame = {
@@ -133,9 +146,7 @@ object Dedup {
     val nBands = numHashes / rowsPerBand
     val bands = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-          concat_ws(",", transform(
-            slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
-            _.cast("string"))))).as(Seq("band", "key")))
+          bandKey(col("sig"), b, rowsPerBand))).as(Seq("band", "key")))
     // persisted: both the est and exact-Jaccard branches consume cand,
     // and without the pin the band self-join runs once per branch
     val cand = Pins.pin(bands.as("a").join(bands.as("b"),

@@ -38,10 +38,11 @@ object EsBulkSink {
     }
     df.foreachPartition { (rows: Iterator[Row]) =>
       val mapper = new ObjectMapper()
-      val http = HttpClient.newHttpClient()
+      val http = EsScrollSource.httpClient() // bounded connect timeout
       def flush(buf: StringBuilder, n: Int): Unit = if (n > 0) {
         val req = HttpRequest.newBuilder(URI.create(s"$nodes/$index/_bulk"))
           .header("Content-Type", "application/x-ndjson")
+          .timeout(EsScrollSource.RequestTimeout)
           .POST(HttpRequest.BodyPublishers.ofString(buf.toString,
             StandardCharsets.UTF_8))
           .build()
@@ -59,8 +60,15 @@ object EsBulkSink {
       rows.foreach { row =>
         val action = mapper.createObjectNode()
         val meta = action.putObject("index")
-        idIdx.foreach(i => if (!row.isNullAt(i))
-          meta.put("_id", row.get(i).toString))
+        idIdx.foreach { i =>
+          // a null id would silently fall back to an ES auto-generated
+          // _id, voiding exactly the retry-idempotency idCol provides
+          // (a task retry after a partial flush would duplicate the row)
+          if (row.isNullAt(i)) throw new IllegalArgumentException(
+            s"EsBulkSink: null value in id column '${idCol.get}' — " +
+              "ids must be non-null for idempotent (task-retry-safe) writes")
+          meta.put("_id", row.get(i).toString)
+        }
         val doc = mapper.createObjectNode()
         var i = 0
         while (i < schema.length) {

@@ -86,9 +86,10 @@ final class EsScrollSource extends TableProvider {
       throw new IllegalArgumentException("EsScrollSource: missing 'nodes'"))
     val index = Option(options.get("index")).getOrElse(
       throw new IllegalArgumentException("EsScrollSource: missing 'index'"))
-    val http = HttpClient.newHttpClient()
+    val http = EsScrollSource.httpClient()
     val resp = http.send(
-      HttpRequest.newBuilder(URI.create(s"$nodes/$index/_mapping")).GET().build(),
+      HttpRequest.newBuilder(URI.create(s"$nodes/$index/_mapping"))
+        .timeout(EsScrollSource.RequestTimeout).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
@@ -163,6 +164,17 @@ final class EsScrollSource extends TableProvider {
 }
 
 private[es] object EsScrollSource {
+  /** Bounded I/O: the JDK client's default is to wait FOREVER, so a
+    * half-open connection or GC-frozen ES node would hang the Spark
+    * task indefinitely — task-level retry never fires because the
+    * task never fails. Bounded timeouts turn the hang into a loud
+    * retryable failure. Request bound is generous: a deep scroll page
+    * or large bulk body can legitimately take tens of seconds.
+    */
+  val ConnectTimeout: java.time.Duration = java.time.Duration.ofSeconds(10)
+  val RequestTimeout: java.time.Duration = java.time.Duration.ofSeconds(120)
+  def httpClient(): HttpClient =
+    HttpClient.newBuilder().connectTimeout(ConnectTimeout).build()
   /** ISO-8601 → UTC wall-clock micros. With an offset the instant is
     * normalized to UTC; without one the value is taken as already-UTC
     * (ES's own convention for offset-less dates). Date-only values
@@ -316,7 +328,7 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val http = HttpClient.newHttpClient()
+  private val http = EsScrollSource.httpClient()
   private val usePit = paging == "pit"
   private var scrollId: String = _
   private var pitId: String = _
@@ -329,6 +341,7 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
   private def send(method: String, url: String, body: String): JsonNode = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .header("Content-Type", "application/json")
+      .timeout(EsScrollSource.RequestTimeout)
       .method(method,
         HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
       .build()
@@ -434,18 +447,36 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
     while (i < schema.length) {
       val f = schema(i)
       val v = src.path(f.name)
+      // strict _source typing: ES allows ANY field to hold an array
+      // (or a differently-typed value) with no mapping signal, and
+      // Jackson's asLong/asText on a container return silent defaults
+      // (0 / "" / false) — fail with the field and value instead of
+      // emitting wrong rows (the file's fail-fast contract)
+      def bad(): Nothing = throw new java.io.IOException(
+        s"EsScrollSource: _source field '${f.name}' holds " +
+          s"${v.getNodeType} '${v.toString.take(80)}' but the schema " +
+          s"expects ${f.dataType.simpleString} — multi-valued or " +
+          "mistyped documents need an explicit schema + transform")
       if (v.isMissingNode || v.isNull) out.setNullAt(i)
       else f.dataType match {
-        case LongType => out.setLong(i, v.asLong())
-        case IntegerType => out.setInt(i, v.asInt())
-        case DoubleType => out.setDouble(i, v.asDouble())
-        case FloatType => out.setFloat(i, v.asDouble().toFloat)
-        case BooleanType => out.setBoolean(i, v.asBoolean())
-        case StringType => out.update(i, UTF8String.fromString(v.asText()))
+        case LongType =>
+          if (!v.canConvertToLong) bad(); out.setLong(i, v.asLong())
+        case IntegerType =>
+          if (!v.canConvertToInt) bad(); out.setInt(i, v.asInt())
+        case DoubleType =>
+          if (!v.isNumber) bad(); out.setDouble(i, v.asDouble())
+        case FloatType =>
+          if (!v.isNumber) bad(); out.setFloat(i, v.asDouble().toFloat)
+        case BooleanType =>
+          if (!v.isBoolean) bad(); out.setBoolean(i, v.asBoolean())
+        case StringType =>
+          if (v.isContainerNode) bad()
+          out.update(i, UTF8String.fromString(v.asText()))
         case TimestampNTZType =>
           // ES `date` contract (see inferSchema): epoch-millis number
           // or ISO-8601 string; exposed as the UTC wall-clock in NTZ
           // micros so results are session-timezone-independent.
+          if (!v.isNumber && !v.isTextual) bad()
           val micros =
             if (v.isNumber) Math.multiplyExact(v.asLong(), 1000L)
             else EsScrollSource.parseIsoUtcMicros(v.asText())
@@ -485,7 +516,7 @@ final class EsRestSource(nodes: String,
                          options: Map[String, String] = Map.empty)
     extends graft.core.SourceProvider {
   def indexFor(dir: String, name: String): String =
-    if (dir == null || dir.isEmpty) name else s"${dir}_$name"
+    graft.core.SourceProvider.esIndexFor(dir, name)
   def table(spark: org.apache.spark.sql.SparkSession, dir: String,
             name: String): org.apache.spark.sql.DataFrame = {
     val reader = spark.read

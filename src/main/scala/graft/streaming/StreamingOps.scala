@@ -139,7 +139,15 @@ object StreamingOps {
   def userTotalsStream(events: DataFrame): Dataset[UserTotals] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[UserEvent]
+    // primitive-keyed state cannot represent an anonymous user, and a
+    // null value would kill the STREAM at the encoder ('null in
+    // non-nullable field') rather than null-skip like the batch
+    // oracle's sum — drop those rows before the encoder (same guard
+    // as topUsersHourly; documented divergence from userTotals, which
+    // groups the null key)
+    events.select(col("user_id"), col("value"))
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserTotals, UserTotals](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -245,9 +253,7 @@ object StreamingOps {
               (x * (h * 2 + lit(3)) + (h * 5 + lit(7))) % lit(P))))) { sig =>
           transform(sequence(lit(0), lit(nBands - 1)), b =>
             struct(b.cast("int").as("band"),
-              concat_ws(",", transform(
-                slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)),
-                _.cast("string"))).as("key")))
+              graft.ops.Dedup.bandKey(sig, b, rowsPerBand).as("key")))
         })
     }
   }
@@ -379,9 +385,8 @@ object StreamingOps {
     // the caller's Pins scope)
     val claims = graft.core.Pins.pin(sig.select(col("id").as("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-        concat_ws(",", transform(
-          slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)),
-          _.cast("string"))))).as(Seq("band", "key"))))
+        graft.ops.Dedup.bandKey(col("sig"), b, rowsPerBand)))
+        .as(Seq("band", "key"))))
     val winners = claims.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("winner"))
     claims.join(winners, Seq("band", "key"))
