@@ -54,6 +54,8 @@ class EsScrollSourceSpec extends AnyFunSuite {
     val scrollCalls = new AtomicInteger(0)
     val pits = new AtomicInteger(0)
     val pitDeletes = new AtomicInteger(0)
+    // when set, that doc's score is served as an ARRAY (legal ES!)
+    @volatile var multiValueDocId: Option[Long] = None
     // scroll_id -> (remaining rows, page size)
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[String, (List[Int], Int)]()
@@ -121,7 +123,10 @@ class EsScrollSourceSpec extends AnyFunSuite {
                           i: Int): Unit = {
       val (id, lang, score, flagged) = store.get(i)
       src.put("doc_id", id); src.put("lang", lang)
-      src.put("score", score); src.put("flagged", flagged)
+      if (multiValueDocId.contains(id)) {
+        val arr = src.putArray("score"); arr.add(score); arr.add(score + 1)
+      } else src.put("score", score)
+      src.put("flagged", flagged)
       if (id % 2 == 0) src.put("created", dateBase + id * 1000)
       else src.put("created",
         java.time.Instant.ofEpochMilli(dateBase + id * 1000).toString)
@@ -161,6 +166,12 @@ class EsScrollSourceSpec extends AnyFunSuite {
             "doc_id":{"type":"long"},"lang":{"type":"keyword"}}}},
             "m2-b":{"mappings":{"properties":{
             "doc_id":{"type":"long"},"score":{"type":"double"}}}}}"""
+            .replaceAll("\\s+", "")
+        } else if (path == "/mdate/_mapping") {
+          // a custom date format the reader's parse contract cannot
+          // honor — inferSchema must refuse, not misparse
+          """{"mdate":{"mappings":{"properties":{
+            "ts":{"type":"date","format":"epoch_second"}}}}}"""
             .replaceAll("\\s+", "")
         } else if (path == "/mbad/_mapping") {
           // same field, conflicting types across the matched indices
@@ -459,6 +470,48 @@ class EsScrollSourceSpec extends AnyFunSuite {
           .option("nodes", es.url).option("index", "mbad").load().schema
       }
       assert(err.getMessage.contains("conflicting mappings"), err.getMessage)
+    } finally es.stop()
+  }
+
+  test("strict _source typing: a multi-valued field fails loudly, " +
+    "never coerces to Jackson defaults") {
+    val es = new MockEs
+    try {
+      // ES legally stores arrays in ANY field with no mapping signal;
+      // asLong() on the array would silently read 0
+      es.multiValueDocId = Some(3L)
+      val err = intercept[org.apache.spark.SparkException] {
+        read(es).collect()
+      }
+      val msg = Option(err.getCause).map(_.getMessage).getOrElse(err.getMessage)
+      assert(msg != null && msg.contains("multi-valued"), msg)
+    } finally es.stop()
+  }
+
+  test("custom date formats fail fast at inferSchema, not misparse") {
+    val es = new MockEs
+    try {
+      val err = intercept[UnsupportedOperationException] {
+        spark.read.format(classOf[EsScrollSource].getName)
+          .option("nodes", es.url).option("index", "mdate").load().schema
+      }
+      assert(err.getMessage.contains("epoch_second"), err.getMessage)
+    } finally es.stop()
+  }
+
+  test("bulk sink rejects null ids instead of silently losing " +
+    "retry idempotency") {
+    import spark.implicits._
+    val es = new MockEs(Seq.empty)
+    try {
+      val rows = Seq((java.lang.Long.valueOf(1L), "en", 0.5, true),
+        (null.asInstanceOf[java.lang.Long], "de", 0.7, false))
+        .toDF("doc_id", "lang", "score", "flagged")
+      val err = intercept[org.apache.spark.SparkException] {
+        EsBulkSink.write(rows, es.url, "docs", idCol = Some("doc_id"))
+      }
+      val msg = Option(err.getCause).map(_.getMessage).getOrElse(err.getMessage)
+      assert(msg != null && msg.contains("null value in id column"), msg)
     } finally es.stop()
   }
 
