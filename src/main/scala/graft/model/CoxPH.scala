@@ -264,12 +264,20 @@ object CoxPH {
   def breslow(df: DataFrame, sc: Column): DataFrame = {
     val spark = df.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
-    // same ±500 clamp as the likelihood passes: one Inf weight would
-    // poison S0 for every earlier event time (h0 = 0 or NaN)
+    // clamp ±50 (the likelihood passes use ±500 against Inf poison;
+    // here the bound is the DECIMAL range): the per-time risk mass
+    // w_t sums in DECIMAL(38,15) so it is summation-ORDER-independent
+    // — a plain double sum could round differently under Spark's
+    // partial-agg order vs the oracle's scan order and flip a 6dp
+    // boundary. exp(50) ≈ 5e21 is the largest weight DECIMAL(38,15)
+    // holds; weights under the 1e-15 scale round to 0, invisible next
+    // to any O(1) weight exactly as they were at double precision.
     val g = df.select(col("t").cast("double").as("t"), col("e"),
-      exp(least(lit(500.0), greatest(lit(-500.0), sc))).as("w"))
+      exp(least(lit(50.0), greatest(lit(-50.0), sc)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 15)).as("w"))
       .groupBy(col("t"))
-      .agg(sum(col("w")).as("w_t"), sum(col("e").cast("long")).as("d"))
+      .agg(sum(col("w")).cast("double").as("w_t"),
+        sum(col("e").cast("long")).as("d"))
       .repartitionByRange(np, col("t").desc)
       .sortWithinPartitions(col("t").desc)
       .select(col("t"), col("w_t"), col("d"))

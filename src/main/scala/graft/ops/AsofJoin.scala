@@ -134,7 +134,13 @@ object AsofJoin {
       .orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     (r unionByName l)
-      .withColumn("_match", first(col("_rp"), ignoreNulls = true).over(w))
+      // a NULL left time sorts FIRST ascending, so its forward frame
+      // would span every right row and "match" the key's earliest one
+      // — but SQL ASOF semantics (NULL <= t is unknown) and the
+      // backward variant both yield NO match for a null time; guard it
+      .withColumn("_match",
+        when(col("_t").isNotNull,
+          first(col("_rp"), ignoreNulls = true).over(w)))
       .filter(col("_tag") === 0)
       .select(lCols.map(c => col(s"_lp.$c").as(c)) ++
         rightPayload.map(c => col(s"_match.$c").as(s"r_$c")): _*)
@@ -178,7 +184,12 @@ object AsofJoin {
     val wb = sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = sort.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val back = last(col("_rp"), ignoreNulls = true).over(wb)
-    val fwd = first(col("_rp"), ignoreNulls = true).over(wf)
+    // null-left-time guard as in [[forward]] (nulls-first sort would
+    // otherwise hand the row the key's earliest right match); backward
+    // is naturally null-safe — the frame above a nulls-first row holds
+    // no right rows
+    val fwd = when(col("_t").isNotNull,
+      first(col("_rp"), ignoreNulls = true).over(wf))
     val pick = when(col("_b").isNull, col("_f"))
       .when(col("_f").isNull, col("_b"))
       .when(col("_t") - col("_b").getField(rightTime)

@@ -307,7 +307,12 @@ object Multimodal {
       col(idCol).as("id"),
       payloadBytes(p).as("n_bytes"),
       fakeDecodeMeta(p).as("meta"),
-      md5(resize(p, 64)).as("head_hash"),
+      // hash the HEX of the head bytes, not the raw bytes: DuckDB's
+      // md5 only takes VARCHAR, so a raw-byte hash forced the oracle
+      // to substr CHARS — equal only while the corpus is pure ASCII
+      // (64 bytes ≈ 21 CJK chars). Hex round-trips any byte into both
+      // engines' md5 identically (both hex() functions are uppercase).
+      md5(hex(resize(p, 64)).cast("binary")).as("head_hash"),
       md5(frameSample(col(textCol), 8).cast("binary")).as("frames_hash"))
   }
 }

@@ -101,7 +101,12 @@ object Similarity {
   }
 
   /** Deterministic init: per-dim means of id%cells groups, rounded to
-    * 6dp. Driver carry is bounded at cells×dims doubles.
+    * 6dp. Driver carry is bounded at cells×dims doubles. The mean
+    * runs through an exact DECIMAL sum like every other mean on an
+    * oracle-checked path — a plain double avg() is summation-order-
+    * dependent, so Spark's partial-agg order vs DuckDB's scan order
+    * could round differently at the 6dp boundary and cascade through
+    * every downstream assignment.
     */
   private def initCentroidMap(corpus: DataFrame, idCol: String,
                               vecCol: String,
@@ -110,7 +115,9 @@ object Similarity {
       .select((col(idCol) % numCells).cast("int").as("cell"),
         posexplode(col(vecCol)).as(Seq("j", "xv")))
       .groupBy(col("cell"), col("j"))
-      .agg(round(avg(col("xv").cast("double")), 6).as("c"))
+      .agg(round(
+        sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
       .toMap

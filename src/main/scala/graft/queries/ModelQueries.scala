@@ -102,8 +102,18 @@ object ModelQueries {
        |         $lpSql AS lp
        |  FROM churn_rn CROSS JOIN tl WHERE rn < train_len)""".stripMargin
 
+  // w_t mirrors the engine: ±50-clamped exp summed in DECIMAL(38,15)
+  // (order-independent both engines) with the VARCHAR-route conversion
+  // (DuckDB's direct decimal→double double-rounds past ~2^53 scaled
+  // units; these sums cross that)
   private val breslowSql =
-    """bt0 AS (SELECT t, sum(exp(lp)) AS w_t, CAST(sum(e) AS BIGINT) AS d
+    """bt0 AS (SELECT t,
+      |               CAST(CAST(sum(CAST(exp(least(CAST(50 AS DOUBLE),
+      |                                            greatest(CAST(-50 AS DOUBLE),
+      |                                                     lp)))
+      |                                  AS DECIMAL(38,15)))
+      |                    AS VARCHAR) AS DOUBLE) AS w_t,
+      |               CAST(sum(e) AS BIGINT) AS d
       |        FROM trn GROUP BY t),
       |bt1 AS (SELECT t, d, sum(w_t) OVER (ORDER BY t DESC
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0

@@ -464,9 +464,14 @@ object RelationalQueries {
         max(col("value")).as("mx")))
       val nb = 20
       ev.crossJoin(st)
-        .select(least(floor((col("value") - col("mn")) /
-            (col("mx") - col("mn")) * lit(nb.toDouble)),
-          lit((nb - 1).toDouble)).cast("int").as("bin"),
+        // mx = mn (all values equal): (v-mn)/(mx-mn) is 0/0 and the
+        // two engines disagree on NaN ordering (DuckDB NULL -> bin 19,
+        // Spark NaN-is-largest semantics) — pin the degenerate case to
+        // bin 0 explicitly, mirrored in the oracle
+        .select(when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(floor((col("value") - col("mn")) /
+              (col("mx") - col("mn")) * lit(nb.toDouble)),
+            lit((nb - 1).toDouble)).cast("int")).as("bin"),
           col("mn"), col("mx"))
         .groupBy(col("bin"), col("mn"), col("mx"))
         .agg(count(lit(1)).as("n"))
@@ -913,12 +918,12 @@ object RelationalQueries {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -976,14 +981,23 @@ object RelationalQueries {
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
+    // strict top-level typed JSON extraction, mirroring Spark's
+    // from_json(IntegerType): JSON integer in int range → value;
+    // float / string / nested / malformed / overflow → NULL. The old
+    // regexp_extract would truncate 3.7 to 3 and match a NESTED "k" —
+    // latent only while the generator emits flat {"k": int}
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(k) AS BIGINT) AS sum_k,
         |       CAST(CAST(sum(k) AS BIGINT) AS DOUBLE)
         |         / CAST(count(*) AS DOUBLE) AS avg_k
         |FROM (SELECT event_type,
-        |             TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1)
-        |                      AS INT) AS k
+        |             CASE WHEN json_valid(props)
+        |                   AND json_type(props, '$.k')
+        |                       IN ('BIGINT', 'UBIGINT')
+        |                  THEN TRY_CAST(json_extract_string(props, '$.k')
+        |                                AS INT)
+        |             END AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1188,8 +1202,11 @@ object RelationalQueries {
       val num = Seq("o_orderkey", "o_custkey", "o_totalprice").flatMap {
         c => base(c) ++ Seq(
           m(c, "min", s"min($c)"), m(c, "max", s"max($c)"),
-          m(c, "mean", s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)" +
-            s" / CAST(count($c) AS DOUBLE)"))
+          // VARCHAR route: DuckDB's direct DECIMAL->DOUBLE double-rounds
+          // past ~2^53 (sum(o_totalprice) at sf0.1 is 3.75e16 scaled
+          // units) while Spark's BigDecimal->double rounds correctly
+          m(c, "mean", s"CAST(CAST(sum(CAST($c AS DECIMAL(38,6)))" +
+            s" AS VARCHAR) AS DOUBLE) / CAST(count($c) AS DOUBLE)"))
       }
       val str = Seq("o_orderstatus", "o_orderpriority").flatMap {
         c => base(c) ++ Seq(
@@ -1242,9 +1259,11 @@ object RelationalQueries {
     "q_histogram" ->
       """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
         |st AS (SELECT min(value) AS mn, max(value) AS mx FROM v),
-        |b AS (SELECT CAST(least(floor((value - mn) / (mx - mn)
-        |                              * CAST(20 AS DOUBLE)),
-        |                        CAST(19 AS DOUBLE)) AS INT) AS bin,
+        |b AS (SELECT CASE WHEN mx = mn THEN 0
+        |                  ELSE CAST(least(floor((value - mn) / (mx - mn)
+        |                                        * CAST(20 AS DOUBLE)),
+        |                                  CAST(19 AS DOUBLE)) AS INT)
+        |             END AS bin,
         |             mn, mx
         |      FROM v CROSS JOIN st)
         |SELECT bin,

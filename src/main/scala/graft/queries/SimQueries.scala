@@ -193,13 +193,16 @@ object SimQueries {
          |  FROM v CROSS JOIN $ca) WHERE rk = 1)""".stripMargin
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
        |cent0 AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
-       |                 round(avg(x[j + 1]), 6) AS c
+       |                 round(CAST(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15)))
+       |                            AS VARCHAR) AS DOUBLE)
+       |                       / CAST(count(*) AS DOUBLE), 6) AS c
        |          FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
        |          GROUP BY 1, 2),
        |ca0 AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent0 GROUP BY cell),
        |${argmin("ca0", "a1")},
        |cent1u AS (SELECT a1.cell, j,
-       |                  round(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15))) AS DOUBLE)
+       |                  round(CAST(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15)))
+       |                             AS VARCHAR) AS DOUBLE)
        |                        / CAST(count(*) AS DOUBLE), 6) AS c
        |           FROM a1 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
        |           GROUP BY 1, 2),
@@ -220,7 +223,9 @@ object SimQueries {
     val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
     val dot = dotSql
     s"""cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
-       |                round(avg(x[j + 1]), 6) AS c
+       |                round(CAST(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15)))
+       |                           AS VARCHAR) AS DOUBLE)
+       |                      / CAST(count(*) AS DOUBLE), 6) AS c
        |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
        |         GROUP BY 1, 2),
        |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),

@@ -147,9 +147,10 @@ object StreamQueries {
          |ne AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
          |              count(*) AS n_events
          |       FROM events GROUP BY 1)
-         |SELECT epoch_us(o.hour) AS hour_us, o.est_users, ex.exact_users,
-         |       ne.n_events
-         |FROM o JOIN ex USING (hour) JOIN ne USING (hour)
+         |SELECT epoch_us(ne.hour) AS hour_us,
+         |       coalesce(o.est_users, 0.0) AS est_users,
+         |       ex.exact_users, ne.n_events
+         |FROM ne JOIN ex USING (hour) LEFT JOIN o USING (hour)
          |ORDER BY hour_us""".stripMargin
     },
 

@@ -888,7 +888,7 @@ object TextQueries {
         |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
         |  'fake/' || CAST(octet_length(encode(text)) % 3 AS VARCHAR) AS format,
-        |  md5(substr(text, 1, 64)) AS head_hash,
+        |  md5(substr(hex(encode(text)), 1, 128)) AS head_hash,
         |  md5(array_to_string(list_transform(generate_series(1, length(text), 8),
         |      i -> substr(text, i, 1)), '')) AS frames_hash
         |FROM documents ORDER BY id""".stripMargin,

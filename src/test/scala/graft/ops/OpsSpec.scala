@@ -347,7 +347,11 @@ class OpsSpec extends AnyFunSuite {
 
   test("as-of forward join: earliest following match, ties inclusive, no-match nulls") {
     import spark.implicits._
-    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 70L))
+    // lid 4 has a NULL time: SQL ASOF (NULL <= t unknown) → no match —
+    // without the guard the nulls-first sort handed it the key's
+    // EARLIEST right row
+    val left = Seq((1L, Some(10L), Some(100L)), (2L, Some(10L), Some(250L)),
+        (3L, Some(20L), Some(70L)), (4L, Some(10L), None))
       .toDF("lid", "k", "t")
     val right = Seq((11L, 10L, 90L), (12L, 10L, 250L), (13L, 10L, 300L),
         (14L, 20L, 60L))
@@ -358,14 +362,16 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
       .toSeq
     // lid 1: rid 12 (t=250 is the earliest >= 100; 90 is in the past);
-    // lid 2: rid 12 (tie t=250 included); lid 3: no right at t >= 70
-    assert(got == Seq((1L, 12L), (2L, 12L), (3L, -1L)))
+    // lid 2: rid 12 (tie t=250 included); lid 3: no right at t >= 70;
+    // lid 4: null time → null match
+    assert(got == Seq((1L, 12L), (2L, 12L), (3L, -1L), (4L, -1L)))
   }
 
   test("as-of nearest join: closest side wins, tie goes backward") {
     import spark.implicits._
-    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 260L),
-        (4L, 20L, 5L))
+    val left = Seq((1L, Some(10L), Some(100L)), (2L, Some(10L), Some(200L)),
+        (3L, Some(10L), Some(260L)), (4L, Some(20L), Some(5L)),
+        (5L, Some(10L), None)) // null time → no match on EITHER side
       .toDF("lid", "k", "t")
     val right = Seq((11L, 10L, 90L), (12L, 10L, 250L), (14L, 20L, 60L))
       .toDF("rid", "k", "t")
@@ -375,8 +381,9 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
       .toSeq
     // lid 1: 90 (Δ10) beats 250 (Δ150); lid 2: Δ110 back vs Δ50 fwd →
-    // 12; lid 3: Δ10 back vs none fwd → 12; lid 4: only fwd 60 → 14
-    assert(got == Seq((1L, 11L), (2L, 12L), (3L, 12L), (4L, 14L)))
+    // 12; lid 3: Δ10 back vs none fwd → 12; lid 4: only fwd 60 → 14;
+    // lid 5: null time matches nothing
+    assert(got == Seq((1L, 11L), (2L, 12L), (3L, 12L), (4L, 14L), (5L, -1L)))
 
     // equidistant tie goes to the PRECEDING row
     val tied = AsofJoin.nearest(
