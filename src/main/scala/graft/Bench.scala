@@ -22,7 +22,12 @@ object Bench {
         failed += "_setup"
         System.err.println(s"[bench] _setup FAILED: $e")
     }
-    val setupSec = (System.nanoTime() - tSetup) / 1e9
+    // -1 sentinel on failure: the elapsed-until-throw value would be
+    // SMALLER than a healthy setup and make the headline improve when
+    // setup crashed (the invariant below: failures never help totals)
+    val setupSec =
+      if (failed.contains("_setup")) -1.0
+      else (System.nanoTime() - tSetup) / 1e9
     // Setup-level cache blocks (the stable-order churn dataset) are
     // load-bearing across queries: an RDD-level unpersist would disable
     // them for the rest of the run (storageLevel can't be re-enabled on
@@ -60,7 +65,13 @@ object Bench {
     }
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      // execute the EXACT planned query: df.count() would let Catalyst
+      // column-prune the measured work (a projection-shaped query like
+      // q_text_tokens times as a bare scan with its token expressions
+      // optimized away); driving the already-planned physical tree
+      // pays every projection, expression, and sort the query declares
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.execute().count()
       (System.nanoTime() - t0) / 1e9
     }
     val measured = SparkEntry.queries.map { case (name, _) =>
@@ -149,7 +160,13 @@ object Bench {
     val warmQs = results.map { case (k, (_, w)) => k -> w }
     val coldQs = results.map { case (k, (c, _)) => k -> c }
     val total = warmQs.values.filter(_ >= 0).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // bounded: a mass-failure round's full name list alone would blow
+    // the ~2 kB driver tail the metric line must fit in (the fold loop
+    // below can only shrink the QUERIES map) — cap at 8 names + count
+    val failedJson =
+      (if (failed.size <= 8) failed.toSeq
+       else failed.take(8).toSeq :+ s"+${failed.size - 8} more")
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"bench_cold":${jsonMap(coldQs)},"timing":"warm-min-of-2"}""")
     // Hard length budget on the final metric line: the driver recovers
     // it from a ~2000-char stdout tail that ALSO holds sbt's closing
@@ -172,7 +189,9 @@ object Bench {
     var restSum = 0.0
     var restN = 0
     var out = metricLine(keep, restSum, restN)
-    while (out.length > 1880 && keep.nonEmpty) {
+    // stop once only failure sentinels remain: folding a -1 into _rest
+    // would hide the failure (the comment above promises it never is)
+    while (out.length > 1880 && keep.exists(_._2 >= 0)) {
       val (_, v) = keep.last
       keep = keep.init
       restSum += math.max(v, 0.0)

@@ -17,20 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    def fn(name: String, builder: Seq[Expression] => Expression): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit =
+    // one loop over the shared table SqlViews.registerFunctions also
+    // consumes — the two SQL surfaces cannot drift
+    functions.Registry.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name), builder))
-    fn("rolling_hash", exprs =>
-      functions.RollingHash(exprs.head, functions.RollingHash.DefaultBase,
-        functions.RollingHash.DefaultMod))
-    fn("vec_dot", exprs => functions.VecDot(exprs.head, exprs(1)))
-    fn("product", exprs =>
-      functions.ProductAgg(exprs.head).toAggregateExpression())
-    fn("heavy_hitters", functions.MisraGries.fromExprs)
-    fn("top_k", functions.TopKAgg.fromExprs)
-    fn("nfc_normalize", functions.UnicodeNormalize.fromExprs("NFC"))
-    fn("nfkc_normalize", functions.UnicodeNormalize.fromExprs("NFKC"))
-    fn("hll_est", functions.HllAgg.fromExprs)
-  }
+        new ExpressionInfo("graft.functions.Registry", name), builder))
+    }
 }

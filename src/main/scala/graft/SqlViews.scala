@@ -23,28 +23,11 @@ object SqlViews {
     registerFunctions(spark)
   }
 
-  def registerFunctions(spark: SparkSession): Unit = {
-    bridge.registerFunction(spark, "rolling_hash", exprs =>
-      functions.RollingHash(exprs.head, RollingHash.DefaultBase,
-        RollingHash.DefaultMod))
-    bridge.registerFunction(spark, "vec_dot", exprs =>
-      functions.VecDot(exprs.head, exprs(1)))
-    // product() aggregate/window function, matching DuckDB's — usable
-    // as `product(x) OVER (ORDER BY …)` for running products
-    bridge.registerFunction(spark, "product", exprs =>
-      functions.ProductAgg(exprs.head).toAggregateExpression())
-    // heavy_hitters(col, k) Misra-Gries sketch aggregate; k must be a
-    // foldable integer literal (validated — clear AnalysisException)
-    bridge.registerFunction(spark, "heavy_hitters",
-      functions.MisraGries.fromExprs)
-    bridge.registerFunction(spark, "top_k", functions.TopKAgg.fromExprs)
-    bridge.registerFunction(spark, "nfc_normalize",
-      functions.UnicodeNormalize.fromExprs("NFC"))
-    bridge.registerFunction(spark, "nfkc_normalize",
-      functions.UnicodeNormalize.fromExprs("NFKC"))
-    // hll_est(col, seed) HyperLogLog cardinality aggregate (4096-byte
-    // mergeable register buffer; numerically identical to the
-    // Sketches.hllEstimate dataflow)
-    bridge.registerFunction(spark, "hll_est", functions.HllAgg.fromExprs)
-  }
+  /** One loop over [[graft.functions.Registry.all]] — the same table
+    * [[GraftExtensions]] injects, so the two SQL surfaces cannot drift.
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    graft.functions.Registry.all.foreach { case (name, builder) =>
+      bridge.registerFunction(spark, name, builder)
+    }
 }

@@ -35,6 +35,16 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // a PREVIOUS run's parquet at this path would gate-compare
+            // green against stale results (analysis-time failures throw
+            // before the overwrite delete) — remove it so the failure
+            // is visible to the compare, not masked by old output
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            val d = new java.io.File(s"$outDir/$name")
+            if (d.exists()) rm(d)
           }
         }
       }

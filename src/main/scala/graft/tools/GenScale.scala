@@ -34,6 +34,15 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
     require(copies >= 1)
+    // overwrite-writes read LAZILY from src: dst == src would delete
+    // the very files the scan is reading (irreversible source loss);
+    // and the driver's testdata is read-only by contract
+    require(new java.io.File(dst).getCanonicalPath !=
+      new java.io.File(src).getCanonicalPath,
+      "GenScale: dst must differ from src (overwrite would destroy the source)")
+    require(!new java.io.File(dst).getCanonicalPath
+      .startsWith("/root/testdata"),
+      "GenScale: /root/testdata is read-only — write elsewhere")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
