@@ -8,6 +8,11 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: run only these queries (local iteration)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) // loud, because a typo here looks like success
+      System.err.println(
+        s"[verify] WARNING: unknown query name(s) ${unknown.toSeq.sorted
+          .mkString(", ")} — nothing will run for them")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -44,6 +44,15 @@ final case class CoxMlp(
     lr: Double = 0.01,
     patience: Int = 10,
     batchNorm: Boolean = false, // batch-statistics BN, MlpStack bnBatch
+    // prediction-time BN stats flavor: false (default) = exact
+    // full-train population stats under the final θ (deterministic,
+    // scheduling-independent); true = torch's momentum-EMA running
+    // stats (BnMomentum 0.1, rm=0/rv=1 init, one fold per training
+    // batch in the deterministic global batch order, best-epoch
+    // snapshot à la torchtuples EarlyStopping) — closes the last
+    // model-layer deviation from the reference when torch-exact
+    // prediction parity matters more than order-independence
+    bnEma: Boolean = false,
     dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
@@ -101,11 +110,13 @@ final case class CoxMlp(
     // w needs symmetry breaking even with no hidden layers
     val theta = MlpTrainer.initTheta(0, q, stack, seed,
       initLinearHead = true)
-    val (hid, bnFlag, dropQ, pp) = (hidden, batchNorm, dropout, p)
+    val (hid, bnFlag, dropQ, pp, emaFlag) =
+      (hidden, batchNorm, dropout, p, bnEma)
     val (bestTheta, bnStats) = MlpTrainer.fit(train)(_._2, stack, theta,
-      batchSize, epochs, patience, lr, seed, batchNorm) { (th, dropKey0) =>
+      batchSize, epochs, patience, lr, seed, batchNorm,
+      bnEma = bnEma) { (th, dropKey0) =>
       CoxMlp.PartitionAcc(pp, th, hid, bnFlag, dropQ, dropKey0,
-        bnBatch = bnFlag)
+        bnBatch = bnFlag, recordBn = emaFlag && bnFlag)
     }
     releasePrep()
 
@@ -141,7 +152,8 @@ object CoxMlp {
                                 bn: Boolean = false,
                                 dropout: Double = 0.0,
                                 dropKey0: Long = 0L,
-                                bnBatch: Boolean = false)
+                                bnBatch: Boolean = false,
+                                recordBn: Boolean = false)
       extends MlpTrainer.BatchAccumulator[(Long, Array[Double], Double, Int)] {
     var loss = 0.0
     var events = 0L
@@ -150,6 +162,9 @@ object CoxMlp {
     private val stack = new MlpStack(p, hidden,
       if (hidden.nonEmpty) hidden.last else p, bn = bn, dropout = dropout,
       bnBatch = bnBatch)
+    if (recordBn) stack.enableBnRecording()
+    override def bnRecorded: Array[Array[MlpStack.BnBatchStats]] =
+      stack.takeRecorded()
     private val q = stack.outWidth
     private val nL = stack.nL
 

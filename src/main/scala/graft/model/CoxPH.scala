@@ -167,7 +167,11 @@ final case class CoxPH(
         // clamp before exp: a divergent iterate past ~709 would make
         // w = Inf -> S0 = Inf -> NaN gradients corrupting the line
         // search; at ±500 results are bit-identical in the sane regime
-        // and saturate gracefully outside it
+        // and saturate gracefully outside it. NOTE the asymmetry with
+        // breslow(), which clamps at ±50 for its DECIMAL(38,15) exact
+        // risk-mass sum: a model whose final linear predictors land in
+        // (50, 500] fits un-saturated here but saturates in the
+        // baseline pass — breslow() counts and warns when that happens.
         val w = math.exp(math.min(500.0, math.max(-500.0, dot(x, b))))
         sw += w
         var j = 0; while (j < p) { swx(j) += x(j) * w; j += 1 }
@@ -274,13 +278,15 @@ object CoxPH {
     // to any O(1) weight exactly as they were at double precision.
     val g = df.select(col("t").cast("double").as("t"), col("e"),
       exp(least(lit(50.0), greatest(lit(-50.0), sc)))
-        .cast(org.apache.spark.sql.types.DecimalType(38, 15)).as("w"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 15)).as("w"),
+      when(abs(sc) > lit(50.0), 1L).otherwise(0L).as("sat"))
       .groupBy(col("t"))
       .agg(sum(col("w")).cast("double").as("w_t"),
-        sum(col("e").cast("long")).as("d"))
+        sum(col("e").cast("long")).as("d"),
+        sum(col("sat")).as("nsat"))
       .repartitionByRange(np, col("t").desc)
       .sortWithinPartitions(col("t").desc)
-      .select(col("t"), col("w_t"), col("d"))
+      .select(col("t"), col("w_t"), col("d"), col("nsat"))
     // RDD-level persist shared by object across passes: pins one
     // physical range partitioning. Pins-scoped release (Hyperband
     // config evaluation); ContextCleaner releases the unscoped case
@@ -288,11 +294,21 @@ object CoxPH {
     val rows = graft.core.Pins.pinRdd(g.rdd)
 
     // Pass 1: per-partition Σ w_t → descending-order S0 carries.
-    val wParts = rows.mapPartitionsWithIndex { (pid, it) =>
+    // Piggybacks the ±50 saturation count so fit-vs-baseline clamp
+    // divergence (likelihood clamps at ±500) is observable, not silent.
+    val p1 = rows.mapPartitionsWithIndex { (pid, it) =>
       var s = 0.0
-      it.foreach(r => s += r.getDouble(1))
-      Iterator.single(pid -> s)
-    }.collect().sortBy(_._1).map(_._2)
+      var sat = 0L
+      it.foreach { r => s += r.getDouble(1); sat += r.getLong(3) }
+      Iterator.single((pid, s, sat))
+    }.collect().sortBy(_._1)
+    val satTotal = p1.map(_._3).sum
+    if (satTotal > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"breslow(): $satTotal linear predictor(s) exceeded the ±50 " +
+          "baseline clamp (likelihood passes clamp at ±500) — baseline " +
+          "hazard weights for those rows are saturated")
+    val wParts = p1.map(_._2)
     val s0Carry = wParts.scanLeft(0.0)(_ + _).init // Σ over partitions < p (larger t)
 
     // Pass 2: per-partition Σ h0 over event rows (ascending order) →

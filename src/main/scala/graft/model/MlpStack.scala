@@ -230,8 +230,39 @@ final class MlpStack(p: Int, hidden: Seq[Int], off: Int,
         inRows(l + 1) = out
         l += 1
       }
+      if (bnRecorder != null) {
+        // per-batch (μ, unbiased σ², m) per layer — the exact numbers
+        // torch BatchNorm1d folds into its running stats each training
+        // forward (running_var uses the UNBIASED batch variance even
+        // though normalization uses the biased one)
+        bnRecorder += Array.tabulate(nL) { l =>
+          val w = widths(l)
+          val unb = if (m > 1) m.toDouble / (m - 1).toDouble else 1.0
+          MlpStack.BnBatchStats(mus(l),
+            Array.tabulate(w) { j =>
+              val istd = istds(l)(j)
+              math.max(1.0 / (istd * istd) - MlpStack.BnEps, 0.0) * unb
+            }, m)
+        }
+      }
       new MlpStack.BnState(inRows, zs, mus, istds, nL)
     }
+
+  /** bnEma support: when enabled, every [[forwardBatch]] in bnBatch
+    * mode appends its per-layer batch statistics here (one entry per
+    * batch, in call order). Task-local state — enable on the
+    * task-side stack instance, drain with [[takeRecorded]].
+    */
+  @transient private var bnRecorder:
+      scala.collection.mutable.ArrayBuffer[Array[MlpStack.BnBatchStats]] = null
+  def enableBnRecording(): Unit =
+    bnRecorder = scala.collection.mutable.ArrayBuffer.empty
+  def takeRecorded(): Array[Array[MlpStack.BnBatchStats]] = {
+    val r = if (bnRecorder == null) Array.empty[Array[MlpStack.BnBatchStats]]
+            else bnRecorder.toArray
+    if (bnRecorder != null) bnRecorder.clear()
+    r
+  }
 
   /** Whole-batch backward from per-row dTops = ∂L/∂acts(nL) (null ⇒
     * zero vector). Row-mode delegates to [[backward]] per non-null
@@ -432,6 +463,46 @@ object MlpStack {
 
   /** torch BatchNorm1d default ε. */
   val BnEps: Double = 1e-5
+
+  /** torch BatchNorm1d default momentum for running-stats EMA. */
+  val BnMomentum: Double = 0.1
+
+  /** One training batch's per-layer BN statistics: biased mean μ,
+    * UNBIASED variance σ² (torch's running_var convention; a 1-row
+    * batch records its biased 0 — torch refuses such batches outright,
+    * this engine tolerates them), and the batch size m.
+    */
+  final case class BnBatchStats(mu: Array[Double], varU: Array[Double],
+                                m: Int) extends Serializable
+
+  /** torch BatchNorm1d running-stats fold, exactly:
+    * rm ← (1−momentum)·rm + momentum·μ_b and
+    * rv ← (1−momentum)·rv + momentum·σ²_b(unbiased), initialized
+    * rm = 0, rv = 1, applied once per training batch in batch order.
+    * `batches(k)(l)` is batch k's stats for layer l. Pure driver-side
+    * arithmetic — the spec checks it against a hand-computed torch
+    * sequence.
+    */
+  def emaFold(batches: Seq[Array[BnBatchStats]], widths: Seq[Int],
+              momentum: Double = BnMomentum
+             ): Array[(Array[Double], Array[Double])] = {
+    val rm = widths.map(w => new Array[Double](w)).toArray
+    val rv = widths.map(w => Array.fill(w)(1.0)).toArray
+    batches.foreach { b =>
+      var l = 0
+      while (l < widths.length) {
+        val s = b(l)
+        var j = 0
+        while (j < widths(l)) {
+          rm(l)(j) = (1.0 - momentum) * rm(l)(j) + momentum * s.mu(j)
+          rv(l)(j) = (1.0 - momentum) * rv(l)(j) + momentum * s.varU(j)
+          j += 1
+        }
+        l += 1
+      }
+    }
+    widths.indices.map(l => (rm(l), rv(l))).toArray
+  }
 
   /** Opaque batch forward state: [[MlpStack.RowState]] for the
     * row-independent modes, [[MlpStack.BnState]] for batch-stats BN.

@@ -24,6 +24,10 @@ private[model] object MlpTrainer {
     def loss: Double
     def grad: Array[Double]
     def norm: Long
+    /** bnEma: this partition's per-batch BN statistics in batch order
+      * (empty unless the accumulator enabled its stack's recorder).
+      */
+    def bnRecorded: Array[Array[MlpStack.BnBatchStats]] = Array.empty
   }
 
   /** θ init for the shared [zero head (zeroLen), W (wLen), stack]
@@ -63,7 +67,7 @@ private[model] object MlpTrainer {
             (feat: R => Array[Double],
              stack: MlpStack, theta0: Array[Double],
              batchSize: Int, epochs: Int, patience: Int, lr: Double,
-             seed: Long, batchNorm: Boolean)
+             seed: Long, batchNorm: Boolean, bnEma: Boolean = false)
             (mkAcc: (Array[Double], Long) => BatchAccumulator[R])
             (implicit ct: scala.reflect.ClassTag[R])
       : (Array[Double], Option[Array[(Array[Double], Array[Double])]]) = {
@@ -72,27 +76,98 @@ private[model] object MlpTrainer {
     // Dataset.mapPartitions round-trip; the scan still serves from the
     // caller's cache and the reduce ships |θ|+2 doubles per partition
     val rows = train.rdd
+    val useEma = bnEma && batchNorm && stack.nL > 0
+    // torch running-stats EMA state, initialized rm = 0 / rv = 1 and
+    // folded once per training batch across ALL epochs in the global
+    // deterministic (partition, batch) order; snapshotted whenever
+    // AdamLoop records a new best iterate — the same contract as
+    // torchtuples' EarlyStopping restoring the best state_dict
+    // (weights AND BN buffers) at the end of training.
+    var emaState: Array[(Array[Double], Array[Double])] =
+      if (useEma) stack.widths.map(w =>
+        (new Array[Double](w), Array.fill(w)(1.0))).toArray
+      else null
+    var bestEma: Array[(Array[Double], Array[Double])] = null
     var iterNo = 0L // driver-side: the closure sees a fresh key per epoch
-    val bestTheta = AdamLoop.run(theta0, epochs, patience, lr) { th =>
+    val bestTheta = AdamLoop.runFrom(None, theta0, epochs, patience, lr,
+      onEpoch = cp => {
+        // badEpochs == 0 ⟺ this evaluated iterate became the best
+        if (useEma && cp.badEpochs == 0)
+          bestEma = emaState.map { case (m, v) => (m.clone(), v.clone()) }
+      }) { th =>
       iterNo += 1
       val dropKey0 = MlpStack.mixKey(seed, iterNo)
-      val (lossSum, grad, cnt) = rows.mapPartitions { it =>
-        val acc = mkAcc(th, dropKey0)
-        it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
-        Iterator.single((acc.loss, acc.grad, acc.norm))
-      }.reduce { (a, b) =>
-        val g = a._2.clone()
-        var i = 0; while (i < g.length) { g(i) += b._2(i); i += 1 }
-        (a._1 + b._1, g, a._3 + b._3)
-      }
+      val (lossSum, grad, cnt) =
+        if (!useEma) {
+          rows.mapPartitions { it =>
+            val acc = mkAcc(th, dropKey0)
+            it.grouped(bs).foreach(batch => acc.addBatch(batch.toArray))
+            Iterator.single((acc.loss, acc.grad, acc.norm))
+          }.reduce { (a, b) =>
+            val g = a._2.clone()
+            var i = 0; while (i < g.length) { g(i) += b._2(i); i += 1 }
+            (a._1 + b._1, g, a._3 + b._3)
+          }
+        } else {
+          // ordered collect: each partition also ships its per-batch BN
+          // stats (layers × 2h doubles per batch) so the driver can
+          // fold the EMA in the one deterministic global batch order
+          val parts = rows.mapPartitionsWithIndex { (pid, it) =>
+            val acc = mkAcc(th, dropKey0)
+            var any = false
+            it.grouped(bs).foreach { batch =>
+              any = true; acc.addBatch(batch.toArray)
+            }
+            if (any && acc.bnRecorded.isEmpty)
+              throw new IllegalStateException(
+                "bnEma requires an accumulator that records batch stats" +
+                  " (enable its stack's BN recorder)")
+            Iterator.single((pid, acc.loss, acc.grad, acc.norm,
+              acc.bnRecorded))
+          }.collect().sortBy(_._1)
+          parts.foreach(p => p._5.foreach(b =>
+            emaState = foldOne(emaState, b)))
+          val g = new Array[Double](th.length)
+          var ls = 0.0; var n = 0L
+          parts.foreach { p =>
+            ls += p._2; n += p._4
+            var i = 0; while (i < g.length) { g(i) += p._3(i); i += 1 }
+          }
+          (ls, g, n)
+        }
       val d = math.max(cnt, 1L).toDouble
       (lossSum / d, grad.map(_ / d))
     }
-    // eval-mode BN calibration (torch running-stats replacement)
+    // eval-mode BN stats: the torch-formula EMA snapshot at the best
+    // epoch when bnEma, else the deterministic population calibration
     val bnStats =
-      if (batchNorm && stack.nL > 0)
+      if (useEma) Some(bestEma)
+      else if (batchNorm && stack.nL > 0)
         Some(MlpStack.populationStats(train.rdd.map(feat), stack, bestTheta))
       else None
     (bestTheta, bnStats)
+  }
+
+  /** One torch BN running-stats update per batch (see
+    * [[MlpStack.emaFold]] for the formula; this is its single-step
+    * form applied to live trainer state).
+    */
+  private def foldOne(st: Array[(Array[Double], Array[Double])],
+                      b: Array[MlpStack.BnBatchStats]
+                     ): Array[(Array[Double], Array[Double])] = {
+    val mom = MlpStack.BnMomentum
+    var l = 0
+    while (l < st.length) {
+      val (rm, rv) = st(l)
+      val s = b(l)
+      var j = 0
+      while (j < rm.length) {
+        rm(j) = (1.0 - mom) * rm(j) + mom * s.mu(j)
+        rv(j) = (1.0 - mom) * rv(j) + mom * s.varU(j)
+        j += 1
+      }
+      l += 1
+    }
+    st
   }
 }

@@ -33,36 +33,69 @@ object SinkQueries {
   // measure the join itself, which is the number that matters — a
   // bucketed table is written once and joined many times). Weak keys:
   // values are table-name strings, no session back-reference.
-  private val written = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, (String, String)]]()
+  private val written =
+    new java.util.WeakHashMap[SparkSession, SessionTables]()
+
+  // graft_bkt_* temp dirs live for the session (warm runs re-read
+  // them); one JVM shutdown hook reaps them all so repeated driver
+  // runs don't accumulate dead layouts in the system temp dir.
+  private val tempDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val cleanupHook: Unit =
+    sys.addShutdownHook {
+      tempDirs.forEach { p =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        } catch { case _: Exception => () } // best-effort reap
+      }
+    }
+  private def registerCleanup(p: java.nio.file.Path): Unit = {
+    cleanupHook
+    tempDirs.add(p)
+  }
 
   /** Ensure the co-bucketed orders/lineitem tables exist for (session,
     * dir); returns their catalog names. Only the query's columns are
     * written (the layout is an INDEX for this workload, not a copy of
     * the table).
     */
+  // (sessionTag, dir -> tables): the random 8-hex sessionTag is minted
+  // once per session so two DISTINCT sessions sharing one external
+  // catalog never overwrite each other's live tables (an ordinal-only
+  // tag would make both produce "0_<hash>" and the second overwrite
+  // saveAsTable would clobber the first's layout).
+  private final case class SessionTables(
+      tag: String,
+      byDir: scala.collection.mutable.Map[String, (String, String)])
+
   def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     written.synchronized {
-      val perSession = {
+      val st = {
         val cur = written.get(spark)
         if (cur != null) cur
         else {
-          val m = scala.collection.mutable.Map.empty[String, (String, String)]
-          written.put(spark, m)
-          m
+          val s = SessionTables(
+            java.util.UUID.randomUUID().toString.replace("-", "").take(8),
+            scala.collection.mutable.Map.empty)
+          written.put(spark, s)
+          s
         }
       }
+      val perSession = st.byDir
       perSession.getOrElseUpdate(dir, {
         // per-session ordinal first (two dirs in ONE session can never
         // collide into one catalog table name — a bare hash could, and
         // would silently serve one dir's rows for the other's query);
-        // the dir hash only discriminates cloned sessions sharing a
-        // catalog
-        val tag = s"${perSession.size}_" +
+        // the dir hash discriminates dirs across cloned sessions
+        val tag = s"${st.tag}_${perSession.size}_" +
           java.lang.Integer.toHexString(dir.hashCode)
         val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
         val base = java.nio.file.Files.createTempDirectory("graft_bkt_")
-          .toString
+        registerCleanup(base)
         Sink.writeBucketed(
           Tables.load(spark, dir, "orders")
             .select(col("o_orderkey"), col("o_orderpriority")),

@@ -34,6 +34,16 @@ object EsBulkSink {
     val idIdx = idCol.map { c =>
       val i = schema.fieldNames.indexOf(c)
       require(i >= 0, s"id column '$c' not in ${schema.fieldNames.toSeq}")
+      // Up-front null probe BEFORE any bulk request: the in-partition
+      // guard below fires only after earlier buffers flushed, so on
+      // exhausted task retries it would leave the very partial write
+      // idCol exists to prevent. A limit(1) probe over the (column-
+      // pruned) id column is cheap next to the indexing job itself and
+      // fails the whole write with zero documents sent.
+      require(df.select(df.col(c)).filter(df.col(c).isNull).isEmpty,
+        s"EsBulkSink: id column '$c' contains nulls — ids must be " +
+          "non-null for idempotent (task-retry-safe) writes; no bulk " +
+          "request was sent")
       i
     }
     df.foreachPartition { (rows: Iterator[Row]) =>
@@ -61,9 +71,10 @@ object EsBulkSink {
         val action = mapper.createObjectNode()
         val meta = action.putObject("index")
         idIdx.foreach { i =>
-          // a null id would silently fall back to an ES auto-generated
-          // _id, voiding exactly the retry-idempotency idCol provides
-          // (a task retry after a partial flush would duplicate the row)
+          // defense-in-depth behind the driver-side pre-probe: a
+          // non-deterministic upstream could produce a null only on
+          // the write recompute; failing beats indexing under an ES
+          // auto-generated _id, which would void retry-idempotency
           if (row.isNullAt(i)) throw new IllegalArgumentException(
             s"EsBulkSink: null value in id column '${idCol.get}' — " +
               "ids must be non-null for idempotent (task-retry-safe) writes")
@@ -73,6 +84,18 @@ object EsBulkSink {
         var i = 0
         while (i < schema.length) {
           val f = schema(i)
+          def scalarInto(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+                         dt: DataType, v: Any): Unit = dt match {
+            case LongType => arr.add(v.asInstanceOf[Long])
+            case IntegerType => arr.add(v.asInstanceOf[Int])
+            case DoubleType => arr.add(v.asInstanceOf[Double])
+            case FloatType => arr.add(v.asInstanceOf[Float])
+            case BooleanType => arr.add(v.asInstanceOf[Boolean])
+            case StringType => arr.add(v.toString)
+            case dt => throw new UnsupportedOperationException(
+              s"EsBulkSink: unsupported array element type $dt for " +
+                s"column ${f.name}")
+          }
           if (row.isNullAt(i)) doc.putNull(f.name)
           else f.dataType match {
             case LongType => doc.put(f.name, row.getLong(i))
@@ -81,6 +104,15 @@ object EsBulkSink {
             case FloatType => doc.put(f.name, row.getFloat(i))
             case BooleanType => doc.put(f.name, row.getBoolean(i))
             case StringType => doc.put(f.name, row.getString(i))
+            // ES's native multi-value field shape: a JSON array (null
+            // elements are dropped by ES at index time anyway, so they
+            // round-trip as absent — serialize them as JSON nulls and
+            // let the server apply its own contract)
+            case ArrayType(elem, _) =>
+              val arr = doc.putArray(f.name)
+              row.getSeq[Any](i).foreach { v =>
+                if (v == null) arr.addNull() else scalarInto(arr, elem, v)
+              }
             case dt => throw new UnsupportedOperationException(
               s"EsBulkSink: unsupported dtype $dt for column ${f.name}")
           }

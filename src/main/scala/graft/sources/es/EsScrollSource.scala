@@ -9,8 +9,10 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -220,13 +222,28 @@ private[es] final class EsTable(schema: StructType)
     new EsScanBuilder(schema, options)
 }
 
+/** One pushed-down aggregate: `kind` is `star` (COUNT(*) → `_count` /
+  * `track_total_hits`), `count` (COUNT(col) → `filter`+`exists` agg,
+  * doc-count of documents carrying the field — Spark's non-null-row
+  * count under this reader's scalar `_source` contract), or
+  * `distinct` (COUNT(DISTINCT col) → `cardinality` agg, exact up to
+  * `precision_threshold` 40000 — the eland `nunique` parity path,
+  * opt-in via `approxDistinct=true` because beyond the threshold ES
+  * returns an approximation where Spark promises exactness).
+  */
+private[es] final case class EsAggSpec(kind: String, field: String)
+
 private[es] final class EsScanBuilder(fullSchema: StructType,
                                       options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpecs: Option[Seq[EsAggSpec]] = None
+  private val approxDistinct =
+    Option(options.get("approxDistinct")).exists(_.toBoolean)
   // String equality/In push down as ES `term`/`terms`, which match
   // ANALYZED tokens — on a text-mapped field that silently drops rows
   // (the probe filters server-side; Spark cannot resurrect them).
@@ -248,16 +265,64 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EsScan(required, pushed,
-    nodes = require("nodes"), index = require("index"),
-    slices = Option(options.get("slices")).map(_.toInt).getOrElse(1),
-    batch = Option(options.get("batch")).map(_.toInt).getOrElse(1000),
-    scrollKeep = Option(options.get("scroll")).getOrElse("2m"),
-    paging = Option(options.get("paging")).getOrElse("scroll") match {
-      case p @ ("scroll" | "pit") => p
-      case other => throw new IllegalArgumentException(
-        s"EsScrollSource: paging must be 'scroll' or 'pit', got '$other'")
-    })
+  /** Global (no GROUP BY) count-shaped aggregates run server-side as
+    * ONE HTTP request instead of a full scroll — the reference's eland
+    * parity (`len()` → `_count`, `nunique()` → `cardinality`,
+    * dataset.py:64-68,83). Spark only offers an aggregation for
+    * pushdown after ALL filters were pushed (a post-scan filter blocks
+    * it in V2ScanRelationPushDown), so the pushed query string is the
+    * complete predicate and the server-side numbers are final.
+    */
+  private def translateAgg(agg: Aggregation): Option[Seq[EsAggSpec]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // counting aggs never parse field VALUES, so dates are safe; a
+    // text-ANALYZED string field would make exists/cardinality operate
+    // per-token-index semantics on some mappings — string fields need
+    // the same keywordStrings assertion filters do
+    def countable(c: String): Boolean =
+      fullSchema.fields.find(_.name == c).exists(f =>
+        f.dataType != StringType || keywordStrings)
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(EsAggSpec("star", ""))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).filter(countable).map(EsAggSpec("count", _))
+      case c: Count if c.isDistinct && approxDistinct =>
+        fieldOf(c.column).filter(countable).map(EsAggSpec("distinct", _))
+      case _ => None
+    }
+    if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
+    else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case s @ Some(_) => aggSpecs = s; true
+      case None => false
+    }
+
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) => new EsAggScan(specs, pushed,
+      nodes = require("nodes"), index = require("index"))
+    case None => new EsScan(required, pushed,
+      nodes = require("nodes"), index = require("index"),
+      slices = Option(options.get("slices")).map(_.toInt).getOrElse(1),
+      batch = Option(options.get("batch")).map(_.toInt).getOrElse(1000),
+      scrollKeep = Option(options.get("scroll")).getOrElse("2m"),
+      paging = Option(options.get("paging")).getOrElse("scroll") match {
+        case p @ ("scroll" | "pit") => p
+        case other => throw new IllegalArgumentException(
+          s"EsScrollSource: paging must be 'scroll' or 'pit', got '$other'")
+      })
+  }
 
   private def require(k: String): String = {
     val v = options.get(k)
@@ -280,13 +345,211 @@ private[es] final class EsScan(schema: StructType, filters: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(slices)(i => EsInputPartition(i, slices))
 
+  /** PIT mode opens ONE point-in-time here on the DRIVER and ships its
+    * id to every slice (ES 8 supports `slice` inside a PIT search
+    * body), so all partitions read the SAME consistent snapshot — a
+    * write racing the scan is either wholly visible or wholly not,
+    * instead of landing between two slices' independent opens. The
+    * shared PIT is freed by [[EsPitRegistry]] (JVM shutdown hook), and
+    * the server reclaims it anyway once `keep_alive` lapses after the
+    * last page — readers must NOT delete it (another slice may still
+    * be paging; each search request extends the keep-alive). A task
+    * scheduled more than `keep_alive` after the open fails loudly and
+    * task-retries; raise the `scroll` option for long queue delays.
+    */
+  // memoized: Spark may materialize the reader factory more than once
+  // for one scan (e.g. canonicalized plan copies under AQE); the scan's
+  // snapshot must stay ONE PIT regardless
+  private lazy val sharedPit: String = {
+    val resp = EsPitRegistry.post(
+      s"$nodes/$index/_pit?keep_alive=$scrollKeep", "")
+    val id = resp.path("id").asText(null)
+    if (id == null)
+      throw new java.io.IOException(s"ES _pit returned no id for $index")
+    EsPitRegistry.register(nodes, id)
+    id
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new EsReaderFactory(schema.json, EsQuery.render(filters),
-      schema.fieldNames, nodes, index, batch, scrollKeep, paging)
+      schema.fieldNames, nodes, index, batch, scrollKeep, paging,
+      if (paging == "pit") sharedPit else null)
+}
+
+/** Driver-side ledger of open shared PITs: freed eagerly on JVM
+  * shutdown (best-effort — `keep_alive` expiry is the authoritative
+  * server-side reclamation, per the ES docs' own PIT lifecycle).
+  */
+private[es] object EsPitRegistry {
+  private val open =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private val mapper = new ObjectMapper()
+  private lazy val hook: Unit = sys.addShutdownHook { freeAll() }
+
+  def post(url: String, body: String): JsonNode =
+    send("POST", url, body)
+
+  private def send(method: String, url: String, body: String): JsonNode = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+      .timeout(EsScrollSource.RequestTimeout)
+      .method(method,
+        HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp = EsScrollSource.httpClient()
+      .send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"ES ${resp.statusCode()} from $url: ${resp.body().take(500)}")
+    mapper.readTree(resp.body())
+  }
+
+  def register(nodes: String, pitId: String): Unit = {
+    hook
+    open.add((nodes, pitId))
+  }
+
+  /** Delete every registered PIT (shutdown hook; tests call directly). */
+  def freeAll(): Unit = {
+    var e = open.poll()
+    while (e != null) {
+      val (nodes, id) = e
+      try {
+        val body = mapper.createObjectNode()
+        body.put("id", id)
+        send("DELETE", s"$nodes/_pit", body.toString)
+      } catch { case _: Exception => () } // expiry/unreachable is benign
+      e = open.poll()
+    }
+  }
 }
 
 private[es] final case class EsInputPartition(sliceId: Int, sliceMax: Int)
     extends InputPartition
+
+/** Completely-pushed global aggregation: ONE partition, ONE HTTP call,
+  * ONE output row — `COUNT(*)` alone uses the `_count` endpoint (the
+  * eland `len()` wire shape); any mix adds a `size=0` `_search` with
+  * `track_total_hits` / `filter`+`exists` / `cardinality` aggs. The
+  * scroll scan never runs: `df.count()` over a 10-TB index costs the
+  * server one counting pass and the wire one JSON object.
+  */
+private[es] final class EsAggScan(specs: Seq[EsAggSpec],
+                                  filters: Array[Filter],
+                                  nodes: String, index: String)
+    extends Scan with Batch {
+  // positional contract: Spark aligns the i-th aggregate expression
+  // with the i-th scan output column; counts are non-null longs
+  override def readSchema(): StructType =
+    StructType(specs.zipWithIndex.map { case (s, i) =>
+      StructField(s"agg$i", LongType, nullable = false)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"EsAggScan(index=$index, aggs=${specs.mkString(",")}, " +
+      s"query=${EsQuery.render(filters)})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EsInputPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EsAggReaderFactory(specs.map(s => s.kind + ":" + s.field).toArray,
+      EsQuery.render(filters), nodes, index)
+}
+
+private[es] final class EsAggReaderFactory(specEnc: Array[String],
+                                           queryJson: String,
+                                           nodes: String, index: String)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new EsAggReader(specEnc.map { s =>
+      val i = s.indexOf(':'); EsAggSpec(s.substring(0, i), s.substring(i + 1))
+    }, queryJson, nodes, index)
+}
+
+private[es] final class EsAggReader(specs: Seq[EsAggSpec], queryJson: String,
+                                    nodes: String, index: String)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private var done = false
+  private var row: InternalRow = _
+
+  private def post(url: String, body: String): JsonNode = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+      .timeout(EsScrollSource.RequestTimeout)
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp = EsScrollSource.httpClient()
+      .send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"ES ${resp.statusCode()} from $url: ${resp.body().take(500)}")
+    mapper.readTree(resp.body())
+  }
+
+  /** Strict numeric extraction: a missing agg in the response must fail
+    * loudly, not count 0 (the file's fail-fast contract).
+    */
+  private def longAt(n: JsonNode, what: String): Long = {
+    if (!n.canConvertToLong) throw new java.io.IOException(
+      s"EsAggScan: expected a count for $what, got '${n.toString.take(80)}'")
+    n.asLong()
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val query = mapper.readTree(queryJson)
+    val out = new GenericInternalRow(specs.length)
+    if (specs == Seq(EsAggSpec("star", ""))) {
+      val body = mapper.createObjectNode()
+      body.set[ObjectNode]("query", query.asInstanceOf[ObjectNode])
+      val resp = post(s"$nodes/$index/_count", body.toString)
+      out.setLong(0, longAt(resp.path("count"), "_count"))
+    } else {
+      val body = mapper.createObjectNode()
+      body.put("size", 0)
+      body.set[ObjectNode]("query", query.asInstanceOf[ObjectNode])
+      if (specs.exists(_.kind == "star")) body.put("track_total_hits", true)
+      val aggs = body.putObject("aggs")
+      specs.zipWithIndex.foreach { case (s, i) =>
+        s.kind match {
+          case "star" => // served by hits.total, no sub-agg needed
+          case "count" =>
+            aggs.putObject(s"agg$i").putObject("filter")
+              .putObject("exists").put("field", s.field)
+          case "distinct" =>
+            val c = aggs.putObject(s"agg$i").putObject("cardinality")
+            c.put("field", s.field)
+            c.put("precision_threshold", 40000)
+        }
+      }
+      val resp = post(s"$nodes/$index/_search", body.toString)
+      specs.zipWithIndex.foreach { case (s, i) =>
+        val v = s.kind match {
+          case "star" =>
+            val total = resp.path("hits").path("total")
+            if (total.path("relation").asText("eq") != "eq")
+              throw new java.io.IOException(
+                "EsAggScan: hits.total is a lower bound " +
+                  "(relation != eq) despite track_total_hits=true")
+            longAt(total.path("value"), "hits.total")
+          case "count" =>
+            longAt(resp.path("aggregations").path(s"agg$i")
+              .path("doc_count"), s"count(${s.field})")
+          case "distinct" =>
+            longAt(resp.path("aggregations").path(s"agg$i")
+              .path("value"), s"cardinality(${s.field})")
+        }
+        out.setLong(i, v)
+      }
+    }
+    row = out
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
 
 /** Everything a reader task needs, in serializable primitives; the
   * schema travels as its JSON form.
@@ -295,13 +558,13 @@ private[es] final class EsReaderFactory(schemaJson: String, queryJson: String,
                                         sourceFields: Array[String],
                                         nodes: String, index: String,
                                         batch: Int, scrollKeep: String,
-                                        paging: String)
+                                        paging: String, sharedPitId: String)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ep = p.asInstanceOf[EsInputPartition]
     new EsPartitionReader(
       DataType.fromJson(schemaJson).asInstanceOf[StructType], queryJson,
-      sourceFields, nodes, index, batch, scrollKeep, paging,
+      sourceFields, nodes, index, batch, scrollKeep, paging, sharedPitId,
       ep.sliceId, ep.sliceMax)
   }
 }
@@ -310,20 +573,19 @@ private[es] final class EsReaderFactory(schemaJson: String, queryJson: String,
   * server-side context on close. Pure JDK HttpClient — no client
   * library. Two paging modes:
   *  - `scroll` (default): classic scroll cursor, works on every ES;
-  *  - `pit`: point-in-time + `search_after` over a `_shard_doc` sort —
+  *  - `pit`: `search_after` over a `_shard_doc` sort inside the ONE
+  *    point-in-time the driver opened (`EsScan.createReaderFactory`) —
   *    the ES 8 recommended deep-pagination path (scroll is deprecated
-  *    for it); each slice's PIT pins a consistent snapshot across its
-  *    OWN pages and the server keeps no per-cursor result state.
-  *    Like sliced scroll, slices open their contexts independently, so
-  *    a write racing the scan can land between two slices' opens —
-  *    per-slice consistency, not one global snapshot (same contract as
-  *    the scroll mode and the es-hadoop reader).
+  *    for it). Every slice pages the SAME snapshot (`slice` inside the
+  *    PIT body), so the whole scan is globally consistent; the shared
+  *    PIT outlives any one reader and is freed by [[EsPitRegistry]] /
+  *    server-side keep-alive expiry, never by a reader's `close()`.
   */
 private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
                                           sourceFields: Array[String],
                                           nodes: String, index: String,
                                           batch: Int, scrollKeep: String,
-                                          paging: String,
+                                          paging: String, sharedPitId: String,
                                           sliceId: Int, sliceMax: Int)
     extends PartitionReader[InternalRow] {
 
@@ -373,10 +635,9 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
 
   private def open(): Unit = {
     if (usePit) {
-      pitId = post(s"$nodes/$index/_pit?keep_alive=$scrollKeep", "")
-        .path("id").asText(null)
-      if (pitId == null)
-        throw new java.io.IOException(s"ES _pit returned no id for $index")
+      // the driver opened ONE PIT for the whole scan; this slice just
+      // pages inside it (its id may still rotate per-response locally)
+      pitId = sharedPitId
       consume(post(s"$nodes/_search", pitBody(after = null).toString))
     } else {
       consume(post(s"$nodes/$index/_search?scroll=$scrollKeep",
@@ -452,37 +713,53 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
       // Jackson's asLong/asText on a container return silent defaults
       // (0 / "" / false) — fail with the field and value instead of
       // emitting wrong rows (the file's fail-fast contract)
-      def bad(): Nothing = throw new java.io.IOException(
+      def bad(dt: DataType): Nothing = throw new java.io.IOException(
         s"EsScrollSource: _source field '${f.name}' holds " +
           s"${v.getNodeType} '${v.toString.take(80)}' but the schema " +
-          s"expects ${f.dataType.simpleString} — multi-valued or " +
-          "mistyped documents need an explicit schema + transform")
-      if (v.isMissingNode || v.isNull) out.setNullAt(i)
-      else f.dataType match {
+          s"expects ${dt.simpleString} — declare multi-valued fields " +
+          s"as ArrayType via an explicit spark.read.schema(...) " +
+          "(ES mappings carry no array signal)")
+      // element-level conversion shared by the scalar and array paths
+      def scalar(dt: DataType, v: JsonNode): Any = dt match {
         case LongType =>
-          if (!v.canConvertToLong) bad(); out.setLong(i, v.asLong())
+          if (!v.canConvertToLong) bad(dt); v.asLong()
         case IntegerType =>
-          if (!v.canConvertToInt) bad(); out.setInt(i, v.asInt())
+          if (!v.canConvertToInt) bad(dt); v.asInt()
         case DoubleType =>
-          if (!v.isNumber) bad(); out.setDouble(i, v.asDouble())
+          if (!v.isNumber) bad(dt); v.asDouble()
         case FloatType =>
-          if (!v.isNumber) bad(); out.setFloat(i, v.asDouble().toFloat)
+          if (!v.isNumber) bad(dt); v.asDouble().toFloat
         case BooleanType =>
-          if (!v.isBoolean) bad(); out.setBoolean(i, v.asBoolean())
+          if (!v.isBoolean) bad(dt); v.asBoolean()
         case StringType =>
-          if (v.isContainerNode) bad()
-          out.update(i, UTF8String.fromString(v.asText()))
+          if (v.isContainerNode) bad(dt)
+          UTF8String.fromString(v.asText())
         case TimestampNTZType =>
           // ES `date` contract (see inferSchema): epoch-millis number
           // or ISO-8601 string; exposed as the UTC wall-clock in NTZ
           // micros so results are session-timezone-independent.
-          if (!v.isNumber && !v.isTextual) bad()
-          val micros =
-            if (v.isNumber) Math.multiplyExact(v.asLong(), 1000L)
-            else EsScrollSource.parseIsoUtcMicros(v.asText())
-          out.setLong(i, micros)
+          if (!v.isNumber && !v.isTextual) bad(dt)
+          if (v.isNumber) Math.multiplyExact(v.asLong(), 1000L)
+          else EsScrollSource.parseIsoUtcMicros(v.asText())
         case dt => throw new UnsupportedOperationException(
           s"EsScrollSource: unsupported dtype $dt for column ${f.name}")
+      }
+      if (v.isMissingNode || v.isNull) out.setNullAt(i)
+      else f.dataType match {
+        // ES's own data model: EVERY field is zero-or-more values, and
+        // a scalar in one doc can be an array in the next. Under an
+        // explicit ArrayType schema both wire shapes read as arrays
+        // (scalar = the documented ES shorthand for a 1-element array);
+        // JSON nulls inside the array stay null elements.
+        case ArrayType(elem, _) =>
+          val vals: Array[Any] =
+            if (v.isArray) Array.tabulate(v.size()) { j =>
+              val e = v.get(j)
+              if (e.isNull) null else scalar(elem, e)
+            }
+            else Array(scalar(elem, v))
+          out.update(i, new GenericArrayData(vals))
+        case dt => out.update(i, scalar(dt, v))
       }
       i += 1
     }
@@ -490,17 +767,16 @@ private[es] final class EsPartitionReader(schema: StructType, queryJson: String,
   }
 
   override def close(): Unit = {
+    // PIT mode: the snapshot is SHARED across slices — deleting it here
+    // would kill the scan for every slice still paging; EsPitRegistry
+    // (driver) and server-side keep-alive expiry own its lifecycle.
     try {
-      if (usePit && pitId != null) {
-        val body = mapper.createObjectNode()
-        body.put("id", pitId)
-        send("DELETE", s"$nodes/_pit", body.toString)
-      } else if (scrollId != null) {
+      if (!usePit && scrollId != null) {
         val body = mapper.createObjectNode()
         body.put("scroll_id", scrollId)
         send("DELETE", s"$nodes/_search/scroll", body.toString)
       }
-    } catch { case _: Exception => () } // cursor/PIT expiry races are benign
+    } catch { case _: Exception => () } // cursor expiry races are benign
   }
 }
 

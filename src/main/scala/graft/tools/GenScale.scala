@@ -63,9 +63,16 @@ object GenScale {
       write(name, (0 until copies).map(i => f(read(name), i))
         .reduce(_ unionByName _))
 
-    // key spans (max+1) of the source, so offsets can never collide
-    def span(name: String, key: String): Long =
-      read(name).agg(max(col(key))).head().getLong(0) + 1L
+    // key spans (max+1) of the source, so offsets can never collide.
+    // Explicit long cast (an IntegerType key would ClassCastException
+    // on getLong) and a null guard (max over an empty table is NULL →
+    // NPE with no hint of which table) — both with actionable errors.
+    def span(name: String, key: String): Long = {
+      val row = read(name).agg(max(col(key).cast("long"))).head()
+      require(!row.isNullAt(0),
+        s"[genscale] $name.$key has no rows — cannot derive a key span")
+      row.getLong(0) + 1L
+    }
 
     val (cSpan, sSpan, pSpan) =
       (span("customer", "c_custkey"), span("supplier", "s_suppkey"),

@@ -54,6 +54,8 @@ class EsScrollSourceSpec extends AnyFunSuite {
     val scrollCalls = new AtomicInteger(0)
     val pits = new AtomicInteger(0)
     val pitDeletes = new AtomicInteger(0)
+    val counts = new AtomicInteger(0)
+    val bulkBodies = new ConcurrentLinkedQueue[String]()
     // when set, that doc's score is served as an ARRAY (legal ES!)
     @volatile var multiValueDocId: Option[Long] = None
     // scroll_id -> (remaining rows, page size)
@@ -186,18 +188,61 @@ class EsScrollSourceSpec extends AnyFunSuite {
             "score":{"type":"double"},"flagged":{"type":"boolean"},
             "created":{"type":"date"}}}}}"""
             .replaceAll("\\s+", "")
+        } else if (path.endsWith("/_count")) {
+          counts.incrementAndGet()
+          val q = mapper.readTree(body).get("query")
+          val n = (0 until store.size).count(evalQuery(q, _))
+          s"""{"count":$n}"""
         } else if (path.endsWith("/_bulk")) {
           bulks.incrementAndGet()
+          bulkBodies.add(body)
           body.linesIterator.filter(_.nonEmpty).grouped(2).foreach { pair =>
             val doc = mapper.readTree(pair(1))
-            store.add((doc.get("doc_id").asLong(), doc.get("lang").asText(),
-              doc.get("score").asDouble(), doc.get("flagged").asBoolean()))
+            // only docs matching the 4-field scalar fixture enter the
+            // store; other shapes (e.g. array round-trip bodies) are
+            // captured in bulkBodies for wire-shape assertions
+            if (doc.hasNonNull("lang") && doc.path("score").isNumber)
+              store.add((doc.get("doc_id").asLong(), doc.get("lang").asText(),
+                doc.get("score").asDouble(), doc.get("flagged").asBoolean()))
           }
           """{"errors":false,"items":[]}"""
         } else if (path.endsWith("/_search")) {
           val req = mapper.readTree(body)
           searches.add(req)
           val size = req.path("size").asInt(1000)
+          if (req.has("aggs")) {
+            // server-side aggregation request (size=0): track_total_hits
+            // → exact hits.total; filter+exists → doc_count;
+            // cardinality → exact distinct count (fixture < threshold)
+            val matching = (0 until store.size)
+              .filter(i => evalQuery(req.get("query"), i))
+            val resp = mapper.createObjectNode()
+            if (req.path("track_total_hits").asBoolean(false)) {
+              val t = resp.putObject("hits").putObject("total")
+              t.put("value", matching.size); t.put("relation", "eq")
+            } else resp.putObject("hits").putArray("hits")
+            val aggsOut = resp.putObject("aggregations")
+            req.get("aggs").properties().asScala.foreach { e =>
+              val spec = e.getValue
+              if (spec.has("filter")) {
+                // fixture has no absent fields: exists matches all
+                aggsOut.putObject(e.getKey).put("doc_count", matching.size)
+              } else if (spec.has("cardinality")) {
+                val f = spec.get("cardinality").get("field").asText()
+                val distinct = matching.map { i =>
+                  val (id, lang, score, flagged) = store.get(i)
+                  f match {
+                    case "doc_id" => id.toString
+                    case "lang" => lang
+                    case "score" => score.toString
+                    case "flagged" => flagged.toString
+                  }
+                }.toSet.size
+                aggsOut.putObject(e.getKey).put("value", distinct)
+              } else sys.error(s"mock cannot serve agg: $spec")
+            }
+            resp.toString
+          } else {
           val (sid, smax) =
             if (req.has("slice"))
               (req.get("slice").get("id").asInt(),
@@ -231,6 +276,7 @@ class EsScrollSourceSpec extends AnyFunSuite {
             val key = s"scroll-${nextId.incrementAndGet()}"
             cursors.put(key, (rows, size))
             page(key)
+          }
           }
         } else sys.error(s"unexpected ${ex.getRequestMethod} $path")
       val bytes = out.getBytes(StandardCharsets.UTF_8)
@@ -401,22 +447,101 @@ class EsScrollSourceSpec extends AnyFunSuite {
     } finally es.stop()
   }
 
-  test("PIT + search_after pages every row across slices, frees the PIT") {
+  test("PIT + search_after pages every row across slices inside ONE " +
+    "shared snapshot") {
     val es = new MockEs
     try {
+      EsPitRegistry.freeAll() // drain leftovers from other tests
+      val before = es.pitDeletes.get()
       val got = read(es, "paging" -> "pit", "slices" -> "2", "batch" -> "4")
         .collect().map(r => (r.getLong(0), r.getString(1),
           r.getDouble(2), r.getBoolean(3))).toSet
       assert(got == docs.toSet)
-      assert(es.pits.get() == 2, "one PIT per slice")
-      assert(es.pitDeletes.get() == 2, "PITs not freed on close")
+      // the driver opens ONE PIT for the whole scan; both slices page
+      // inside it — a single globally-consistent snapshot
+      assert(es.pits.get() == 1, "expected one shared PIT for the scan")
+      val bodies = es.searches.asScala.toSeq
+      assert(bodies.forall(b =>
+        b.get("pit").get("id").asText() == "pit-1"),
+        "slices did not share the driver's PIT id")
+      assert(bodies.map(b => b.get("slice").get("id").asInt()).toSet ==
+        Set(0, 1), "both slices should page inside the PIT")
+      // readers must NOT delete the shared PIT (another slice may still
+      // be paging); the driver-side registry frees it
+      assert(es.pitDeletes.get() == before, "a reader deleted the shared PIT")
+      EsPitRegistry.freeAll()
+      assert(es.pitDeletes.get() == before + 1, "registry did not free the PIT")
       assert(es.scrollCalls.get() == 0 && es.deletes.get() == 0,
         "PIT mode must not touch the scroll API")
-      val bodies = es.searches.asScala.toSeq
       assert(bodies.forall(b =>
         b.get("sort").get(0).has("_shard_doc")), "missing _shard_doc sort")
       assert(bodies.exists(_.has("search_after")),
         "never paged via search_after")
+    } finally es.stop()
+  }
+
+  test("COUNT(*) pushes down to the _count endpoint — no scroll, no hits") {
+    val es = new MockEs
+    try {
+      val cdf = read(es).filter(col("score") > 0.5).groupBy().count()
+      assert(cdf.collect().head.getLong(0) == docs.count(_._3 > 0.5))
+      assert(es.counts.get() == 1, "expected exactly one _count call")
+      assert(es.searches.asScala.isEmpty && es.scrollCalls.get() == 0,
+        "count(*) must not open a search/scroll")
+      // the agg scan replaces the row scan in the executed plan; the
+      // pushed filter rides along in the _count body (served
+      // server-side: the mock evaluated it to produce the number)
+      val plan = cdf.queryExecution.executedPlan.toString
+      assert(plan.contains("EsAggScan"), plan.take(2000))
+    } finally es.stop()
+  }
+
+  test("COUNT(DISTINCT col) pushes as a cardinality agg under " +
+    "approxDistinct; stays Spark-side otherwise") {
+    val es = new MockEs
+    try {
+      val got = read(es, "approxDistinct" -> "true", "keywordStrings" -> "true")
+        .agg(countDistinct(col("lang")), count(lit(1))).collect().head
+      assert(got.getLong(0) == 3 && got.getLong(1) == docs.size)
+      val aggReq = es.searches.asScala.find(_.has("aggs"))
+      assert(aggReq.isDefined, "no aggs request sent")
+      val sent = aggReq.get.toString
+      assert(sent.contains("\"cardinality\""), sent)
+      assert(sent.contains("\"precision_threshold\":40000"), sent)
+      assert(aggReq.get.path("size").asInt(-1) == 0, sent)
+      assert(es.scrollCalls.get() == 0, "agg pushdown still scrolled")
+      // without the opt-in, distinct-count computes Spark-side (exact
+      // semantics preserved): full scan, no cardinality agg
+      es.searches.clear()
+      val exact = read(es).agg(countDistinct(col("lang"))).collect().head
+      assert(exact.getLong(0) == 3)
+      assert(!es.searches.asScala.exists(_.has("aggs")),
+        "cardinality pushed without approxDistinct=true")
+    } finally es.stop()
+  }
+
+  test("explicit ArrayType schema reads mixed scalar/array _source " +
+    "pages; bulk sink round-trips arrays") {
+    val es = new MockEs
+    try {
+      es.multiValueDocId = Some(3L) // doc 3 serves score as [v, v+1]
+      val arrSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("score", ArrayType(DoubleType))))
+      val got = spark.read.schema(arrSchema)
+        .format(classOf[EsScrollSource].getName)
+        .option("nodes", es.url).option("index", "docs").load()
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(got.size == docs.size)
+      // scalar wire shape = ES's 1-element-array shorthand
+      assert(got(2L) == Seq(0.2))
+      assert(got(3L) == Seq(0.3, 1.3))
+      // round-trip: arrays write as JSON arrays via _bulk
+      import spark.implicits._
+      val out = Seq((100L, Seq(1.0, 2.0))).toDF("doc_id", "score")
+      EsBulkSink.write(out, es.url, "docs2", idCol = Some("doc_id"))
+      assert(es.bulkBodies.asScala.exists(_.contains("\"score\":[1.0,2.0]")),
+        es.bulkBodies.asScala.mkString("|"))
     } finally es.stop()
   }
 
@@ -507,11 +632,14 @@ class EsScrollSourceSpec extends AnyFunSuite {
       val rows = Seq((java.lang.Long.valueOf(1L), "en", 0.5, true),
         (null.asInstanceOf[java.lang.Long], "de", 0.7, false))
         .toDF("doc_id", "lang", "score", "flagged")
-      val err = intercept[org.apache.spark.SparkException] {
+      // driver-side pre-probe: fails BEFORE any bulk request is sent,
+      // so a partition can never be left partially written (the
+      // in-partition guard only fires after earlier buffers flushed)
+      val err = intercept[IllegalArgumentException] {
         EsBulkSink.write(rows, es.url, "docs", idCol = Some("doc_id"))
       }
-      val msg = Option(err.getCause).map(_.getMessage).getOrElse(err.getMessage)
-      assert(msg != null && msg.contains("null value in id column"), msg)
+      assert(err.getMessage.contains("contains nulls"), err.getMessage)
+      assert(es.bulks.get() == 0, "a bulk request was sent despite null ids")
     } finally es.stop()
   }
 

@@ -73,6 +73,12 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # A misspelled filter name must not yield "0 pass, 0 fail" + exit 0
+    # (a false green for a spot-check that never ran).
+    unknown = only - set(oracles)
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)} — "
+                 f"not in {out_dir}/oracle_sql.json")
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
@@ -110,6 +116,8 @@ def main():
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
+    if n_pass + n_fail == 0:
+        sys.exit("no queries compared — empty oracle_sql.json?")
     sys.exit(1 if n_fail else 0)
 
 
