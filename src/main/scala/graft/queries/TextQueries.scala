@@ -65,8 +65,14 @@ object TextQueries {
     // the actual encoder+decoder sit inside the checked dataflow
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
+      // repartition BEFORE the codec work: a small-file scan plans ONE
+      // input split, which would serialize the CPU-bound per-row
+      // encode+decode on a single core (sf1 measured 1 of 32 cores
+      // busy); the id shuffle is a few bytes per row and buys full
+      // parallelism — the exact shape a 100-TB decode stage needs
       val cards = Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[Long]
         .mapPartitions(_.map { id =>
           (id, Multimodal.encodeGrayPng((id % 13).toInt + 1,
@@ -87,6 +93,8 @@ object TextQueries {
       import s.implicits._
       val cards = Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long"))
+        // same single-split fix as q_multimodal_decode above
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .as[Long]
         .mapPartitions(_.map { id =>
           (id, Multimodal.encodeConstWav(8000 + (id % 3).toInt * 4000,

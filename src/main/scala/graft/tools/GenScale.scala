@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *    copy is an isomorphic subgraph and the join/graph queries scale
   *    by pure data volume, not by artificial key collisions;
   *  - document TEXT is word-shuffled per copy (deterministic
-  *    xxhash64(word, copy, doc) sort): token/char distributions —
-  *    langid, quality, tf-idf shapes — are preserved exactly, while
-  *    3-gram shingles decorrelate across copies, so the near-dup
-  *    pair count scales like a real corpus instead of every doc
-  *    gaining `copies−1` artificial twins;
+  *    xxhash64(word, copy, doc) sort) AND ~20% of tokens are
+  *    hash-rewritten with a copy tag: the shuffle decorrelates
+  *    order-sensitive features (3-gram shingles, winnowing), the
+  *    rewrite decorrelates the token MULTISET itself (SimHash votes
+  *    over the bag, so a pure shuffle would mint `copies−1` identical
+  *    fingerprints per doc) — near-dup pair counts then scale like a
+  *    real corpus under every dedup family;
   *  - EMBEDDINGS get a per-copy dimension permutation: an isometry
   *    (all intra-copy distances/cosines exactly preserved) whose
   *    cross-copy cosines decorrelate — neighborhoods scale, ANN
@@ -110,12 +112,23 @@ object GenScale {
       val base = df.withColumn("doc_id", col("doc_id") + lit(i * dSpan))
       if (i == 0) base
       else base
+        // word-shuffle decorrelates ORDER-sensitive features (3-gram
+        // shingles, winnowing) — but SimHash votes over the token
+        // MULTISET, which a pure shuffle preserves exactly: round-11's
+        // sf1 run showed every copy carrying an identical simhash (9
+        // minted twins per doc → quadratic bucket blowup measuring the
+        // DATA, not the algorithm). So each copy also REWRITES a
+        // deterministic ~20% of tokens (hash-selected, copy-tagged),
+        // decorrelating the token bag itself the way a real 10× corpus
+        // grows: mostly-new text, not replicas.
         .withColumn("text", array_join(
           transform(
             array_sort(transform(split(col("text"), " "), w =>
               struct(xxhash64(w, lit(i), col("doc_id")).as("h"),
                 w.as("w")))),
-            s => s.getField("w")), " "))
+            s => when(pmod(s.getField("h"), lit(5)) === lit(0),
+              concat(s.getField("w"), lit("~" + i)))
+              .otherwise(s.getField("w"))), " "))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
 
