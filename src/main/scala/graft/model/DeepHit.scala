@@ -44,6 +44,7 @@ final case class DeepHit(
     patience: Int = 5,
     hidden: Seq[Int] = Nil, // Nil = linear head; e.g. Seq(32, 32) = MLPVanilla default (M9)
     batchNorm: Boolean = false, // batch-statistics BN, MlpStack bnBatch
+    bnEma: Boolean = false, // torch momentum-EMA prediction stats (CoxMlp doc)
     dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
@@ -90,10 +91,12 @@ final case class DeepHit(
       initLinearHead = false)
     val (hid, bnFlag, dropQ, kk, pp) = (hidden, batchNorm, dropout, k, p)
     val (al, sg) = (alpha, sigma)
+    val emaFlag = bnEma
     val (bestTheta, bnStats) = MlpTrainer.fit(train)(_._2, stack, theta,
-      batchSize, epochs, patience, lr, seed, batchNorm) { (th, dropKey0) =>
+      batchSize, epochs, patience, lr, seed, batchNorm,
+      bnEma = bnEma) { (th, dropKey0) =>
       DeepHit.PartitionAcc(kk, pp, th, al, sg, hid, bnFlag,
-        dropQ, dropKey0, bnBatch = bnFlag)
+        dropQ, dropKey0, bnBatch = bnFlag, recordBn = emaFlag && bnFlag)
     }
     releasePrep()
 
@@ -118,7 +121,8 @@ object DeepHit {
                                 bn: Boolean = false,
                                 dropout: Double = 0.0,
                                 dropKey0: Long = 0L,
-                                bnBatch: Boolean = false)
+                                bnBatch: Boolean = false,
+                                recordBn: Boolean = false)
       extends MlpTrainer.BatchAccumulator[(Long, Array[Double], Int, Int)] {
     var loss = 0.0
     var count = 0L
@@ -128,6 +132,9 @@ object DeepHit {
       if (hidden.nonEmpty) hidden.last else p
     private val stack = new MlpStack(p, hidden, k + k * q, bn = bn,
       dropout = dropout, bnBatch = bnBatch)
+    if (recordBn) stack.enableBnRecording()
+    override def bnRecorded: Array[Array[MlpStack.BnBatchStats]] =
+      stack.takeRecorded()
     private val nL = stack.nL
 
     def addBatch(batch: Array[(Long, Array[Double], Int, Int)]): Unit = {

@@ -91,6 +91,7 @@ final case class LogisticHazardMlp(
     lr: Double = 0.05,
     patience: Int = 5,
     batchNorm: Boolean = false, // batch-statistics BN, MlpStack bnBatch
+    bnEma: Boolean = false, // torch momentum-EMA prediction stats (CoxMlp doc)
     dropout: Double = 0.0, // deterministic inverted dropout, MlpStack
     seed: Long = 7L) extends SurvModel {
 
@@ -128,10 +129,12 @@ final case class LogisticHazardMlp(
     val theta = MlpTrainer.initTheta(k, k * q, stack, seed,
       initLinearHead = false)
     val (hid, bnFlag, dropQ, kk, pp) = (hidden, batchNorm, dropout, k, p)
+    val emaFlag = bnEma
     val (bestTheta, bnStats) = MlpTrainer.fit(train)(_._2, stack, theta,
-      batchSize, epochs, patience, lr, seed, batchNorm) { (th, dropKey0) =>
+      batchSize, epochs, patience, lr, seed, batchNorm,
+      bnEma = bnEma) { (th, dropKey0) =>
       LogisticHazardMlp.PartitionAcc(kk, pp, th, hid, bnFlag,
-        dropQ, dropKey0, bnBatch = bnFlag)
+        dropQ, dropKey0, bnBatch = bnFlag, recordBn = emaFlag && bnFlag)
     }
     releasePrep()
 
@@ -152,7 +155,8 @@ object LogisticHazardMlp {
                                 bn: Boolean = false,
                                 dropout: Double = 0.0,
                                 dropKey0: Long = 0L,
-                                bnBatch: Boolean = false)
+                                bnBatch: Boolean = false,
+                                recordBn: Boolean = false)
       extends MlpTrainer.BatchAccumulator[(Long, Array[Double], Int, Int)] {
     var loss = 0.0
     var count = 0L
@@ -161,6 +165,9 @@ object LogisticHazardMlp {
     private val stack = new MlpStack(p, hidden,
       k + k * (if (hidden.nonEmpty) hidden.last else p), bn = bn,
       dropout = dropout, bnBatch = bnBatch)
+    if (recordBn) stack.enableBnRecording()
+    override def bnRecorded: Array[Array[MlpStack.BnBatchStats]] =
+      stack.takeRecorded()
     private val q = stack.outWidth
     private val nL = stack.nL
 

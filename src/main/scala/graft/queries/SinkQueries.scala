@@ -48,8 +48,10 @@ object SinkQueries {
         try {
           import java.nio.file.{Files, Path}
           import java.util.Comparator
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          val walk = Files.walk(p)
+          try walk.sorted(Comparator.reverseOrder[Path]())
             .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
         } catch { case _: Exception => () } // best-effort reap
       }
     }

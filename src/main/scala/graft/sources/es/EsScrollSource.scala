@@ -359,7 +359,11 @@ private[es] final class EsScan(schema: StructType, filters: Array[Filter],
     */
   // memoized: Spark may materialize the reader factory more than once
   // for one scan (e.g. canonicalized plan copies under AQE); the scan's
-  // snapshot must stay ONE PIT regardless
+  // snapshot must stay ONE PIT regardless. Corollary: RE-EXECUTING the
+  // same DataFrame reuses this scan and therefore this snapshot — two
+  // collects read the same point-in-time (consistent repeat reads); an
+  // execution later than `scroll` keep-alive after the last page fails
+  // loudly with the server's "PIT not found" and a re-read re-plans
   private lazy val sharedPit: String = {
     val resp = EsPitRegistry.post(
       s"$nodes/$index/_pit?keep_alive=$scrollKeep", "")

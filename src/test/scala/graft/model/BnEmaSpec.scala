@@ -69,6 +69,41 @@ class BnEmaSpec extends AnyFunSuite {
     assert(stack.takeRecorded().isEmpty)
   }
 
+  test("bnEma is available on all three MLP models (DeepHit / " +
+    "LogisticHazardMlp fit and differ from their population twins)") {
+    import spark.implicits._
+    val rng = new Random(5)
+    val rows = (0 until 300).map { i =>
+      val x1 = 2 * rng.nextDouble() - 1
+      (i.toLong, x1, rng.nextDouble(),
+        1.0 + 10.0 * math.abs(x1) + rng.nextDouble(), rng.nextInt(2))
+    }
+    val d = SurvDataset.fromDataFrame(
+      rows.toDF("idx", "x1", "x2", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1", "x2")))
+    def differs(a: Seq[(Array[Array[Double]], Array[Double])],
+                b: Seq[(Array[Array[Double]], Array[Double])]): Boolean =
+      a.zip(b).exists { case ((a1, b1), (a2, b2)) =>
+        a1.toSeq.flatMap(_.toSeq).zip(a2.toSeq.flatMap(_.toSeq))
+          .exists { case (x, y) => math.abs(x - y) > 1e-9 } ||
+          b1.zip(b2).exists { case (x, y) => math.abs(x - y) > 1e-9 }
+      }
+    val dhBase = DeepHit(numDurations = 5, epochs = 8, hidden = Seq(6),
+      batchNorm = true)
+    val dhPop = dhBase.fit(d)
+    val dhEma = dhBase.copy(bnEma = true).fit(d)
+    try assert(differs(dhPop.layers, dhEma.layers),
+      "DeepHit bnEma produced identical layers to population stats")
+    finally { dhPop.release(); dhEma.release() }
+    val lhBase = LogisticHazardMlp(numDurations = 5, epochs = 8,
+      hidden = Seq(6), batchNorm = true)
+    val lhPop = lhBase.fit(d)
+    val lhEma = lhBase.copy(bnEma = true).fit(d)
+    try assert(differs(lhPop.layers, lhEma.layers),
+      "LogisticHazardMlp bnEma produced identical layers to population stats")
+    finally { lhPop.release(); lhEma.release() }
+  }
+
   test("bnEma trains end-to-end, still learns, and yields different " +
     "prediction stats than the population default") {
     import spark.implicits._

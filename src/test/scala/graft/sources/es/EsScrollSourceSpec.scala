@@ -520,6 +520,22 @@ class EsScrollSourceSpec extends AnyFunSuite {
     } finally es.stop()
   }
 
+  test("grouped aggregates are NOT pushed — the scroll scan serves them") {
+    val es = new MockEs
+    try {
+      val got = read(es).groupBy(col("lang")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+      // pushdown only covers GLOBAL aggregates: no _count call, no
+      // server-side aggs body — the rows stream through the scan and
+      // Spark aggregates them
+      assert(es.counts.get() == 0, "grouped count went to _count")
+      assert(!es.searches.asScala.exists(_.has("aggs")),
+        "grouped count pushed a server-side aggs body")
+      assert(es.searches.asScala.nonEmpty)
+    } finally es.stop()
+  }
+
   test("explicit ArrayType schema reads mixed scalar/array _source " +
     "pages; bulk sink round-trips arrays") {
     val es = new MockEs
