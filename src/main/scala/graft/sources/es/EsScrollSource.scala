@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -225,13 +225,20 @@ private[es] final class EsTable(schema: StructType)
 /** One pushed-down aggregate: `kind` is `star` (COUNT(*) → `_count` /
   * `track_total_hits`), `count` (COUNT(col) → `filter`+`exists` agg,
   * doc-count of documents carrying the field — Spark's non-null-row
-  * count under this reader's scalar `_source` contract), or
-  * `distinct` (COUNT(DISTINCT col) → `cardinality` agg, exact up to
+  * count under this reader's scalar `_source` contract), `distinct`
+  * (COUNT(DISTINCT col) → `cardinality` agg, exact up to
   * `precision_threshold` 40000 — the eland `nunique` parity path,
   * opt-in via `approxDistinct=true` because beyond the threshold ES
-  * returns an approximation where Spark promises exactness).
+  * returns an approximation where Spark promises exactness), or
+  * `min`/`max` (→ the ES `min`/`max` metric aggs) for FLOAT/DOUBLE
+  * fields only: ES metric aggs return IEEE doubles, so float/double
+  * extrema round-trip exactly, while a `long` extremum past 2^53
+  * would silently lose bits and `sum`/`avg` would differ from Spark
+  * in summation order — those stay Spark-side on principle.
+  * `dt` is the RESULT type tag: `long`, `double`, or `float`.
   */
-private[es] final case class EsAggSpec(kind: String, field: String)
+private[es] final case class EsAggSpec(kind: String, field: String,
+                                       dt: String = "long")
 
 private[es] final class EsScanBuilder(fullSchema: StructType,
                                       options: CaseInsensitiveStringMap)
@@ -288,12 +295,23 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
     def countable(c: String): Boolean =
       fullSchema.fields.find(_.name == c).exists(f =>
         f.dataType != StringType || keywordStrings)
+    // min/max push only for float/double (exact through ES's double
+    // wire type); the tag records which Spark type to emit back
+    def fpType(c: String): Option[String] =
+      fullSchema.fields.find(_.name == c).map(_.dataType).collect {
+        case DoubleType => "double"
+        case FloatType => "float"
+      }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(EsAggSpec("star", ""))
       case c: Count if !c.isDistinct =>
         fieldOf(c.column).filter(countable).map(EsAggSpec("count", _))
       case c: Count if c.isDistinct && approxDistinct =>
         fieldOf(c.column).filter(countable).map(EsAggSpec("distinct", _))
+      case m: Min =>
+        fieldOf(m.column).flatMap(f => fpType(f).map(EsAggSpec("min", f, _)))
+      case m: Max =>
+        fieldOf(m.column).flatMap(f => fpType(f).map(EsAggSpec("max", f, _)))
       case _ => None
     }
     if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
@@ -443,10 +461,18 @@ private[es] final class EsAggScan(specs: Seq[EsAggSpec],
                                   nodes: String, index: String)
     extends Scan with Batch {
   // positional contract: Spark aligns the i-th aggregate expression
-  // with the i-th scan output column; counts are non-null longs
+  // with the i-th scan output column; counts are non-null longs,
+  // min/max carry the column's own fp type and are NULL over an
+  // empty match set (ES returns "value": null — exactly Spark's
+  // Min/Max-of-nothing)
   override def readSchema(): StructType =
     StructType(specs.zipWithIndex.map { case (s, i) =>
-      StructField(s"agg$i", LongType, nullable = false)
+      val (dt, nullable) = s.dt match {
+        case "double" => (DoubleType: DataType, true)
+        case "float" => (FloatType: DataType, true)
+        case _ => (LongType: DataType, false)
+      }
+      StructField(s"agg$i", dt, nullable)
     })
   override def toBatch: Batch = this
   override def description(): String =
@@ -455,7 +481,8 @@ private[es] final class EsAggScan(specs: Seq[EsAggSpec],
   override def planInputPartitions(): Array[InputPartition] =
     Array(EsInputPartition(0, 1))
   override def createReaderFactory(): PartitionReaderFactory =
-    new EsAggReaderFactory(specs.map(s => s.kind + ":" + s.field).toArray,
+    new EsAggReaderFactory(
+      specs.map(s => s.kind + ":" + s.dt + ":" + s.field).toArray,
       EsQuery.render(filters), nodes, index)
 }
 
@@ -465,7 +492,8 @@ private[es] final class EsAggReaderFactory(specEnc: Array[String],
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EsAggReader(specEnc.map { s =>
-      val i = s.indexOf(':'); EsAggSpec(s.substring(0, i), s.substring(i + 1))
+      val a = s.indexOf(':'); val b = s.indexOf(':', a + 1)
+      EsAggSpec(s.substring(0, a), s.substring(b + 1), s.substring(a + 1, b))
     }, queryJson, nodes, index)
 }
 
@@ -525,26 +553,35 @@ private[es] final class EsAggReader(specs: Seq[EsAggSpec], queryJson: String,
             val c = aggs.putObject(s"agg$i").putObject("cardinality")
             c.put("field", s.field)
             c.put("precision_threshold", 40000)
+          case k @ ("min" | "max") =>
+            aggs.putObject(s"agg$i").putObject(k).put("field", s.field)
         }
       }
       val resp = post(s"$nodes/$index/_search", body.toString)
       specs.zipWithIndex.foreach { case (s, i) =>
-        val v = s.kind match {
+        s.kind match {
           case "star" =>
             val total = resp.path("hits").path("total")
             if (total.path("relation").asText("eq") != "eq")
               throw new java.io.IOException(
                 "EsAggScan: hits.total is a lower bound " +
                   "(relation != eq) despite track_total_hits=true")
-            longAt(total.path("value"), "hits.total")
+            out.setLong(i, longAt(total.path("value"), "hits.total"))
           case "count" =>
-            longAt(resp.path("aggregations").path(s"agg$i")
-              .path("doc_count"), s"count(${s.field})")
+            out.setLong(i, longAt(resp.path("aggregations").path(s"agg$i")
+              .path("doc_count"), s"count(${s.field})"))
           case "distinct" =>
-            longAt(resp.path("aggregations").path(s"agg$i")
-              .path("value"), s"cardinality(${s.field})")
+            out.setLong(i, longAt(resp.path("aggregations").path(s"agg$i")
+              .path("value"), s"cardinality(${s.field})"))
+          case k @ ("min" | "max") =>
+            val v = resp.path("aggregations").path(s"agg$i").path("value")
+            if (v.isNull || v.isMissingNode) out.setNullAt(i)
+            else if (!v.isNumber) throw new java.io.IOException(
+              s"EsAggScan: expected a number for $k(${s.field}), " +
+                s"got '${v.toString.take(80)}'")
+            else if (s.dt == "float") out.setFloat(i, v.asDouble().toFloat)
+            else out.setDouble(i, v.asDouble())
         }
-        out.setLong(i, v)
       }
     }
     row = out

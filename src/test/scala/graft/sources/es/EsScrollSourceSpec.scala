@@ -239,6 +239,15 @@ class EsScrollSourceSpec extends AnyFunSuite {
                   }
                 }.toSet.size
                 aggsOut.putObject(e.getKey).put("value", distinct)
+              } else if (spec.has("min") || spec.has("max")) {
+                val isMin = spec.has("min")
+                val f = spec.get(if (isMin) "min" else "max")
+                  .get("field").asText()
+                require(f == "score", s"mock min/max only serves score, got $f")
+                val vs = matching.map(i => store.get(i)._3)
+                val node = aggsOut.putObject(e.getKey)
+                if (vs.isEmpty) node.putNull("value")
+                else node.put("value", if (isMin) vs.min else vs.max)
               } else sys.error(s"mock cannot serve agg: $spec")
             }
             resp.toString
@@ -517,6 +526,43 @@ class EsScrollSourceSpec extends AnyFunSuite {
       assert(exact.getLong(0) == 3)
       assert(!es.searches.asScala.exists(_.has("aggs")),
         "cardinality pushed without approxDistinct=true")
+    } finally es.stop()
+  }
+
+  test("MIN/MAX on fp fields push as ES metric aggs; empty match " +
+    "returns NULL; long min/max stays Spark-side") {
+    val es = new MockEs
+    try {
+      // keywordStrings: the lang filter must push or the post-scan
+      // filter blocks aggregate pushdown entirely
+      val got = read(es, "keywordStrings" -> "true")
+        .filter(col("lang") === "de")
+        .agg(min(col("score")), max(col("score")), count(lit(1)))
+        .collect().head
+      val want = docs.filter(_._2 == "de").map(_._3)
+      assert(got.getDouble(0) == want.min && got.getDouble(1) == want.max)
+      assert(got.getLong(2) == want.size)
+      val sent = es.searches.asScala.find(_.has("aggs"))
+      assert(sent.isDefined, "no aggs request sent")
+      assert(sent.get.toString.contains("\"min\":{\"field\":\"score\"}"),
+        sent.get.toString)
+      assert(es.scrollCalls.get() == 0, "min/max pushdown still scrolled")
+      // empty match set (numeric filter — pushable without options):
+      // ES serves value:null, Spark reads a NULL min
+      es.searches.clear()
+      val empty = read(es).filter(col("score") > 1000.0)
+        .agg(min(col("score"))).collect().head
+      assert(empty.isNullAt(0), "min over zero rows must be NULL")
+      assert(es.searches.asScala.exists(_.has("aggs")),
+        "empty-match min was not pushed")
+      // a LONG extremum past 2^53 would silently lose bits through
+      // ES's double wire type — doc_id min/max must NOT push (the
+      // scan serves rows and Spark aggregates exactly)
+      es.searches.clear(); es.counts.set(0)
+      val lmin = read(es).agg(min(col("doc_id"))).collect().head.getLong(0)
+      assert(lmin == 0L)
+      assert(!es.searches.asScala.exists(_.has("aggs")),
+        "long min pushed through the lossy double wire type")
     } finally es.stop()
   }
 
