@@ -13,10 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[ParquetSource]] (default): one parquet file per table under a
   *     scale-factor directory (`TESTDATA.md` layout), `dir` = the
   *     directory path.
-  *   - an ElasticSearch connector would wrap
-  *     `spark.read.format("org.elasticsearch.spark.sql")` with `dir` =
-  *     the index name — untestable in this zero-egress sandbox, which
-  *     is why only the seam ships, not the connector.
+  *   - [[graft.sources.es.EsRestSource]]: the EXECUTABLE DataSource V2
+  *     ES reader (`EsScrollSource` — sliced scroll / shared-PIT
+  *     paging, DSL + projection + global-aggregate pushdown),
+  *     mock-cluster-tested end-to-end; `dir` = the index prefix.
+  *   - [[ElasticsearchSource]] (below): the elasticsearch-hadoop
+  *     adapter shape — compile-only here (the external jar and a live
+  *     cluster are unavailable in this zero-egress sandbox).
   */
 trait SourceProvider {
   /** Load table `name` scoped by `dir` (directory, index prefix, …). */

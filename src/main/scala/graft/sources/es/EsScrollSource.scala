@@ -260,10 +260,21 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
   // on every field type.
   private val keywordStrings =
     Option(options.get("keywordStrings")).exists(_.toBoolean)
+  // Timestamp comparisons push as epoch-millis ranges (with an
+  // explicit `"format":"epoch_millis"` so the MAPPING's format never
+  // parses the bound) only under this assertion: ES `date` indexes at
+  // MILLISECOND precision, so a document whose _source carries
+  // sub-millisecond digits compares differently server-side (indexed
+  // millis) than Spark-side (parsed micros) near boundaries. The
+  // caller asserts the index stores ms-aligned times; additionally
+  // only ms-aligned literal bounds push (a sub-ms bound cannot be
+  // represented) — everything else stays Spark-side.
+  private val dateMillisPushdown =
+    Option(options.get("dateMillisPushdown")).exists(_.toBoolean)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, unsup) =
-      filters.partition(EsQuery.translatable(_, fullSchema, keywordStrings))
+    val (sup, unsup) = filters.partition(
+      EsQuery.translatable(_, fullSchema, keywordStrings, dateMillisPushdown))
     pushed = sup
     unsup // Spark keeps evaluating these post-scan
   }
@@ -856,13 +867,16 @@ private[es] object EsQuery {
   private val mapper = new ObjectMapper()
 
   def translatable(f: Filter, schema: StructType,
-                   keywordStrings: Boolean): Boolean = {
+                   keywordStrings: Boolean,
+                   dateMillis: Boolean = false): Boolean = {
     def colType(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType)
     def stringCol(c: String): Boolean = colType(c).contains(StringType)
-    // Timestamp columns never push value comparisons: the ES `date`
-    // wire format is mapping-dependent (`format` parameter), so a
-    // rendered literal may not parse the way Spark compared it.
+    // Timestamp columns push value comparisons only under the
+    // dateMillisPushdown assertion (EsScanBuilder doc) and only for
+    // ms-aligned literal bounds — rendered as epoch-millis ranges
+    // with an explicit `"format":"epoch_millis"`, so the mapping's
+    // own format never parses them.
     def tsCol(c: String): Boolean =
       colType(c).exists(t => t == TimestampNTZType || t == TimestampType)
     // term/terms/range on a text-ANALYZED field match individual
@@ -870,26 +884,46 @@ private[es] object EsQuery {
     // because a pushed filter is dropped from Spark's post-scan
     // re-evaluation, that is silently wrong. Push string comparisons
     // only when the caller asserts keyword mapping.
-    def valueComparable(c: String): Boolean =
-      !tsCol(c) && (keywordStrings || !stringCol(c))
+    def valueComparable(c: String, v: Any): Boolean =
+      if (tsCol(c)) dateMillis && tsEpochMillisAligned(v).isDefined
+      else keywordStrings || !stringCol(c)
     f match {
       // `term: null` is an ES 400 (whole-scan failure); leave it Spark-side
-      case EqualTo(c, v) => v != null && valueComparable(c)
+      case EqualTo(c, v) => v != null && valueComparable(c, v)
       case In(c, vs) =>
         // ES rejects null inside a terms array (400 → whole-query
-        // failure), and term matching on analyzed text drops rows
-        !vs.contains(null) && valueComparable(c)
-      case GreaterThan(c, v) => v != null && valueComparable(c)
-      case GreaterThanOrEqual(c, v) => v != null && valueComparable(c)
-      case LessThan(c, v) => v != null && valueComparable(c)
-      case LessThanOrEqual(c, v) => v != null && valueComparable(c)
+        // failure), and term matching on analyzed text drops rows;
+        // date Ins stay Spark-side (term on a date parses per MAPPING
+        // format — no per-query format override exists for terms)
+        !vs.contains(null) && !tsCol(c) && valueComparable(c, null)
+      case GreaterThan(c, v) => v != null && valueComparable(c, v)
+      case GreaterThanOrEqual(c, v) => v != null && valueComparable(c, v)
+      case LessThan(c, v) => v != null && valueComparable(c, v)
+      case LessThanOrEqual(c, v) => v != null && valueComparable(c, v)
       case _: IsNotNull | _: IsNull => true
-      case And(l, r) => translatable(l, schema, keywordStrings) &&
-        translatable(r, schema, keywordStrings)
-      case Or(l, r) => translatable(l, schema, keywordStrings) &&
-        translatable(r, schema, keywordStrings)
+      case And(l, r) => translatable(l, schema, keywordStrings, dateMillis) &&
+        translatable(r, schema, keywordStrings, dateMillis)
+      case Or(l, r) => translatable(l, schema, keywordStrings, dateMillis) &&
+        translatable(r, schema, keywordStrings, dateMillis)
       case _ => false
     }
+  }
+
+  /** Epoch millis of a pushed timestamp literal, defined ONLY when the
+    * value is exactly millisecond-aligned (a sub-ms bound cannot be
+    * expressed to a ms-precision ES `date` index). LocalDateTime (the
+    * TimestampNTZ literal class) is taken as UTC wall-clock — the
+    * reader's own NTZ contract.
+    */
+  private[es] def tsEpochMillisAligned(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      if (t.getNanos % 1000000 == 0) Some(t.getTime) else None
+    case d: java.time.LocalDateTime =>
+      val i = d.toInstant(java.time.ZoneOffset.UTC)
+      if (i.getNano % 1000000 == 0) Some(i.toEpochMilli) else None
+    case i: java.time.Instant =>
+      if (i.getNano % 1000000 == 0) Some(i.toEpochMilli) else None
+    case _ => None
   }
 
   def render(filters: Array[Filter]): String =
@@ -921,19 +955,41 @@ private[es] object EsQuery {
     case other => arr.add(other.toString)
   }
 
+  /** Range bound with timestamp awareness: an (aligned) timestamp
+    * value renders as epoch millis plus the explicit
+    * `"format":"epoch_millis"` override, so the index mapping's own
+    * date format never parses the bound.
+    */
+  private def rangeBound(target: ObjectNode, key: String, v: Any): Unit =
+    tsEpochMillisAligned(v) match {
+      case Some(ms) =>
+        target.put(key, ms)
+        target.put("format", "epoch_millis")
+      case None => scalar(target, key, v)
+    }
+
   private def node(f: Filter): ObjectNode = {
     val n = mapper.createObjectNode()
     f match {
+      // date equality renders as a closed range (term queries parse
+      // per MAPPING format — no per-query override exists for them)
+      case EqualTo(c, v) if tsEpochMillisAligned(v).isDefined =>
+        val r = n.putObject("range").putObject(c)
+        val ms = tsEpochMillisAligned(v).get
+        r.put("gte", ms); r.put("lte", ms)
+        r.put("format", "epoch_millis")
       case EqualTo(c, v) => scalar(n.putObject("term"), c, v)
       case In(c, vs) =>
         val arr = n.putObject("terms").putArray(c)
         vs.foreach(scalarInto(arr, _))
-      case GreaterThan(c, v) => scalar(n.putObject("range").putObject(c), "gt", v)
+      case GreaterThan(c, v) =>
+        rangeBound(n.putObject("range").putObject(c), "gt", v)
       case GreaterThanOrEqual(c, v) =>
-        scalar(n.putObject("range").putObject(c), "gte", v)
-      case LessThan(c, v) => scalar(n.putObject("range").putObject(c), "lt", v)
+        rangeBound(n.putObject("range").putObject(c), "gte", v)
+      case LessThan(c, v) =>
+        rangeBound(n.putObject("range").putObject(c), "lt", v)
       case LessThanOrEqual(c, v) =>
-        scalar(n.putObject("range").putObject(c), "lte", v)
+        rangeBound(n.putObject("range").putObject(c), "lte", v)
       case IsNotNull(c) => n.putObject("exists").put("field", c)
       case IsNull(c) =>
         n.putObject("bool").putObject("must_not")

@@ -70,6 +70,7 @@ class EsScrollSourceSpec extends AnyFunSuite {
         case "lang" => lang
         case "score" => score
         case "flagged" => flagged
+        case "created" => (dateBase + id * 1000).toDouble // indexed ms
       }
       if (q.has("match_all")) true
       else if (q.has("term")) {
@@ -101,6 +102,7 @@ class EsScrollSourceSpec extends AnyFunSuite {
                 case "gte" => v >= bound
                 case "lt" => v < bound
                 case "lte" => v <= bound
+                case "format" => true // bound-parsing directive, not a bound
               }
             }
         }
@@ -526,6 +528,57 @@ class EsScrollSourceSpec extends AnyFunSuite {
       assert(exact.getLong(0) == 3)
       assert(!es.searches.asScala.exists(_.has("aggs")),
         "cardinality pushed without approxDistinct=true")
+    } finally es.stop()
+  }
+
+  test("timestamp ranges push as epoch_millis ranges under " +
+    "dateMillisPushdown; sub-ms bounds and date Ins stay Spark-side") {
+    val es = new MockEs
+    try {
+      // inferred schema: created is TimestampNTZ (UTC wall-clock)
+      def df(extra: (String, String)*) = spark.read
+        .format(classOf[EsScrollSource].getName)
+        .option("nodes", es.url).option("index", "docs")
+        .options(extra.toMap).load()
+      val cut = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(es.dateBase + 10000),
+        java.time.ZoneOffset.UTC)
+      val want = docs.filter(_._1 >= 10).map(_._1).toSet
+      val got = df("dateMillisPushdown" -> "true")
+        .filter(col("created") >= lit(cut))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want && want.nonEmpty && want.size < docs.size)
+      val sent = es.searches.asScala.head.toString
+      assert(sent.contains("\"format\":\"epoch_millis\""), sent)
+      assert(sent.contains(s"\"gte\":${es.dateBase + 10000}"), sent)
+      // equality renders as a closed range (term parses per mapping)
+      es.searches.clear()
+      val one = df("dateMillisPushdown" -> "true")
+        .filter(col("created") === lit(cut))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(one == Seq(10L))
+      val sentEq = es.searches.asScala.head.toString
+      assert(sentEq.contains("\"lte\"") && sentEq.contains("\"gte\"") &&
+        !sentEq.contains("\"term\":{\"created\""), sentEq)
+      // a sub-millisecond bound cannot express itself to a ms-precision
+      // index: stays Spark-side, results still exact
+      es.searches.clear()
+      val gotSub = df("dateMillisPushdown" -> "true")
+        .filter(col("created") >= lit(cut.plusNanos(500000)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotSub == docs.filter(_._1 >= 11).map(_._1).toSet)
+      assert(!es.searches.asScala.head.get("query").toString
+        .contains("epoch_millis"), "sub-ms bound was pushed")
+      // without the option, timestamp comparisons never push
+      es.searches.clear()
+      val gotOff = df().filter(col("created") >= lit(cut))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotOff == want)
+      // IsNotNull still pushes as `exists` (always safe); the VALUE
+      // comparison must not
+      assert(!es.searches.asScala.head.get("query").toString
+        .contains("\"range\":{\"created\""),
+        "date range pushed without the assertion")
     } finally es.stop()
   }
 
