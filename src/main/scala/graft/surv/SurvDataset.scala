@@ -137,9 +137,16 @@ object SurvDataset {
       throw new IllegalArgumentException(
         s"Invalid event column dtype ${schema(eventCol).dataType} (must be numeric)")
 
+    require(trainRatio > 0.0 && trainRatio <= 1.0,
+      s"trainRatio must be in (0, 1], got $trainRatio")
+
     // np.setdiff1d semantics: sorted unique names minus {time, event}
     val feats = features.getOrElse(
       schema.fieldNames.toSeq.diff(Seq(timeCol, eventCol)).sorted)
+    // explicit feature lists fail here with the column NAMED, not at
+    // first use deep inside an encoder/tensorize analysis error
+    feats.foreach(f => require(schema.fieldNames.contains(f),
+      s"feature column '$f' not in ${schema.fieldNames.toSeq}"))
 
     val (withRn, n) = StableOrder.withRowNumber(df, orderKeys)
 

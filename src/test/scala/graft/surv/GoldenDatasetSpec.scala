@@ -65,6 +65,20 @@ class GoldenDatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("unknown explicit feature and bad trainRatio fail with named " +
+    "errors, not deep analysis failures") {
+    val e1 = intercept[IllegalArgumentException] {
+      SurvDataset.fromDataFrame(tiny(3), Seq(col("A")), "A", "B",
+        features = Some(Seq("nope")))
+    }
+    assert(e1.getMessage.contains("'nope'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SurvDataset.fromDataFrame(tiny(3), Seq(col("A")), "A", "B",
+        trainRatio = 1.5)
+    }
+    assert(e2.getMessage.contains("trainRatio"), e2.getMessage)
+  }
+
   test("stable order rn equals rank of order key") {
     val d = ds(10)
     val got = d.df.select("A", "rn").orderBy("A").collect()
