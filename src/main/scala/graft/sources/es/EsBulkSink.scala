@@ -40,6 +40,15 @@ object EsBulkSink {
       // idCol exists to prevent. A limit(1) probe over the (column-
       // pruned) id column is cheap next to the indexing job itself and
       // fails the whole write with zero documents sent.
+      // COST CONTRACT: the probe executes the upstream lineage an
+      // extra time. For a file-backed input that is a pruned scan of
+      // one column; for an expensive COMPUTED input it roughly doubles
+      // the job — cache()/checkpoint() such inputs before calling
+      // write. A non-deterministic uncached input can additionally
+      // pass the probe yet produce a null on the write's recompute —
+      // the in-partition guard below still fails that task, but after
+      // earlier buffers flushed; determinism (or caching) is the
+      // caller's side of the idempotency bargain.
       require(df.select(df.col(c)).filter(df.col(c).isNull).isEmpty,
         s"EsBulkSink: id column '$c' contains nulls — ids must be " +
           "non-null for idempotent (task-retry-safe) writes; no bulk " +

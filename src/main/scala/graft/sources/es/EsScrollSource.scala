@@ -230,12 +230,17 @@ private[es] final class EsTable(schema: StructType)
   * `precision_threshold` 40000 — the eland `nunique` parity path,
   * opt-in via `approxDistinct=true` because beyond the threshold ES
   * returns an approximation where Spark promises exactness), or
-  * `min`/`max` (→ the ES `min`/`max` metric aggs) for FLOAT/DOUBLE
-  * fields only: ES metric aggs return IEEE doubles, so float/double
-  * extrema round-trip exactly, while a `long` extremum past 2^53
-  * would silently lose bits and `sum`/`avg` would differ from Spark
-  * in summation order — those stay Spark-side on principle.
-  * `dt` is the RESULT type tag: `long`, `double`, or `float`.
+  * `min`/`max`. Extrema use TWO wire strategies keyed on `dt`:
+  * FLOAT/DOUBLE fields go through the ES `min`/`max` metric aggs
+  * (which return IEEE doubles, so fp extrema round-trip exactly),
+  * while INT/LONG fields go through ONE size-1 sorted search
+  * (`sort:[{f:order}], size:1, _source:[f]`) whose hit carries the
+  * exact stored `_source` value — a metric agg's double payload would
+  * silently drop bits on a long past 2^53. `sum`/`avg` stay
+  * Spark-side on principle: ES accumulates them in doubles, whose
+  * rounding depends on summation order. Counting aggs push only for
+  * ATOMIC scalar columns — see `countable()`.
+  * `dt` is the RESULT type tag: `long`, `int`, `double`, or `float`.
   */
 private[es] final case class EsAggSpec(kind: String, field: String,
                                        dt: String = "long")
@@ -302,16 +307,32 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
     // counting aggs never parse field VALUES, so dates are safe; a
     // text-ANALYZED string field would make exists/cardinality operate
     // per-token-index semantics on some mappings — string fields need
-    // the same keywordStrings assertion filters do
+    // the same keywordStrings assertion filters do. Non-atomic columns
+    // never push: ES sees array fields per-ELEMENT, so `exists` is
+    // false for a doc whose `_source` carries `[]`/`[null]` (nothing
+    // indexed) while this reader materializes a non-null empty array
+    // that Spark's COUNT(col) WOULD count, and `cardinality` counts
+    // distinct elements where Spark counts distinct whole arrays —
+    // both silently wrong under complete pushdown, so arrays (and any
+    // other non-atomic type) stay on the row-scan path.
     def countable(c: String): Boolean =
-      fullSchema.fields.find(_.name == c).exists(f =>
-        f.dataType != StringType || keywordStrings)
-    // min/max push only for float/double (exact through ES's double
-    // wire type); the tag records which Spark type to emit back
-    def fpType(c: String): Option[String] =
+      fullSchema.fields.find(_.name == c).exists(f => f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType => false
+        case StringType => keywordStrings
+        case _ => true
+      })
+    // min/max push for float/double (exact through ES's IEEE-double
+    // metric-agg wire type) AND for int/long — the latter NOT via a
+    // metric agg (whose double payload drops bits past 2^53) but via
+    // a size-1 sorted search that reads the exact stored `_source`
+    // value; the tag records which Spark type to emit back and which
+    // wire strategy EsAggReader uses
+    def extremumType(c: String): Option[String] =
       fullSchema.fields.find(_.name == c).map(_.dataType).collect {
         case DoubleType => "double"
         case FloatType => "float"
+        case LongType => "long"
+        case IntegerType => "int"
       }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(EsAggSpec("star", ""))
@@ -320,9 +341,11 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
       case c: Count if c.isDistinct && approxDistinct =>
         fieldOf(c.column).filter(countable).map(EsAggSpec("distinct", _))
       case m: Min =>
-        fieldOf(m.column).flatMap(f => fpType(f).map(EsAggSpec("min", f, _)))
+        fieldOf(m.column).flatMap(f =>
+          extremumType(f).map(EsAggSpec("min", f, _)))
       case m: Max =>
-        fieldOf(m.column).flatMap(f => fpType(f).map(EsAggSpec("max", f, _)))
+        fieldOf(m.column).flatMap(f =>
+          extremumType(f).map(EsAggSpec("max", f, _)))
       case _ => None
     }
     if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
@@ -412,6 +435,16 @@ private[es] final class EsScan(schema: StructType, filters: Array[Filter],
 /** Driver-side ledger of open shared PITs: freed eagerly on JVM
   * shutdown (best-effort — `keep_alive` expiry is the authoritative
   * server-side reclamation, per the ES docs' own PIT lifecycle).
+  *
+  * Known slack in the eager path: the ledger holds the id returned at
+  * OPEN, while ES may rotate the id in each search response (readers
+  * follow the rotation locally; ES documents that the most recent id
+  * should be used). The shutdown DELETE can therefore target a stale
+  * id and silently no-op, leaving the PIT to its keep-alive expiry —
+  * acceptable because expiry is the authoritative cleanup and the
+  * executors' rotated ids never travel back to the driver. If eager
+  * cleanup ever matters for very long keep-alives, slices would need
+  * to report rotated ids back through the commit path.
   */
 private[es] object EsPitRegistry {
   private val open =
@@ -478,9 +511,13 @@ private[es] final class EsAggScan(specs: Seq[EsAggSpec],
   // Min/Max-of-nothing)
   override def readSchema(): StructType =
     StructType(specs.zipWithIndex.map { case (s, i) =>
-      val (dt, nullable) = s.dt match {
-        case "double" => (DoubleType: DataType, true)
-        case "float" => (FloatType: DataType, true)
+      val (dt, nullable) = s.kind match {
+        case "min" | "max" => (s.dt match {
+          case "double" => DoubleType: DataType
+          case "float" => FloatType: DataType
+          case "int" => IntegerType: DataType
+          case _ => LongType: DataType
+        }, true)
         case _ => (LongType: DataType, false)
       }
       StructField(s"agg$i", dt, nullable)
@@ -538,23 +575,68 @@ private[es] final class EsAggReader(specs: Seq[EsAggSpec], queryJson: String,
     n.asLong()
   }
 
+  /** An integral extremum travels as a size-1 sorted search, never a
+    * metric agg — the agg's double payload drops bits past 2^53.
+    */
+  private def sortedExtremum(s: EsAggSpec): Boolean =
+    (s.kind == "min" || s.kind == "max") &&
+      (s.dt == "long" || s.dt == "int")
+
+  /** One HTTP call per integral extremum: sort ascending (min) or
+    * descending (max) on the field, read the single hit's `_source` —
+    * the exact stored JSON integer, bit-faithful past 2^53. Docs
+    * missing the field sort `_last` (the ES default, pinned here), so
+    * the first hit is the extremum over docs that HAVE a value —
+    * exactly Spark's null-ignoring Min/Max; no hit at all (or a
+    * valueless first hit) is the empty-set NULL.
+    */
+  private def fetchSortedExtremum(s: EsAggSpec, i: Int,
+                                  out: GenericInternalRow): Unit = {
+    val body = mapper.createObjectNode()
+    body.put("size", 1)
+    body.set[ObjectNode]("query",
+      mapper.readTree(queryJson).asInstanceOf[ObjectNode])
+    val sortField = body.putArray("sort").addObject().putObject(s.field)
+    sortField.put("order", if (s.kind == "min") "asc" else "desc")
+    sortField.put("missing", "_last")
+    body.putArray("_source").add(s.field)
+    val resp = post(s"$nodes/$index/_search", body.toString)
+    val hitsArr = resp.path("hits").path("hits")
+    val v =
+      if (!hitsArr.isArray || hitsArr.size() == 0)
+        com.fasterxml.jackson.databind.node.NullNode.getInstance()
+      else hitsArr.get(0).path("_source").path(s.field)
+    if (v.isNull || v.isMissingNode) out.setNullAt(i)
+    else if (!v.canConvertToLong ||
+      (s.dt == "int" && !v.canConvertToInt))
+      throw new java.io.IOException(
+        s"EsAggScan: expected an exact ${s.dt} for ${s.kind}(${s.field}), " +
+          s"got '${v.toString.take(80)}'")
+    else if (s.dt == "int") out.setInt(i, v.asInt())
+    else out.setLong(i, v.asLong())
+  }
+
   override def next(): Boolean = {
     if (done) return false
     done = true
-    val query = mapper.readTree(queryJson)
     val out = new GenericInternalRow(specs.length)
-    if (specs == Seq(EsAggSpec("star", ""))) {
+    val (viaSort, viaAggs) =
+      specs.zipWithIndex.partition(p => sortedExtremum(p._1))
+    if (viaAggs.map(_._1) == Seq(EsAggSpec("star", ""))) {
       val body = mapper.createObjectNode()
-      body.set[ObjectNode]("query", query.asInstanceOf[ObjectNode])
+      body.set[ObjectNode]("query",
+        mapper.readTree(queryJson).asInstanceOf[ObjectNode])
       val resp = post(s"$nodes/$index/_count", body.toString)
-      out.setLong(0, longAt(resp.path("count"), "_count"))
-    } else {
+      out.setLong(viaAggs.head._2, longAt(resp.path("count"), "_count"))
+    } else if (viaAggs.nonEmpty) {
       val body = mapper.createObjectNode()
       body.put("size", 0)
-      body.set[ObjectNode]("query", query.asInstanceOf[ObjectNode])
-      if (specs.exists(_.kind == "star")) body.put("track_total_hits", true)
+      body.set[ObjectNode]("query",
+        mapper.readTree(queryJson).asInstanceOf[ObjectNode])
+      if (viaAggs.exists(_._1.kind == "star"))
+        body.put("track_total_hits", true)
       val aggs = body.putObject("aggs")
-      specs.zipWithIndex.foreach { case (s, i) =>
+      viaAggs.foreach { case (s, i) =>
         s.kind match {
           case "star" => // served by hits.total, no sub-agg needed
           case "count" =>
@@ -569,7 +651,7 @@ private[es] final class EsAggReader(specs: Seq[EsAggSpec], queryJson: String,
         }
       }
       val resp = post(s"$nodes/$index/_search", body.toString)
-      specs.zipWithIndex.foreach { case (s, i) =>
+      viaAggs.foreach { case (s, i) =>
         s.kind match {
           case "star" =>
             val total = resp.path("hits").path("total")
@@ -595,6 +677,7 @@ private[es] final class EsAggReader(specs: Seq[EsAggSpec], queryJson: String,
         }
       }
     }
+    viaSort.foreach { case (s, i) => fetchSortedExtremum(s, i, out) }
     row = out
     true
   }
@@ -872,6 +955,17 @@ private[es] object EsQuery {
     def colType(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType)
     def stringCol(c: String): Boolean = colType(c).contains(StringType)
+    // ArrayType columns never push ANY filter: ES matches per ELEMENT
+    // (`term` is true if any element equals; `exists` is false for a
+    // doc whose _source carries []/[null] even though the reader
+    // materializes a non-null array Spark would keep) — and a pushed
+    // filter is dropped from Spark's post-scan re-evaluation, so the
+    // divergence would be silent. Also true for any other non-atomic
+    // type the schema might declare.
+    def atomicCol(c: String): Boolean = colType(c).exists {
+      case _: ArrayType | _: StructType | _: MapType => false
+      case _ => true
+    }
     // Timestamp columns push value comparisons only under the
     // dateMillisPushdown assertion (EsScanBuilder doc) and only for
     // ms-aligned literal bounds — rendered as epoch-millis ranges
@@ -885,8 +979,9 @@ private[es] object EsQuery {
     // re-evaluation, that is silently wrong. Push string comparisons
     // only when the caller asserts keyword mapping.
     def valueComparable(c: String, v: Any): Boolean =
-      if (tsCol(c)) dateMillis && tsEpochMillisAligned(v).isDefined
-      else keywordStrings || !stringCol(c)
+      atomicCol(c) &&
+        (if (tsCol(c)) dateMillis && tsEpochMillisAligned(v).isDefined
+         else keywordStrings || !stringCol(c))
     f match {
       // `term: null` is an ES 400 (whole-scan failure); leave it Spark-side
       case EqualTo(c, v) => v != null && valueComparable(c, v)
@@ -900,7 +995,8 @@ private[es] object EsQuery {
       case GreaterThanOrEqual(c, v) => v != null && valueComparable(c, v)
       case LessThan(c, v) => v != null && valueComparable(c, v)
       case LessThanOrEqual(c, v) => v != null && valueComparable(c, v)
-      case _: IsNotNull | _: IsNull => true
+      case IsNotNull(c) => atomicCol(c)
+      case IsNull(c) => atomicCol(c)
       case And(l, r) => translatable(l, schema, keywordStrings, dateMillis) &&
         translatable(r, schema, keywordStrings, dateMillis)
       case Or(l, r) => translatable(l, schema, keywordStrings, dateMillis) &&

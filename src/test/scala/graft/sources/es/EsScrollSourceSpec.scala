@@ -58,6 +58,10 @@ class EsScrollSourceSpec extends AnyFunSuite {
     val bulkBodies = new ConcurrentLinkedQueue[String]()
     // when set, that doc's score is served as an ARRAY (legal ES!)
     @volatile var multiValueDocId: Option[Long] = None
+    // when set, that doc's score is served as an EMPTY array — ES
+    // indexes no value for it (exists=false) while an ArrayType read
+    // materializes a non-null [] that Spark's COUNT(col) counts
+    @volatile var emptyArrayDocId: Option[Long] = None
     // scroll_id -> (remaining rows, page size)
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[String, (List[Int], Int)]()
@@ -127,7 +131,8 @@ class EsScrollSourceSpec extends AnyFunSuite {
                           i: Int): Unit = {
       val (id, lang, score, flagged) = store.get(i)
       src.put("doc_id", id); src.put("lang", lang)
-      if (multiValueDocId.contains(id)) {
+      if (emptyArrayDocId.contains(id)) src.putArray("score")
+      else if (multiValueDocId.contains(id)) {
         val arr = src.putArray("score"); arr.add(score); arr.add(score + 1)
       } else src.put("score", score)
       src.put("flagged", flagged)
@@ -278,6 +283,34 @@ class EsScrollSourceSpec extends AnyFunSuite {
               val h = hitsArr.addObject()
               hitSource(h.putObject("_source"), i)
               h.putArray("sort").add(i)
+            }
+            resp.toString
+          } else if (req.has("sort")) {
+            // size-1 sorted search (integral-extremum pushdown): order
+            // matching rows by the sort field — longs compared AS
+            // longs, never through a double — and honor `_source`
+            val sortSpec = req.get("sort").get(0)
+            val fname = sortSpec.fieldNames().next()
+            val asc = sortSpec.get(fname).get("order").asText() == "asc"
+            val matching = (0 until store.size)
+              .filter(i => evalQuery(req.get("query"), i))
+            val ordered = fname match {
+              case "doc_id" => matching.sortBy(i => store.get(i)._1)
+              case "score" => matching.sortBy(i => store.get(i)._3)
+              case other => sys.error(s"mock cannot sort on $other")
+            }
+            val top = (if (asc) ordered else ordered.reverse).take(size)
+            val wanted = req.get("_source").elements().asScala
+              .map(_.asText()).toSet
+            val resp = mapper.createObjectNode()
+            val hitsArr = resp.putObject("hits").putArray("hits")
+            top.foreach { i =>
+              val (id, lang, score, flagged) = store.get(i)
+              val src = hitsArr.addObject().putObject("_source")
+              if (wanted("doc_id")) src.put("doc_id", id)
+              if (wanted("lang")) src.put("lang", lang)
+              if (wanted("score")) src.put("score", score)
+              if (wanted("flagged")) src.put("flagged", flagged)
             }
             resp.toString
           } else {
@@ -583,7 +616,7 @@ class EsScrollSourceSpec extends AnyFunSuite {
   }
 
   test("MIN/MAX on fp fields push as ES metric aggs; empty match " +
-    "returns NULL; long min/max stays Spark-side") {
+    "returns NULL; long min/max pushes as a size-1 sorted search") {
     val es = new MockEs
     try {
       // keywordStrings: the lang filter must push or the post-scan
@@ -608,14 +641,99 @@ class EsScrollSourceSpec extends AnyFunSuite {
       assert(empty.isNullAt(0), "min over zero rows must be NULL")
       assert(es.searches.asScala.exists(_.has("aggs")),
         "empty-match min was not pushed")
-      // a LONG extremum past 2^53 would silently lose bits through
-      // ES's double wire type — doc_id min/max must NOT push (the
-      // scan serves rows and Spark aggregates exactly)
-      es.searches.clear(); es.counts.set(0)
+      // a LONG extremum pushes, but never through the lossy double
+      // metric agg: ONE size-1 sorted search reads the exact stored
+      // _source value instead
+      es.searches.clear(); es.counts.set(0); es.scrollCalls.set(0)
       val lmin = read(es).agg(min(col("doc_id"))).collect().head.getLong(0)
       assert(lmin == 0L)
       assert(!es.searches.asScala.exists(_.has("aggs")),
         "long min pushed through the lossy double wire type")
+      val sortReq = es.searches.asScala.find(_.has("sort"))
+      assert(sortReq.isDefined, "long min did not send a sorted search")
+      assert(sortReq.get.path("size").asInt(-1) == 1, sortReq.get.toString)
+      assert(es.scrollCalls.get() == 0, "long min pushdown still scrolled")
+    } finally es.stop()
+  }
+
+  test("long MIN/MAX via sorted search is bit-exact past 2^53") {
+    // 2^53 = 9007199254740992: +1 and +5 are NOT double-representable
+    // (they round to +0/+4), so an agg through ES's double wire type
+    // would return the wrong longs — the sorted search must not
+    val big = Seq(
+      (9007199254740993L, "en", 0.1, false), // 2^53 + 1
+      (9007199254740995L, "de", 0.2, false),
+      (9007199254740997L, "fr", 0.3, true)) // 2^53 + 5
+    val es = new MockEs(big)
+    try {
+      val df = read(es).agg(
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("EsAggScan"), plan.take(2000))
+      val got = df.collect().head
+      assert(got.getLong(0) == 9007199254740993L, s"min=${got.getLong(0)}")
+      assert(got.getLong(1) == 9007199254740997L, s"max=${got.getLong(1)}")
+      // wire shape: two size-1 sorted searches projecting only doc_id,
+      // one ascending and one descending, no aggs body, no scroll
+      val sorts = es.searches.asScala.filter(_.has("sort")).toSeq
+      assert(sorts.size == 2, es.searches.asScala.mkString("|"))
+      assert(sorts.forall(_.path("size").asInt(-1) == 1))
+      assert(sorts.forall(r => r.get("_source").toString == "[\"doc_id\"]"),
+        sorts.mkString("|"))
+      val orders = sorts.map(
+        _.get("sort").get(0).get("doc_id").get("order").asText()).toSet
+      assert(orders == Set("asc", "desc"), orders.toString)
+      assert(!es.searches.asScala.exists(_.has("aggs")))
+      assert(es.scrollCalls.get() == 0, "sorted-extremum pushdown scrolled")
+    } finally es.stop()
+  }
+
+  test("aggregates over ArrayType columns never push — ES sees " +
+    "elements, Spark sees whole arrays") {
+    val es = new MockEs
+    try {
+      es.multiValueDocId = Some(3L) // doc 3: score = [0.3, 1.3]
+      es.emptyArrayDocId = Some(5L) // doc 5: score = [] (exists=false!)
+      val arrSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("score", ArrayType(DoubleType))))
+      val df = spark.read.schema(arrSchema)
+        .format(classOf[EsScrollSource].getName)
+        .option("nodes", es.url).option("index", "docs")
+        .option("approxDistinct", "true").load()
+      val got = df.agg(count(col("score")), countDistinct(col("score")))
+        .collect().head
+      // Spark counts doc 5's materialized [] as a non-null row — a
+      // pushed exists-filter count would say 24, cardinality would
+      // count distinct ELEMENTS; both must stay on the row scan
+      assert(got.getLong(0) == docs.size.toLong, s"count=${got.getLong(0)}")
+      assert(got.getLong(1) == docs.size.toLong, // every array distinct
+        s"countDistinct=${got.getLong(1)}")
+      assert(es.counts.get() == 0, "array count went to _count")
+      assert(!es.searches.asScala.exists(_.has("aggs")),
+        "array-column aggregate pushed a server-side aggs body")
+      assert(es.scrollCalls.get() > 0, "row scan never ran")
+    } finally es.stop()
+  }
+
+  test("filters over ArrayType columns never push — ES exists/term " +
+    "match per element, not per whole array") {
+    val es = new MockEs
+    try {
+      es.emptyArrayDocId = Some(5L) // ES indexes NO value for doc 5
+      val arrSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("score", ArrayType(DoubleType))))
+      val df = spark.read.schema(arrSchema)
+        .format(classOf[EsScrollSource].getName)
+        .option("nodes", es.url).option("index", "docs").load()
+        .filter(col("score").isNotNull)
+      // Spark keeps doc 5: the reader materializes a non-null [] — a
+      // pushed exists filter would have dropped it server-side
+      assert(df.count() == docs.size.toLong)
+      val sent = es.searches.asScala.map(_.path("query").toString)
+      assert(!sent.exists(_.contains("\"exists\"")),
+        s"array-column IsNotNull pushed as exists: ${sent.mkString("|")}")
     } finally es.stop()
   }
 
