@@ -87,7 +87,14 @@ private[model] object MlpTrainer {
       if (useEma) stack.widths.map(w =>
         (new Array[Double](w), Array.fill(w)(1.0))).toArray
       else null
-    var bestEma: Array[(Array[Double], Array[Double])] = null
+    // seeded with the INIT buffers (rm=0/rv=1): if no epoch ever
+    // becomes the best (e.g. the loss is NaN from epoch 1 under a
+    // divergent lr), the fit returns torch's untouched init buffers —
+    // the state_dict an early-stopper would restore — instead of a
+    // Some(null) that NPEs downstream
+    var bestEma: Array[(Array[Double], Array[Double])] =
+      if (useEma) emaState.map { case (m, v) => (m.clone(), v.clone()) }
+      else null
     var iterNo = 0L // driver-side: the closure sees a fresh key per epoch
     val bestTheta = AdamLoop.runFrom(None, theta0, epochs, patience, lr,
       onEpoch = cp => {
@@ -109,9 +116,20 @@ private[model] object MlpTrainer {
             (a._1 + b._1, g, a._3 + b._3)
           }
         } else {
-          // ordered collect: each partition also ships its per-batch BN
-          // stats (layers × 2h doubles per batch) so the driver can
-          // fold the EMA in the one deterministic global batch order
+          // ordered collect, carry-sized: the per-batch EMA update
+          // x′ = (1−m)·x + m·s is an affine recurrence, so each
+          // partition composes its k batches into ONE affine map —
+          // coefficient (1−m)^k plus an offset vector per BN unit
+          // (the same recurrence folded from a zero state) — and the
+          // driver applies ≤numPartitions maps in partition order.
+          // Wire cost: layers × 2h + 1 doubles per PARTITION instead
+          // of per batch (O(rows/batchSize) before). Algebraically
+          // exact; in IEEE arithmetic the reassociation deviates from
+          // the batch-sequential fold by a few ulps (bounded — the
+          // recurrence is a 0.9-contraction), orders below BN-stat
+          // significance; same-seed same-layout fits stay
+          // bit-reproducible because the composed path IS the path.
+          val widths = stack.widths
           val parts = rows.mapPartitionsWithIndex { (pid, it) =>
             val acc = mkAcc(th, dropKey0)
             var any = false
@@ -122,11 +140,11 @@ private[model] object MlpTrainer {
               throw new IllegalStateException(
                 "bnEma requires an accumulator that records batch stats" +
                   " (enable its stack's BN recorder)")
+            val (coeff, off) = composeAffine(acc.bnRecorded, widths)
             Iterator.single((pid, acc.loss, acc.grad, acc.norm,
-              acc.bnRecorded))
+              coeff, off))
           }.collect().sortBy(_._1)
-          parts.foreach(p => p._5.foreach(b =>
-            emaState = foldOne(emaState, b)))
+          parts.foreach(p => applyAffine(emaState, p._5, p._6))
           val g = new Array[Double](th.length)
           var ls = 0.0; var n = 0L
           parts.foreach { p =>
@@ -148,13 +166,56 @@ private[model] object MlpTrainer {
     (bestTheta, bnStats)
   }
 
+  /** Compose a partition's k per-batch EMA updates into ONE affine
+    * map `x ↦ coeff·x + off`: `coeff = (1−m)^k` (accumulated one
+    * factor per batch, matching the sequential order) and `off` is
+    * the batch recurrence folded from a ZERO state. Exact in algebra;
+    * in IEEE arithmetic [[applyAffine]] reassociates the sequential
+    * fold, deviating by a few ulps (the recurrence contracts by 0.9
+    * per step, so the deviation stays bounded) — pinned in BnEmaSpec.
+    */
+  private[model] def composeAffine(rec: Seq[Array[MlpStack.BnBatchStats]],
+                                   widths: Seq[Int])
+      : (Double, Array[(Array[Double], Array[Double])]) = {
+    val mom = MlpStack.BnMomentum
+    var coeff = 1.0
+    val off = widths.map(w =>
+      (new Array[Double](w), new Array[Double](w))).toArray
+    rec.foreach { b =>
+      coeff *= (1.0 - mom)
+      foldOne(off, b)
+    }
+    (coeff, off)
+  }
+
+  /** Apply one partition's composed affine map to the live EMA state
+    * (mutates `st` in place).
+    */
+  private[model] def applyAffine(st: Array[(Array[Double], Array[Double])],
+                                 coeff: Double,
+                                 off: Array[(Array[Double], Array[Double])])
+      : Unit = {
+    var l = 0
+    while (l < st.length) {
+      val (rm, rv) = st(l)
+      val (om, ov) = off(l)
+      var j = 0
+      while (j < rm.length) {
+        rm(j) = coeff * rm(j) + om(j)
+        rv(j) = coeff * rv(j) + ov(j)
+        j += 1
+      }
+      l += 1
+    }
+  }
+
   /** One torch BN running-stats update per batch (see
     * [[MlpStack.emaFold]] for the formula; this is its single-step
     * form applied to live trainer state).
     */
-  private def foldOne(st: Array[(Array[Double], Array[Double])],
-                      b: Array[MlpStack.BnBatchStats]
-                     ): Array[(Array[Double], Array[Double])] = {
+  private[model] def foldOne(st: Array[(Array[Double], Array[Double])],
+                             b: Array[MlpStack.BnBatchStats]
+                            ): Array[(Array[Double], Array[Double])] = {
     val mom = MlpStack.BnMomentum
     var l = 0
     while (l < st.length) {

@@ -43,6 +43,50 @@ class BnEmaSpec extends AnyFunSuite {
     assert(math.abs(st(1)._2(0) - 1.0135) < eps, st(1)._2(0))
   }
 
+  test("per-partition affine composition reproduces the sequential " +
+    "batch fold (carry-sized transfer, multi-partition fixture)") {
+    // 3 "partitions" of 4/3/5 batches over widths (3, 2): the trainer
+    // ships ONE (coeff, offset) map per partition and applies them in
+    // partition order. Algebraically identical to folding all 12
+    // batches sequentially; in IEEE arithmetic the reassociation may
+    // differ by a few ulps (the recurrence contracts by 0.9 per
+    // step), so the pin is 1e-12 — far under BN-stat significance —
+    // NOT bit equality. Exactness pins that DO hold: an empty
+    // partition is the identity map, and same-layout fits reuse the
+    // same composed path bit-for-bit (reproducibility test below).
+    val widths = Seq(3, 2)
+    val rng = new Random(42)
+    def batch() = widths.map(w => MlpStack.BnBatchStats(
+      Array.fill(w)(4 * rng.nextDouble() - 2),
+      Array.fill(w)(3 * rng.nextDouble() + 0.01), 8)).toArray
+    val partitions = Seq(Seq.fill(4)(batch()), Seq.fill(3)(batch()),
+      Seq.fill(5)(batch()))
+    // sequential reference: all batches in (partition, batch) order
+    val seqSt = MlpStack.emaFold(partitions.flatten, widths)
+    // composed: one affine map per partition, applied in order to the
+    // torch init state (rm = 0, rv = 1)
+    val compSt = widths.map(w =>
+      (new Array[Double](w), Array.fill(w)(1.0))).toArray
+    partitions.foreach { p =>
+      val (coeff, off) = MlpTrainer.composeAffine(p, widths)
+      MlpTrainer.applyAffine(compSt, coeff, off)
+    }
+    seqSt.zip(compSt).foreach { case ((sm, sv), (cm, cv)) =>
+      sm.zip(cm).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"mean $a vs $b") }
+      sv.zip(cv).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"var $a vs $b") }
+    }
+    // an empty partition composes to the identity map
+    val (c0, o0) = MlpTrainer.composeAffine(Seq.empty, widths)
+    assert(c0 == 1.0 && o0.forall { case (m, v) =>
+      m.forall(_ == 0.0) && v.forall(_ == 0.0) })
+    val before = compSt.map { case (m, v) => (m.clone(), v.clone()) }
+    MlpTrainer.applyAffine(compSt, c0, o0)
+    compSt.zip(before).foreach { case ((m, v), (bm, bv)) =>
+      assert(m.sameElements(bm) && v.sameElements(bv)) }
+  }
+
   test("forwardBatch records UNBIASED batch variance for the EMA " +
     "while normalizing with the biased one") {
     // one layer, identity-ish weights: A = [[1],[2]], b = 0, γ = 1,
