@@ -140,7 +140,12 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // explicit memory-cached output stream for the same reason as
+    // memIn: the OutputStream overload consults the JVM-global
+    // useCache default (a temp FILE per encode)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close()
     bos.toByteArray
   }
 
@@ -275,14 +280,20 @@ object Multimodal {
   // ImageIO's DEFAULT stream cache is a temp FILE per call — for
   // byte-array payloads that is one create+write+delete of an on-disk
   // file per decoded image, a filesystem hot spot under 32 concurrent
-  // tasks. Memory caching is strictly better for in-memory sources.
-  javax.imageio.ImageIO.setUseCache(false)
+  // tasks. Memory caching is strictly better for in-memory sources,
+  // but it is scoped HERE, per call, by constructing the memory-
+  // cached stream explicitly — never via the process-global
+  // `ImageIO.setUseCache(false)`, which would silently change
+  // stream-caching for every other ImageIO user in the same JVM the
+  // moment this object loads.
+  private def memIn(bytes: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
 
   private[ops] def headerMeta(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     if (bytes == null || bytes.length == 0) return None
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val iis = memIn(bytes)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -301,8 +312,10 @@ object Multimodal {
   private[ops] def decodeImage(
       bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes == null || bytes.length == 0) return None
-    try Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes)))
+    // the ImageInputStream overload reads the explicitly memory-cached
+    // stream; the InputStream overload would consult the JVM-global
+    // useCache default and hit the temp-file path
+    try Option(javax.imageio.ImageIO.read(memIn(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
