@@ -162,7 +162,25 @@ final class Hyperband(
     // are identical to sequential by construction: config sampling and
     // the best-tracking fold stay on the caller thread in config
     // order; only the pure train+score work fans out. 1 = sequential.
-    parallelism: Int = 4) {
+    parallelism: Int = 4,
+    // ASHA-style asynchronous promotion (Li et al., "A System for
+    // Massively Parallel Hyperparameter Tuning", arXiv:1810.05934 —
+    // public reference). The sync default's measured parallelism floor
+    // is the successive-halving RUNG-TAIL critical path: late rungs
+    // hold ≤η configs at the largest epoch budgets, so extra workers
+    // idle at every rung barrier. async=true removes the barriers: a
+    // free worker promotes the best not-yet-promoted config that sits
+    // in the top ⌊completed/η⌋ of its rung, else samples a new config
+    // at rung 0 — same brackets, same per-bracket sampling budgets,
+    // same promotion fractions, evaluated without ever waiting for a
+    // rung to finish. TRADEOFF (the published one): promotions are
+    // decided on partial rung information and the sample→model
+    // interleaving follows completion timing, so async runs are NOT
+    // bit-reproducible run-to-run — use the sync default whenever
+    // selection must be deterministic; both modes always evaluate
+    // each model's DEFAULT config first (H2), so the returned winner
+    // never scores below the defaults.
+    async: Boolean = false) {
 
   private val rng = new Random(seedRng)
   private def logEta(x: Double): Double = math.log(x) / math.log(eta.toDouble)
@@ -286,6 +304,19 @@ final class Hyperband(
     * once and reused by every config and rung, then released.
     */
   def selectModel(ds: SurvDataset): FittedSurvModel = graft.model.TrainCache.sharing {
+    if (async) runAsha(ds) else runSync(ds)
+    // seeds := 2 best model names (optimizer.py:172-174). Iterate the
+    // SEED list, not the HashMap (hash-arbitrary order): with the
+    // typical all-but-one-at-−Infinity scores, ties must break by
+    // registration order — Scala's stable sortBy over the seed order
+    // reproduces Python's stable sort over the insertion-ordered dict.
+    seeds = seeds.map(m => m -> modelBestScore(m.name))
+      .sortBy(-_._2).take(2).map(_._1)
+    val winner = bestModel.getOrElse(throw new IllegalStateException("no model evaluated"))
+    winner.build(bestParams, outputEpochs).fit(ds)
+  }
+
+  private def runSync(ds: SurvDataset): Unit = {
     for (s <- sMax to 0 by -1) {
       val n = math.ceil(bBudget.toDouble / maxIter / (s + 1) * math.pow(eta, s)).toInt
       val r = maxIter * math.pow(eta, -s)
@@ -301,14 +332,133 @@ final class Hyperband(
         i += 1
       }
     }
-    // seeds := 2 best model names (optimizer.py:172-174). Iterate the
-    // SEED list, not the HashMap (hash-arbitrary order): with the
-    // typical all-but-one-at-−Infinity scores, ties must break by
-    // registration order — Scala's stable sortBy over the seed order
-    // reproduces Python's stable sort over the insertion-ordered dict.
-    seeds = seeds.map(m => m -> modelBestScore(m.name))
-      .sortBy(-_._2).take(2).map(_._1)
-    val winner = bestModel.getOrElse(throw new IllegalStateException("no model evaluated"))
-    winner.build(bestParams, outputEpochs).fit(ds)
+  }
+
+  /** ASHA completion trace: (bracket s, rung i, epochs, config key,
+    * score) in completion order — the spec's window into the async
+    * invariants (rung ladders, promotion fractions, budgets).
+    */
+  private[automl] val ashaTrace =
+    mutable.Buffer.empty[(Int, Int, Int, String, Double)]
+
+  /** The asynchronous search: same brackets and budgets as [[runSync]],
+    * no rung barriers. All shared search state (rung ledgers, promotion
+    * sets, the rng+visited sampler, recordBest's fold, the trace)
+    * mutates only under ONE monitor; evaluation runs outside it.
+    */
+  private def runAsha(ds: SurvDataset): Unit = {
+    val k = seeds.size
+    final case class Cfg(m: ModelFactory, params: Map[String, Any]) {
+      val key: String = keyOf(m.name, params)
+    }
+    final class Bracket(val s: Int) {
+      val n: Int = math.ceil(
+        bBudget.toDouble / maxIter / (s + 1) * math.pow(eta, s)).toInt
+      // sync parity: ceil(n/k) sampling ATTEMPTS per model (duplicate
+      // draws consume an attempt without yielding a config, exactly
+      // like sampleModel's dedup drop)
+      val quotaPerModel: Int = math.ceil(n.toDouble / k).toInt
+      var attempts = 0
+      def attemptsLeft: Boolean = attempts < quotaPerModel * k
+      // completed evaluations and promoted-out keys, per rung 0..s
+      val completed: Array[mutable.Buffer[(Cfg, Double)]] =
+        Array.fill(s + 1)(mutable.Buffer.empty)
+      val promoted: Array[mutable.Set[String]] =
+        Array.fill(s + 1)(mutable.Set.empty)
+      def epochsAt(i: Int): Int =
+        (maxIter * math.pow(eta, -s) * math.pow(eta, i)).toInt
+    }
+    val brackets = (sMax to 0 by -1).map(new Bracket(_))
+    val lock = new Object
+    var inflight = 0
+    var failure: Option[Throwable] = None
+
+    // Callers hold `lock`. Promotion first (the deepest bracket's
+    // highest promotable rung — finish good configs before starting
+    // new ones), then a fresh rung-0 sample from the first bracket
+    // with attempts left, models round-robin (each model's FIRST draw
+    // is its default config — sampleModel's H2 contract).
+    def findJob(): Option[(Bracket, Int, Cfg)] = {
+      brackets.foreach { b =>
+        var i = b.s - 1
+        while (i >= 0) {
+          val done = b.completed(i)
+          val quota = done.size / eta // floor: ASHA's promotion rule
+          if (quota > 0) {
+            val cand = done.sortBy(-_._2).iterator.take(quota)
+              .find(c => !b.promoted(i).contains(c._1.key))
+            cand.foreach { case (cfg, _) =>
+              b.promoted(i) += cfg.key
+              return Some((b, i + 1, cfg))
+            }
+          }
+          i -= 1
+        }
+        while (b.attemptsLeft) {
+          val m = seeds(b.attempts % k)
+          b.attempts += 1
+          val drawn = sampleModel(m, 1) // rng+visited: under lock
+          if (drawn.nonEmpty) {
+            val (mm, params) = drawn.head
+            return Some((b, 0, Cfg(mm, params)))
+          }
+        }
+      }
+      None
+    }
+
+    def workerLoop(workerId: Int): Unit = {
+      val sc = ds.df.sparkSession.sparkContext
+      sc.setLocalProperty("spark.scheduler.pool", s"asha-$workerId")
+      try {
+        while (true) {
+          val job = lock.synchronized {
+            var j: Option[(Bracket, Int, Cfg)] = None
+            var done = false
+            while (!done) {
+              if (failure.isDefined) return
+              j = findJob()
+              if (j.isDefined || inflight == 0) done = true
+              else lock.wait() // a completion may unlock a promotion
+            }
+            j.foreach(_ => inflight += 1)
+            j
+          }
+          if (job.isEmpty) return // drained: no jobs, nothing in flight
+          val (b, i, cfg) = job.get
+          val epochs = b.epochsAt(i)
+          val score =
+            try evalParams(cfg.m, ds, cfg.params, epochs)
+            catch {
+              case e: Throwable =>
+                lock.synchronized {
+                  if (failure.isEmpty) failure = Some(e)
+                  inflight -= 1
+                  lock.notifyAll()
+                }
+                return
+            }
+          lock.synchronized {
+            b.completed(i) += ((cfg, score))
+            recordBest(cfg.m, cfg.params, score)
+            ashaTrace += ((b.s, i, epochs, cfg.key, score))
+            inflight -= 1
+            lock.notifyAll()
+          }
+        }
+      } finally sc.setLocalProperty("spark.scheduler.pool", null)
+    }
+
+    val nWorkers = math.max(parallelism, 1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWorkers)
+    try {
+      val futures = (0 until nWorkers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = workerLoop(w)
+        })
+      }
+      futures.foreach(_.get())
+    } finally { pool.shutdownNow(); () }
+    failure.foreach(throw _)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * at a real scale factor, the one entry point with no scale number on
   * record before round 10.
   *
-  * Usage: HyperbandBench <sfDir> [parallelism=4] [maxIter=81]
+  * Usage: HyperbandBench <sfDir> [parallelism=4] [maxIter=81] [sync|async]
   *
   * Prints one HYPERBAND line with the wall time and the COMPLETE
   * selection state (winner, params, best score, per-model bests incl.
@@ -19,6 +19,7 @@ object HyperbandBench {
     val sfDir = args(0)
     val par = if (args.length > 1) args(1).toInt else 4
     val maxIter = if (args.length > 2) args(2).toInt else 81
+    val async = args.length > 3 && args(3) == "async"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,11 +32,13 @@ object HyperbandBench {
     spark.sparkContext.setLogLevel("WARN")
     val ds = graft.surv.ChurnView.dataset(spark, sfDir)
     val t0 = System.nanoTime()
-    val hb = new graft.automl.Hyperband(maxIter = maxIter, parallelism = par)
+    val hb = new graft.automl.Hyperband(maxIter = maxIter,
+      parallelism = par, async = async)
     val fitted = hb.selectModel(ds)
     val wall = (System.nanoTime() - t0) / 1e9
     val sc = fitted.score(ds)
     println(f"HYPERBAND dir=$sfDir par=$par maxIter=$maxIter " +
+      s"async=$async " +
       f"wall=$wall%.1f " +
       s"winner=${hb.bestModel.map(_.name).getOrElse("none")} " +
       s"params=${hb.bestParams.toSeq.sortBy(_._1)} " +

@@ -1,0 +1,146 @@
+package graft.automl
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkTestBase
+import graft.model.{CategoricalP, FittedSurvModel, Param, SurvModel}
+import graft.surv.SurvDataset
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** ASHA asynchronous promotion (`Hyperband(async = true)`): workers
+  * never wait for a rung barrier, yet the search keeps the bracket
+  * structure — same rung ladders, promotion fraction ⌊completed/η⌋,
+  * per-bracket sampling budgets — and, because BOTH modes evaluate
+  * each model's default config first (H2), the async winner never
+  * scores below the sync winner on a fixture whose optimum is the
+  * default config. The invariants are read off [[Hyperband.ashaTrace]]
+  * (completion-ordered (bracket, rung, epochs, key, score) entries).
+  */
+class AshaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def tinyDs: SurvDataset = {
+    import spark.implicits._
+    val rng = new Random(3)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, rng.nextDouble(), rng.nextDouble() * 2.0, rng.nextInt(2))
+    }
+    SurvDataset.fromDataFrame(rows.toDF("idx", "x1", "time", "event"),
+      Seq(col("idx")), "time", "event", features = Some(Seq("x1")))
+  }
+
+  /** Deterministic score with the DEFAULT config ({}) as the global
+    * optimum: 1.0 for defaults, a key-hashed value in (0, 0.5) plus a
+    * tiny epochs bonus otherwise — so the winner contract is exact
+    * regardless of which non-default configs the async timing samples.
+    */
+  private final class DefaultBestFactory(
+      val name: String, active: AtomicInteger, maxActive: AtomicInteger)
+      extends ModelFactory {
+    val space: Seq[Param] = Seq(
+      CategoricalP("a", Seq(1, 2, 3)), CategoricalP("b", Seq(true, false)))
+    def build(params: Map[String, Any], epochs: Int): SurvModel = new SurvModel {
+      def name: String = DefaultBestFactory.this.name
+      def hyperparameterSpace: Seq[Param] = space
+      def fit(ds: SurvDataset): FittedSurvModel = {
+        val now = active.incrementAndGet()
+        maxActive.getAndUpdate(m => math.max(m, now))
+        try {
+          Thread.sleep(30)
+          val c =
+            if (params.isEmpty) 1.0
+            else {
+              val h = (DefaultBestFactory.this.name +
+                params.toSeq.sortBy(_._1).mkString(",")).hashCode
+              0.1 + (math.abs(h) % 1000) / 2500.0 + 1e-4 * epochs
+            }
+          new FittedSurvModel {
+            def predictSurv(t: DataFrame, g: Array[Double]): DataFrame =
+              throw new UnsupportedOperationException("stub")
+            override def score(ds: SurvDataset): Map[String, Double] =
+              Map("c_index" -> c, "brier_score" -> 0.0)
+          }
+        } finally { active.decrementAndGet(); () }
+      }
+    }
+  }
+
+  private def mkHb(async: Boolean, parallelism: Int,
+                   maxActive: AtomicInteger): Hyperband = {
+    val active = new AtomicInteger(0)
+    val seeds = Seq(
+      new DefaultBestFactory("asha_a", active, maxActive),
+      new DefaultBestFactory("asha_b", active, maxActive))
+    new Hyperband(seeds = seeds, maxIter = 9, eta = 3, outputEpochs = 11,
+      seedRng = 42L, parallelism = parallelism, async = async)
+  }
+
+  test("async winner scores >= the sync winner (default-config optimum)") {
+    val ds = tinyDs
+    val hbSync = mkHb(async = false, parallelism = 2, new AtomicInteger(0))
+    hbSync.selectModel(ds)
+    assert(hbSync.bestScore == 1.0 && hbSync.bestParams.isEmpty,
+      s"sync fixture contract broke: ${hbSync.bestScore} ${hbSync.bestParams}")
+    val maxActive = new AtomicInteger(0)
+    val hbAsync = mkHb(async = true, parallelism = 4, maxActive)
+    hbAsync.selectModel(ds)
+    assert(hbAsync.bestScore >= hbSync.bestScore,
+      s"async ${hbAsync.bestScore} < sync ${hbSync.bestScore}")
+    assert(hbAsync.bestParams.isEmpty, hbAsync.bestParams.toString)
+    // the async pool genuinely overlapped evaluations
+    assert(maxActive.get() >= 2,
+      s"async never overlapped fits (maxActive=${maxActive.get()})")
+    // final `seeds` narrowing (the reference's 2-best contract) holds
+    assert(hbAsync.seeds.size == 2)
+  }
+
+  test("ASHA trace invariants: rung ladders, promotion provenance, " +
+    "promotion fraction, sampling budget") {
+    val ds = tinyDs
+    val hb = mkHb(async = true, parallelism = 4, new AtomicInteger(0))
+    hb.selectModel(ds)
+    val trace = hb.ashaTrace.toSeq
+    assert(trace.nonEmpty)
+    val eta = 3
+    val maxIter = 9
+    // (1) epoch ladder: epochs at (bracket s, rung i) = maxIter·η^(i−s)
+    trace.foreach { case (s, i, epochs, key, _) =>
+      val want = (maxIter * math.pow(eta.toDouble, i - s)).round.toInt
+      assert(epochs == want, s"($s,$i,$key): epochs $epochs != $want")
+    }
+    val byBracket = trace.groupBy(_._1)
+    byBracket.foreach { case (s, entries) =>
+      val byRung = entries.groupBy(_._2).view.mapValues(_.size).toMap
+      // (2) promotion fraction: |rung i+1| <= floor(|rung i| / η)
+      (0 until s).foreach { i =>
+        val lower = byRung.getOrElse(i, 0)
+        val upper = byRung.getOrElse(i + 1, 0)
+        assert(upper <= lower / eta,
+          s"bracket $s rung ${i + 1}: $upper promoted from $lower")
+      }
+      // (3) provenance: every rung-i+1 completion's config completed
+      // rung i EARLIER in the trace (promotion follows completion)
+      entries.filter(_._2 > 0).foreach { case (_, i, _, key, _) =>
+        val below = trace.indexWhere(e =>
+          e._1 == s && e._2 == i - 1 && e._4 == key)
+        val here = trace.indexWhere(e =>
+          e._1 == s && e._2 == i && e._4 == key)
+        assert(below >= 0 && below < here,
+          s"bracket $s rung $i config $key has no earlier rung-${i - 1} run")
+      }
+      // (4) sampling budget: rung-0 count <= k·ceil(n_s/k) attempts
+      val n = math.ceil(
+        3.0 * maxIter / maxIter / (s + 1) * math.pow(eta, s)).toInt
+      val quota = 2 * math.ceil(n / 2.0).toInt
+      assert(byRung.getOrElse(0, 0) <= quota,
+        s"bracket $s sampled ${byRung.getOrElse(0, 0)} > $quota")
+    }
+    // (5) no config evaluated twice at the same (bracket, rung)
+    val dup = trace.groupBy(e => (e._1, e._2, e._4)).find(_._2.size > 1)
+    assert(dup.isEmpty, s"duplicate evaluation: $dup")
+  }
+}
