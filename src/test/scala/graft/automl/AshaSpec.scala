@@ -98,6 +98,35 @@ class AshaSpec extends AnyFunSuite {
     assert(hbAsync.seeds.size == 2)
   }
 
+  test("REAL models: async search completes on churn sf0.001 and its " +
+    "winner never falls below the evaluated default configs") {
+    // the stub tests prove the scheduler mechanics; this one proves the
+    // real trainers (distributed gradients, TrainCache sharing, Pins
+    // scoping, FAIR-pool tagging) survive the ASHA worker threading.
+    // Sync and async sample different non-default configs (documented
+    // timing nondeterminism), so the quality pin is the H2 floor both
+    // modes share: every family's DEFAULT config is evaluated, and the
+    // winner can never score below the best of them.
+    val ds = graft.surv.ChurnView.dataset(spark, "/root/testdata/sf0.001")
+    val hb = new Hyperband(maxIter = 9, eta = 3, outputEpochs = 11,
+      seedRng = 42L, parallelism = 4, async = true)
+    val fitted = hb.selectModel(ds)
+    try {
+      assert(hb.bestScore > Double.NegativeInfinity &&
+        !hb.bestScore.isNaN, hb.bestScore.toString)
+      assert(hb.bestModel.nonEmpty && hb.seeds.size == 2)
+      assert(hb.ashaTrace.nonEmpty)
+      // every rung-0 DEFAULT config of every family was evaluated
+      // (the H2 contract async preserves), so the async best can
+      // never fall below the best default — which on this fixture is
+      // also a floor under the sync winner's family quality
+      val defaults = hb.ashaTrace.filter(e =>
+        e._2 == 0 && e._4.endsWith("|")).map(_._5)
+      assert(defaults.nonEmpty, "no default configs in the async trace")
+      assert(hb.bestScore >= defaults.max)
+    } finally fitted.release()
+  }
+
   test("ASHA trace invariants: rung ladders, promotion provenance, " +
     "promotion fraction, sampling budget") {
     val ds = tinyDs
