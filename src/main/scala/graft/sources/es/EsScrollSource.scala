@@ -254,8 +254,17 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggSpecs: Option[Seq[EsAggSpec]] = None
+  private var groupBy: Seq[StructField] = Nil
   private val approxDistinct =
     Option(options.get("approxDistinct")).exists(_.toBoolean)
+  // GROUP BY pushdown (composite agg) is exact, so it defaults ON for
+  // groupable keys; the opt-out exists for the CARDINALITY tradeoff,
+  // not correctness: the composite enumeration pages every group
+  // through one reader, so when distinct groups approach the doc
+  // count the sliced row scan + Spark's parallel shuffle agg is the
+  // faster plan. Typical analytics (groups ≪ docs) wins server-side.
+  private val groupedAggPushdown =
+    Option(options.get("groupedAggPushdown")).forall(_.toBoolean)
   // String equality/In push down as ES `term`/`terms`, which match
   // ANALYZED tokens — on a text-mapped field that silently drops rows
   // (the probe filters server-side; Spark cannot resurrect them).
@@ -288,22 +297,62 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Global (no GROUP BY) count-shaped aggregates run server-side as
-    * ONE HTTP request instead of a full scroll — the reference's eland
-    * parity (`len()` → `_count`, `nunique()` → `cardinality`,
-    * dataset.py:64-68,83). Spark only offers an aggregation for
-    * pushdown after ALL filters were pushed (a post-scan filter blocks
-    * it in V2ScanRelationPushDown), so the pushed query string is the
-    * complete predicate and the server-side numbers are final.
+  /** Count-shaped aggregates run server-side instead of a full
+    * scroll — the reference's eland parity for the GLOBAL forms
+    * (`len()` → `_count`, `nunique()` → `cardinality`,
+    * dataset.py:64-68,83) and, BEYOND eland, exact GROUP BY pushdown
+    * through the ES `composite` aggregation (terms sources paged by
+    * `after_key` — exact and complete, unlike a plain `terms` agg
+    * whose per-shard `size` truncation is approximate). Spark only
+    * offers an aggregation for pushdown after ALL filters were pushed
+    * (a post-scan filter blocks it in V2ScanRelationPushDown), so the
+    * pushed query string is the complete predicate and the
+    * server-side numbers are final.
+    *
+    * Grouping columns must be ATOMIC and doc-values-backed with an
+    * unambiguous composite key wire form: int/long (composite returns
+    * the exact JSON integer), float/double (IEEE round-trip),
+    * keyword strings under the `keywordStrings` assertion (an
+    * ANALYZED field would bucket per-token), and `date` under the
+    * `dateMillisPushdown` assertion (composite keys come back as
+    * epoch millis — exact only when the index stores ms-aligned
+    * times, the same contract as date range pushdown). BooleanType
+    * stays Spark-side: a terms source renders boolean keys as 0/1
+    * numbers with a `key_as_string`, a wire shape this reader refuses
+    * to guess at. Arrays/structs/maps never group (per-ELEMENT bucket
+    * explosion vs Spark's whole-value grouping). Missing values form
+    * a `missing_bucket: true` null-key bucket — Spark's GROUP BY
+    * keeps null groups. Per-bucket aggregates: COUNT(*) →
+    * `doc_count`, COUNT(col) → `value_count` (counts docs with a
+    * value on a scalar field — Spark's null-skipping count),
+    * COUNT(DISTINCT) → `cardinality` behind `approxDistinct`, and
+    * float/double MIN/MAX → metric sub-aggs. Integral MIN/MAX keeps
+    * the whole aggregation Spark-side: the global path's exact
+    * size-1 sorted search has no per-bucket analogue short of one
+    * HTTP call per group, and the metric agg's double payload drops
+    * bits past 2^53.
     */
-  private def translateAgg(agg: Aggregation): Option[Seq[EsAggSpec]] = {
-    if (agg.groupByExpressions().nonEmpty) return None
+  private def translateAgg(agg: Aggregation)
+      : Option[(Seq[StructField], Seq[EsAggSpec])] = {
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
         Some(r.fieldNames()(0))
       case _ => None
     }
+    val grouped = agg.groupByExpressions().nonEmpty
+    def groupable(f: StructField): Boolean = f.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType => true
+      case StringType => keywordStrings
+      case TimestampNTZType => dateMillisPushdown
+      case _ => false // boolean wire form, arrays/structs/maps: doc above
+    }
+    val groupFields: Seq[Option[StructField]] =
+      agg.groupByExpressions().toSeq.map(e =>
+        fieldOf(e).flatMap(c => fullSchema.fields.find(_.name == c))
+          .filter(groupable))
+    if (grouped &&
+      (!groupedAggPushdown || groupFields.exists(_.isEmpty))) return None
     // counting aggs never parse field VALUES, so dates are safe; a
     // text-ANALYZED string field would make exists/cardinality operate
     // per-token-index semantics on some mappings — string fields need
@@ -342,13 +391,18 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
         fieldOf(c.column).filter(countable).map(EsAggSpec("distinct", _))
       case m: Min =>
         fieldOf(m.column).flatMap(f =>
-          extremumType(f).map(EsAggSpec("min", f, _)))
+          extremumType(f).filter(t =>
+            !grouped || t == "double" || t == "float")
+            .map(EsAggSpec("min", f, _)))
       case m: Max =>
         fieldOf(m.column).flatMap(f =>
-          extremumType(f).map(EsAggSpec("max", f, _)))
+          extremumType(f).filter(t =>
+            !grouped || t == "double" || t == "float")
+            .map(EsAggSpec("max", f, _)))
       case _ => None
     }
-    if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
+    if (specs.nonEmpty && specs.forall(_.isDefined))
+      Some((groupFields.flatten, specs.flatten))
     else None
   }
 
@@ -357,11 +411,16 @@ private[es] final class EsScanBuilder(fullSchema: StructType,
 
   override def pushAggregation(agg: Aggregation): Boolean =
     translateAgg(agg) match {
-      case s @ Some(_) => aggSpecs = s; true
+      case Some((g, s)) => groupBy = g; aggSpecs = Some(s); true
       case None => false
     }
 
   override def build(): Scan = aggSpecs match {
+    case Some(specs) if groupBy.nonEmpty => new EsGroupedAggScan(
+      groupBy, specs, pushed,
+      nodes = require("nodes"), index = require("index"),
+      pageSize = Option(options.get("compositePageSize"))
+        .map(_.toInt).getOrElse(1000))
     case Some(specs) => new EsAggScan(specs, pushed,
       nodes = require("nodes"), index = require("index"))
     case None => new EsScan(required, pushed,
@@ -680,6 +739,213 @@ private[es] final class EsAggReader(specs: Seq[EsAggSpec], queryJson: String,
     viaSort.foreach { case (s, i) => fetchSortedExtremum(s, i, out) }
     row = out
     true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Completely-pushed GROUP BY aggregation through the ES `composite`
+  * aggregation: one partition pages the exact, totally-ordered bucket
+  * enumeration with `after_key` (size-bounded requests, constant
+  * reader memory), emitting one row per group — group-key columns
+  * first, then the aggregates, Spark's positional contract for a
+  * pushed grouped aggregation. Exactness is the point: a plain
+  * `terms` agg truncates to its per-shard `size` and reports
+  * `doc_count_error_upper_bound`; `composite` enumerates every bucket
+  * exactly once. `missing_bucket: true` keeps Spark's null group.
+  *
+  * Scale shape: `GROUP BY lang` over a 10-TB index costs the server
+  * one aggregation pass and the wire `groups/pageSize` JSON pages —
+  * the scroll scan (10 TB of `_source`) never runs. The single-reader
+  * enumeration is the right trade while groups ≪ docs; for key spaces
+  * approaching the doc count, disable via `groupedAggPushdown=false`
+  * and let the sliced scan + Spark shuffle agg parallelize.
+  */
+private[es] final class EsGroupedAggScan(groups: Seq[StructField],
+                                         specs: Seq[EsAggSpec],
+                                         filters: Array[Filter],
+                                         nodes: String, index: String,
+                                         pageSize: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    groups.map(g => StructField(g.name, g.dataType, nullable = true)) ++
+      specs.zipWithIndex.map { case (s, i) =>
+        val (dt, nullable) = s.kind match {
+          case "min" | "max" => (s.dt match {
+            case "float" => FloatType: DataType
+            case _ => DoubleType: DataType
+          }, true)
+          case _ => (LongType: DataType, false)
+        }
+        StructField(s"agg$i", dt, nullable)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"EsGroupedAggScan(index=$index, groupBy=${groups.map(_.name).mkString(",")}, " +
+      s"aggs=${specs.mkString(",")}, query=${EsQuery.render(filters)})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EsInputPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EsGroupedAggReaderFactory(
+      StructType(groups).json,
+      specs.map(s => s.kind + ":" + s.dt + ":" + s.field).toArray,
+      EsQuery.render(filters), nodes, index, pageSize)
+}
+
+private[es] final class EsGroupedAggReaderFactory(groupsJson: String,
+                                                  specEnc: Array[String],
+                                                  queryJson: String,
+                                                  nodes: String, index: String,
+                                                  pageSize: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new EsGroupedAggReader(
+      DataType.fromJson(groupsJson).asInstanceOf[StructType],
+      specEnc.map { s =>
+        val a = s.indexOf(':'); val b = s.indexOf(':', a + 1)
+        EsAggSpec(s.substring(0, a), s.substring(b + 1), s.substring(a + 1, b))
+      }, queryJson, nodes, index, pageSize)
+}
+
+private[es] final class EsGroupedAggReader(groups: StructType,
+                                           specs: Seq[EsAggSpec],
+                                           queryJson: String,
+                                           nodes: String, index: String,
+                                           pageSize: Int)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private var buffer: Iterator[InternalRow] = Iterator.empty
+  private var afterKey: JsonNode = _
+  private var exhausted = false
+  private var row: InternalRow = _
+
+  private def post(url: String, body: String): JsonNode = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+      .timeout(EsScrollSource.RequestTimeout)
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp = EsScrollSource.httpClient()
+      .send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"ES ${resp.statusCode()} from $url: ${resp.body().take(500)}")
+    mapper.readTree(resp.body())
+  }
+
+  private def requestBody(): String = {
+    val body = mapper.createObjectNode()
+    body.put("size", 0)
+    body.set[ObjectNode]("query",
+      mapper.readTree(queryJson).asInstanceOf[ObjectNode])
+    val comp = body.putObject("aggs").putObject("groups")
+    val compSpec = comp.putObject("composite")
+    compSpec.put("size", pageSize)
+    val sources = compSpec.putArray("sources")
+    groups.fields.foreach { g =>
+      val terms = sources.addObject().putObject(g.name).putObject("terms")
+      terms.put("field", g.name)
+      terms.put("missing_bucket", true) // Spark GROUP BY keeps null groups
+    }
+    if (afterKey != null) compSpec.set[ObjectNode]("after", afterKey)
+    val subs = comp.putObject("aggs")
+    specs.zipWithIndex.foreach { case (s, i) =>
+      s.kind match {
+        case "star" => // every bucket carries doc_count
+        case "count" =>
+          subs.putObject(s"agg$i").putObject("value_count")
+            .put("field", s.field)
+        case "distinct" =>
+          val c = subs.putObject(s"agg$i").putObject("cardinality")
+          c.put("field", s.field)
+          c.put("precision_threshold", 40000)
+        case k @ ("min" | "max") =>
+          subs.putObject(s"agg$i").putObject(k).put("field", s.field)
+      }
+    }
+    body.toString
+  }
+
+  private def longAt(n: JsonNode, what: String): Long = {
+    if (!n.canConvertToLong)
+      throw new java.io.IOException(
+        s"EsGroupedAggScan: expected an integral $what, " +
+          s"got '${n.toString.take(80)}'")
+    n.asLong()
+  }
+
+  private def setGroupKey(out: GenericInternalRow, i: Int,
+                          f: StructField, v: JsonNode): Unit = {
+    if (v == null || v.isNull || v.isMissingNode) { out.setNullAt(i); return }
+    f.dataType match {
+      case LongType => out.setLong(i, longAt(v, s"key ${f.name}"))
+      case IntegerType =>
+        if (!v.canConvertToInt) throw new java.io.IOException(
+          s"EsGroupedAggScan: int key ${f.name} out of range: $v")
+        out.setInt(i, v.asInt())
+      case DoubleType => out.setDouble(i, v.asDouble())
+      case FloatType => out.setFloat(i, v.asDouble().toFloat)
+      case StringType => out.update(i, UTF8String.fromString(v.asText()))
+      case TimestampNTZType =>
+        // composite date keys travel as epoch millis; exact under the
+        // dateMillisPushdown assertion that gates date grouping
+        out.setLong(i, math.multiplyExact(longAt(v, s"key ${f.name}"), 1000L))
+      case other => throw new java.io.IOException(
+        s"EsGroupedAggScan: unsupported group key type $other")
+    }
+  }
+
+  private def fetchPage(): Unit = {
+    val resp = post(s"$nodes/$index/_search", requestBody())
+    val agg = resp.path("aggregations").path("groups")
+    val buckets = agg.path("buckets")
+    if (!buckets.isArray)
+      throw new java.io.IOException(
+        s"EsGroupedAggScan: no composite buckets in response: " +
+          resp.toString.take(200))
+    val n = buckets.size()
+    val rows = (0 until n).iterator.map { b =>
+      val bucket = buckets.get(b)
+      val out = new GenericInternalRow(groups.length + specs.length)
+      val key = bucket.path("key")
+      groups.fields.zipWithIndex.foreach { case (f, i) =>
+        setGroupKey(out, i, f, key.path(f.name))
+      }
+      specs.zipWithIndex.foreach { case (s, i) =>
+        val j = groups.length + i
+        s.kind match {
+          case "star" =>
+            out.setLong(j, longAt(bucket.path("doc_count"), "doc_count"))
+          case "count" =>
+            out.setLong(j, longAt(bucket.path(s"agg$i").path("value"),
+              s"value_count(${s.field})"))
+          case "distinct" =>
+            out.setLong(j, longAt(bucket.path(s"agg$i").path("value"),
+              s"cardinality(${s.field})"))
+          case k @ ("min" | "max") =>
+            val v = bucket.path(s"agg$i").path("value")
+            if (v.isNull || v.isMissingNode) out.setNullAt(j)
+            else if (!v.isNumber) throw new java.io.IOException(
+              s"EsGroupedAggScan: expected a number for $k(${s.field}), " +
+                s"got '${v.toString.take(80)}'")
+            else if (s.dt == "float") out.setFloat(j, v.asDouble().toFloat)
+            else out.setDouble(j, v.asDouble())
+        }
+      }
+      out: InternalRow
+    }.toVector
+    buffer = rows.iterator
+    val ak = agg.path("after_key")
+    // a short page is the end of the enumeration; ES echoes after_key
+    // for every non-empty page, so paging stops on size, not presence
+    if (n < pageSize || ak.isMissingNode || ak.isNull) exhausted = true
+    else afterKey = ak
+  }
+
+  override def next(): Boolean = {
+    while (!buffer.hasNext && !exhausted) fetchPage()
+    if (buffer.hasNext) { row = buffer.next(); true } else false
   }
 
   override def get(): InternalRow = row

@@ -62,28 +62,44 @@ class EsScrollSourceSpec extends AnyFunSuite {
     // indexes no value for it (exists=false) while an ArrayType read
     // materializes a non-null [] that Spark's COUNT(col) counts
     @volatile var emptyArrayDocId: Option[Long] = None
+    // when set, that doc has NO lang value (field absent): composite
+    // missing_bucket semantics get a real missing key to group
+    @volatile var nullLangDocId: Option[Long] = None
     // scroll_id -> (remaining rows, page size)
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[String, (List[Int], Int)]()
     private val nextId = new AtomicInteger(0)
 
-    private def evalQuery(q: JsonNode, i: Int): Boolean = {
+    /** Typed field access (composite grouping + exists): null when the
+      * doc has no value for the field. `created` is the indexed epoch
+      * millis as a Long — the wire type composite date keys travel as.
+      */
+    private def fieldValue(i: Int, name: String): Any = {
       val (id, lang, score, flagged) = store.get(i)
-      def field(name: String): Any = name match {
+      name match {
         case "doc_id" => id
-        case "lang" => lang
+        case "lang" => if (nullLangDocId.contains(id)) null else lang
         case "score" => score
         case "flagged" => flagged
-        case "created" => (dateBase + id * 1000).toDouble // indexed ms
+        case "created" => dateBase + id * 1000
+      }
+    }
+
+    private def evalQuery(q: JsonNode, i: Int): Boolean = {
+      def field(name: String): Any = fieldValue(i, name) match {
+        case l: Long if name == "created" => l.toDouble // range cmp path
+        case v => v
       }
       if (q.has("match_all")) true
       else if (q.has("term")) {
         val f = q.get("term").properties().asScala.head
-        field(f.getKey).toString == f.getValue.asText()
+        val v = field(f.getKey)
+        v != null && v.toString == f.getValue.asText()
       } else if (q.has("terms")) {
         val f = q.get("terms").properties().asScala.head
-        f.getValue.elements().asScala.exists(v =>
-          field(f.getKey).toString == v.asText())
+        val v = field(f.getKey)
+        v != null && f.getValue.elements().asScala.exists(x =>
+          v.toString == x.asText())
       } else if (q.has("range")) {
         val f = q.get("range").properties().asScala.head
         field(f.getKey) match {
@@ -110,7 +126,8 @@ class EsScrollSourceSpec extends AnyFunSuite {
               }
             }
         }
-      } else if (q.has("exists")) true // no null fields in the fixture
+      } else if (q.has("exists"))
+        field(q.get("exists").get("field").asText()) != null
       else if (q.has("bool")) {
         val b = q.get("bool")
         val must = !b.has("filter") ||
@@ -130,7 +147,8 @@ class EsScrollSourceSpec extends AnyFunSuite {
     private def hitSource(src: com.fasterxml.jackson.databind.node.ObjectNode,
                           i: Int): Unit = {
       val (id, lang, score, flagged) = store.get(i)
-      src.put("doc_id", id); src.put("lang", lang)
+      src.put("doc_id", id)
+      if (!nullLangDocId.contains(id)) src.put("lang", lang)
       if (emptyArrayDocId.contains(id)) src.putArray("score")
       else if (multiValueDocId.contains(id)) {
         val arr = src.putArray("score"); arr.add(score); arr.add(score + 1)
@@ -149,6 +167,107 @@ class EsScrollSourceSpec extends AnyFunSuite {
       resp.put("_scroll_id", key)
       val hitsArr = resp.putObject("hits").putArray("hits")
       now.foreach(i => hitSource(hitsArr.addObject().putObject("_source"), i))
+      resp.toString
+    }
+
+    /** Composite-agg semantics per the public contract: group matching
+      * docs by the terms-source key tuple (a doc with a missing key on
+      * a source WITHOUT missing_bucket is dropped; WITH it, the null
+      * key forms its own bucket, ordered first under asc), order
+      * buckets by key, resume strictly after `after`, emit at most
+      * `size` buckets plus the last key as `after_key`, and serve the
+      * per-bucket sub-aggs (value_count / cardinality / min / max).
+      */
+    private def serveComposite(name: String, spec: JsonNode,
+                               query: JsonNode): String = {
+      val comp = spec.get("composite")
+      val size = comp.path("size").asInt(10)
+      val sources = comp.get("sources").elements().asScala.toSeq.map { s =>
+        val e = s.properties().asScala.head
+        val terms = e.getValue.get("terms")
+        (e.getKey, terms.get("field").asText(),
+          terms.path("missing_bucket").asBoolean(false))
+      }
+      val matching = (0 until store.size).filter(i => evalQuery(query, i))
+      def keyOf(i: Int): Option[Seq[Any]] = {
+        val vs = sources.map { case (_, f, mb) => (fieldValue(i, f), mb) }
+        if (vs.exists(v => v._1 == null && !v._2)) None
+        else Some(vs.map(_._1))
+      }
+      def cmpOne(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+        case other => sys.error(s"mock cannot order key pair $other")
+      }
+      def cmp(a: Seq[Any], b: Seq[Any]): Int =
+        a.zip(b).iterator.map { case (x, y) => cmpOne(x, y) }
+          .find(_ != 0).getOrElse(0)
+      val ordered = matching.flatMap(i => keyOf(i).map(_ -> i))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        .sortWith((l, r) => cmp(l._1, r._1) < 0)
+      val after: Option[Seq[Any]] =
+        if (!comp.has("after")) None
+        else Some(sources.map { case (n, f, _) =>
+          val v = comp.get("after").get(n)
+          if (v == null || v.isNull) null
+          else f match {
+            case "doc_id" | "created" => v.asLong(): Any
+            case "score" => v.asDouble(): Any
+            case "lang" => v.asText(): Any
+            case "flagged" => v.asBoolean(): Any
+          }
+        })
+      val page = ordered
+        .dropWhile(b => after.exists(a => cmp(b._1, a) <= 0))
+        .take(size)
+      val resp = mapper.createObjectNode()
+      val aggOut = resp.putObject("aggregations").putObject(name)
+      def putVal(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                 fname: String, v: Any): Unit = v match {
+        case null => node.putNull(fname)
+        case x: Long => node.put(fname, x); ()
+        case x: Double => node.put(fname, x); ()
+        case x: String => node.put(fname, x); ()
+        case x: Boolean => node.put(fname, x); ()
+      }
+      val bucketsArr = aggOut.putArray("buckets")
+      page.foreach { case (key, rows) =>
+        val b = bucketsArr.addObject()
+        val keyNode = b.putObject("key")
+        sources.zip(key).foreach { case ((n, _, _), v) =>
+          putVal(keyNode, n, v) }
+        b.put("doc_count", rows.size)
+        spec.path("aggs").properties().asScala.foreach { sub =>
+          val sname = sub.getKey; val sspec = sub.getValue
+          if (sspec.has("value_count")) {
+            val f = sspec.get("value_count").get("field").asText()
+            b.putObject(sname).put("value",
+              rows.count(fieldValue(_, f) != null))
+          } else if (sspec.has("cardinality")) {
+            val f = sspec.get("cardinality").get("field").asText()
+            b.putObject(sname).put("value",
+              rows.map(fieldValue(_, f)).filter(_ != null).toSet.size)
+          } else if (sspec.has("min") || sspec.has("max")) {
+            val isMin = sspec.has("min")
+            val f = sspec.get(if (isMin) "min" else "max")
+              .get("field").asText()
+            val vs = rows.map(fieldValue(_, f)).collect { case d: Double => d }
+            val node = b.putObject(sname)
+            if (vs.isEmpty) node.putNull("value")
+            else node.put("value", if (isMin) vs.min else vs.max)
+          } else sys.error(s"mock cannot serve bucket agg: $sspec")
+        }
+      }
+      if (page.nonEmpty) {
+        val akNode = aggOut.putObject("after_key")
+        sources.zip(page.last._1).foreach { case ((n, _, _), v) =>
+          putVal(akNode, n, v) }
+      }
       resp.toString
     }
 
@@ -217,7 +336,16 @@ class EsScrollSourceSpec extends AnyFunSuite {
           val req = mapper.readTree(body)
           searches.add(req)
           val size = req.path("size").asInt(1000)
-          if (req.has("aggs")) {
+          val aggEntries =
+            if (req.has("aggs")) req.get("aggs").properties().asScala.toSeq
+            else Nil
+          if (aggEntries.size == 1 && aggEntries.head.getValue.has("composite")) {
+            // composite aggregation: exact, totally-ordered bucket
+            // enumeration paged by after_key; missing_bucket admits
+            // null-key groups (sorted first, the asc default)
+            serveComposite(aggEntries.head.getKey, aggEntries.head.getValue,
+              req.get("query"))
+          } else if (req.has("aggs")) {
             // server-side aggregation request (size=0): track_total_hits
             // → exact hits.total; filter+exists → doc_count;
             // cardinality → exact distinct count (fixture < threshold)
@@ -737,19 +865,137 @@ class EsScrollSourceSpec extends AnyFunSuite {
     } finally es.stop()
   }
 
-  test("grouped aggregates are NOT pushed — the scroll scan serves them") {
+  test("grouped aggregates are NOT pushed without the keywordStrings " +
+    "assertion — the scroll scan serves them") {
     val es = new MockEs
     try {
       val got = read(es).groupBy(col("lang")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
-      // pushdown only covers GLOBAL aggregates: no _count call, no
-      // server-side aggs body — the rows stream through the scan and
-      // Spark aggregates them
+      // an ANALYZED string field would bucket per token: without the
+      // keyword assertion the group key is not groupable, so no _count
+      // call and no server-side aggs body — the rows stream through
+      // the scan and Spark aggregates them
       assert(es.counts.get() == 0, "grouped count went to _count")
       assert(!es.searches.asScala.exists(_.has("aggs")),
         "grouped count pushed a server-side aggs body")
       assert(es.searches.asScala.nonEmpty)
+    } finally es.stop()
+  }
+
+  test("grouped count pushes as a paged composite aggregation") {
+    val es = new MockEs
+    try {
+      val df = read(es, "keywordStrings" -> "true",
+        "compositePageSize" -> "2").groupBy(col("lang")).count()
+      val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+      assert(es.scrollCalls.get() == 0 && es.counts.get() == 0,
+        "composite pushdown still ran a scan")
+      val sent = es.searches.asScala.toSeq
+      assert(sent.nonEmpty && sent.forall(s =>
+        s.path("aggs").path("groups").has("composite")), sent.mkString("|"))
+      // 3 langs at page size 2 → a second request resuming after_key
+      val afters = sent.map(s => s.path("aggs").path("groups")
+        .path("composite").path("after")).filterNot(_.isMissingNode)
+      assert(sent.size >= 2 && afters.nonEmpty, s"paging never resumed: $sent")
+      // missing_bucket requested: Spark's GROUP BY keeps null groups
+      assert(sent.head.toString.contains("\"missing_bucket\":true"),
+        sent.head.toString)
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }
+      assert(scans.exists(_.startsWith("EsGroupedAggScan")), scans.toString)
+      // explicit opt-out: when distinct groups approach the doc count,
+      // the sliced scan + Spark shuffle agg is the better plan
+      es.searches.clear()
+      val off = read(es, "keywordStrings" -> "true",
+        "groupedAggPushdown" -> "false").groupBy(col("lang")).count().collect()
+      assert(off.length == 3)
+      assert(!es.searches.asScala.exists(_.has("aggs")),
+        "opt-out still pushed the grouped agg")
+    } finally es.stop()
+  }
+
+  test("grouped count/value_count/cardinality/fp extrema ride one " +
+    "composite; a missing key forms Spark's null group") {
+    val es = new MockEs
+    try {
+      es.nullLangDocId = Some(7L) // a doc with no lang value
+      val df = read(es, "keywordStrings" -> "true",
+        "approxDistinct" -> "true")
+        .groupBy(col("lang"))
+        .agg(count(col("*")).as("n"), count(col("score")).as("ns"),
+          countDistinct(col("doc_id")).as("nd"),
+          min(col("score")).as("lo"), max(col("score")).as("hi"))
+      val got = df.collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+      val want = docs.map(d => (if (d._1 == 7L) null else d._2, d))
+        .groupBy(_._1).view.mapValues { g =>
+          val ss = g.map(_._2._3)
+          (g.size.toLong, g.size.toLong,
+            g.map(_._2._1).distinct.size.toLong, ss.min, ss.max)
+        }.toMap
+      assert(got == want)
+      assert(got.contains(null), "missing_bucket null group lost")
+      assert(es.scrollCalls.get() == 0, "scan ran despite pushdown")
+    } finally es.stop()
+  }
+
+  test("grouped integral extrema and boolean group keys stay Spark-side") {
+    val es = new MockEs
+    try {
+      // MIN(long) per group: the global path's exact size-1 sorted
+      // search has no per-bucket analogue, and a metric agg's double
+      // payload drops bits past 2^53 — the WHOLE aggregation row-scans
+      val got = read(es, "keywordStrings" -> "true")
+        .groupBy(col("lang")).agg(min(col("doc_id")).as("lo"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got ==
+        docs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap)
+      assert(!es.searches.asScala.exists(_.has("aggs")),
+        "grouped integral extremum pushed")
+      es.searches.clear()
+      // boolean group key: a terms source renders boolean keys as 0/1
+      // with key_as_string — a wire shape the reader refuses to guess
+      val gb = read(es, "keywordStrings" -> "true")
+        .groupBy(col("flagged")).count()
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      assert(gb == docs.groupBy(_._4).view.mapValues(_.size.toLong).toMap)
+      assert(!es.searches.asScala.exists(_.has("aggs")),
+        "boolean group key pushed")
+    } finally es.stop()
+  }
+
+  test("date group keys push only under dateMillisPushdown and return " +
+    "exact NTZ keys") {
+    val es = new MockEs
+    try {
+      def df(extra: (String, String)*) = {
+        val r = spark.read.format(classOf[EsScrollSource].getName)
+          .option("nodes", es.url).option("index", "docs")
+          .option("keywordStrings", "true")
+        extra.foreach { case (k, v) => r.option(k, v) }
+        r.load().groupBy(col("created")).count()
+      }
+      val got = df("dateMillisPushdown" -> "true").collect()
+        .map(r => r.getAs[java.time.LocalDateTime](0) -> r.getLong(1)).toMap
+      val want = docs.map { d =>
+        java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(es.dateBase + d._1 * 1000),
+          java.time.ZoneOffset.UTC) -> 1L
+      }.toMap
+      assert(got == want)
+      assert(es.scrollCalls.get() == 0, "scan ran despite date pushdown")
+      // without the ms-alignment assertion a sub-ms _source value
+      // would bucket differently server-side — stays Spark-side
+      es.searches.clear()
+      val off = df().collect()
+      assert(off.length == docs.size)
+      assert(!es.searches.asScala.exists(_.has("aggs")),
+        "date group key pushed without dateMillisPushdown")
     } finally es.stop()
   }
 
