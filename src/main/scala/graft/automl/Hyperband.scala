@@ -347,6 +347,7 @@ final class Hyperband(
     * mutates only under ONE monitor; evaluation runs outside it.
     */
   private def runAsha(ds: SurvDataset): Unit = {
+    ashaTrace.clear() // per-run trace: a reused instance must not mix runs
     val k = seeds.size
     final case class Cfg(m: ModelFactory, params: Map[String, Any]) {
       val key: String = keyOf(m.name, params)
@@ -372,6 +373,25 @@ final class Hyperband(
     val lock = new Object
     var inflight = 0
     var failure: Option[Throwable] = None
+    // set once, right after the workers are submitted; lets a failing
+    // worker cancel its siblings (the evalRung orphan-work rule)
+    val futuresRef = new java.util.concurrent.atomic.AtomicReference[
+      Seq[java.util.concurrent.Future[Unit]]](Nil)
+
+    // A failed acquisition or evaluation fails the SEARCH: record the
+    // first failure, wake peers blocked in lock.wait(), and interrupt
+    // in-flight sibling trainings — the same protocol evalRung applies
+    // with futures.foreach(_.cancel(true)), so the async path never
+    // burns hours of orphan cluster work after the search has already
+    // failed. Self-cancel is harmless: the caller returns right after.
+    def failAndStop(e: Throwable, releaseInflight: Boolean): Unit = {
+      lock.synchronized {
+        if (failure.isEmpty) failure = Some(e)
+        if (releaseInflight) inflight -= 1
+        lock.notifyAll()
+      }
+      futuresRef.get().foreach(_.cancel(true))
+    }
 
     // Callers hold `lock`. Promotion first (the deepest bracket's
     // highest promotable rung — finish good configs before starting
@@ -412,30 +432,40 @@ final class Hyperband(
       sc.setLocalProperty("spark.scheduler.pool", s"asha-$workerId")
       try {
         while (true) {
-          val job = lock.synchronized {
-            var j: Option[(Bracket, Int, Cfg)] = None
-            var done = false
-            while (!done) {
-              if (failure.isDefined) return
-              j = findJob()
-              if (j.isDefined || inflight == 0) done = true
-              else lock.wait() // a completion may unlock a promotion
+          // acquisition can throw too (findJob → sampleModel →
+          // Param.sample): an escaping exception here must not strand
+          // peers in lock.wait() with no notify — route it through the
+          // same failure protocol as an evaluation error. inflight is
+          // bumped only by the last, non-throwing statement, so the
+          // catch never owes a decrement.
+          val job =
+            try lock.synchronized {
+              var j: Option[(Bracket, Int, Cfg)] = None
+              var done = false
+              while (!done) {
+                if (failure.isDefined) done = true // j = None → exit below
+                else {
+                  j = findJob()
+                  if (j.isDefined || inflight == 0) done = true
+                  else lock.wait() // a completion may unlock a promotion
+                }
+              }
+              j.foreach(_ => inflight += 1)
+              j
+            } catch {
+              case e: Throwable =>
+                failAndStop(e, releaseInflight = false)
+                return
             }
-            j.foreach(_ => inflight += 1)
-            j
-          }
-          if (job.isEmpty) return // drained: no jobs, nothing in flight
+          // drained (no jobs, nothing in flight) or a peer failed
+          if (job.isEmpty) return
           val (b, i, cfg) = job.get
           val epochs = b.epochsAt(i)
           val score =
             try evalParams(cfg.m, ds, cfg.params, epochs)
             catch {
               case e: Throwable =>
-                lock.synchronized {
-                  if (failure.isEmpty) failure = Some(e)
-                  inflight -= 1
-                  lock.notifyAll()
-                }
+                failAndStop(e, releaseInflight = true)
                 return
             }
           lock.synchronized {
@@ -457,7 +487,13 @@ final class Hyperband(
           def call(): Unit = workerLoop(w)
         })
       }
-      futures.foreach(_.get())
+      futuresRef.set(futures)
+      // a worker cancelled by failAndStop surfaces CancellationException
+      // here; the original cause is rethrown from `failure` below
+      futures.foreach { f =>
+        try f.get()
+        catch { case _: java.util.concurrent.CancellationException => () }
+      }
     } finally { pool.shutdownNow(); () }
     failure.foreach(throw _)
   }

@@ -658,6 +658,14 @@ private[es] final class EsAggReader(specs: Seq[EsAggSpec], queryJson: String,
     val sortField = body.putArray("sort").addObject().putObject(s.field)
     sortField.put("order", if (s.kind == "min") "asc" else "desc")
     sortField.put("missing", "_last")
+    // Without this, a field with no mapping anywhere (explicit user
+    // schema over an empty index, or an alias where some backing
+    // indices lack the field) makes ES fail the whole search with 400
+    // "No mapping found ... in order to sort on". unmapped_type makes
+    // those shards sort every doc as missing (_last), so the valueless
+    // first hit falls through to the NULL path below — Spark's
+    // empty-set MIN/MAX semantics, matching the pre-pushdown plan.
+    sortField.put("unmapped_type", if (s.dt == "int") "integer" else "long")
     body.putArray("_source").add(s.field)
     val resp = post(s"$nodes/$index/_search", body.toString)
     val hitsArr = resp.path("hits").path("hits")

@@ -41,8 +41,10 @@ class AshaSpec extends AnyFunSuite {
   private final class DefaultBestFactory(
       val name: String, active: AtomicInteger, maxActive: AtomicInteger)
       extends ModelFactory {
+    // wide enough that the instance-level `visited` dedup never
+    // exhausts the space, even across the reuse test's two runs
     val space: Seq[Param] = Seq(
-      CategoricalP("a", Seq(1, 2, 3)), CategoricalP("b", Seq(true, false)))
+      CategoricalP("a", 1 to 50), CategoricalP("b", 1 to 50))
     def build(params: Map[String, Any], epochs: Int): SurvModel = new SurvModel {
       def name: String = DefaultBestFactory.this.name
       def hyperparameterSpace: Seq[Param] = space
@@ -171,5 +173,106 @@ class AshaSpec extends AnyFunSuite {
     // (5) no config evaluated twice at the same (bracket, rung)
     val dup = trace.groupBy(e => (e._1, e._2, e._4)).find(_._2.size > 1)
     assert(dup.isEmpty, s"duplicate evaluation: $dup")
+  }
+
+  test("reusing one instance does not mix traces across runs") {
+    val ds = tinyDs
+    val hb = mkHb(async = true, parallelism = 4, new AtomicInteger(0))
+    hb.selectModel(ds)
+    val first = hb.ashaTrace.toList
+    hb.selectModel(ds)
+    val second = hb.ashaTrace.toList
+    assert(first.nonEmpty && second.nonEmpty)
+    // without the per-run clear, `second` would contain all of `first`
+    // (the instance-level `visited` set makes run-2 keys fresh, so any
+    // overlap can only be stale run-1 entries)
+    assert(second.toSet.intersect(first.toSet).isEmpty,
+      s"stale run-1 entries leaked into run 2: " +
+        s"${second.toSet.intersect(first.toSet)}")
+    // the spec's budget invariant stays checkable on the reused
+    // instance: rung-0 completions per bracket within ONE run's quota
+    second.groupBy(_._1).foreach { case (s, entries) =>
+      val n = math.ceil(3.0 / (s + 1) * math.pow(3.0, s)).toInt
+      val quota = 2 * math.ceil(n / 2.0).toInt
+      val rung0 = entries.count(_._2 == 0)
+      assert(rung0 <= quota, s"bracket $s: $rung0 rung-0 runs > $quota")
+    }
+  }
+
+  /** Stub factory whose default-config fit is controllable: "boom"
+    * throws after a short delay, "slow" sleeps long enough that only a
+    * sibling interrupt can end it promptly. Sampling space is empty-
+    * choice, so any SAMPLING attempt throws from rng.nextInt(0) —
+    * which doubles as the acquisition-failure injector.
+    */
+  private final class ScriptedFactory(val name: String, fit0: () => Double)
+      extends ModelFactory {
+    val space: Seq[Param] = Seq(CategoricalP("a", Seq.empty))
+    def build(params: Map[String, Any], epochs: Int): SurvModel = new SurvModel {
+      def name: String = ScriptedFactory.this.name
+      def hyperparameterSpace: Seq[Param] = space
+      def fit(ds: SurvDataset): FittedSurvModel = {
+        val c = fit0()
+        new FittedSurvModel {
+          def predictSurv(t: DataFrame, g: Array[Double]): DataFrame =
+            throw new UnsupportedOperationException("stub")
+          override def score(ds: SurvDataset): Map[String, Double] =
+            Map("c_index" -> c, "brier_score" -> 0.0)
+        }
+      }
+    }
+  }
+
+  test("a sampling failure in job acquisition fails the search " +
+    "instead of deadlocking peers in lock.wait()") {
+    val ds = tinyDs
+    // defaults evaluate fine; the first non-default draw throws
+    // IllegalArgumentException from CategoricalP(Seq.empty).sample
+    val seeds = Seq[ModelFactory](
+      new ScriptedFactory("acq_a", () => 0.5),
+      new ScriptedFactory("acq_b", () => 0.4))
+    val hb = new Hyperband(seeds = seeds, maxIter = 9, eta = 3,
+      outputEpochs = 11, seedRng = 42L, parallelism = 4, async = true)
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException](hb.selectModel(ds))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage != null && e.getMessage.contains("bound"),
+      s"unexpected failure: $e")
+    // pre-fix this hung forever (peers blocked in lock.wait() with no
+    // notify); post-fix the search fails promptly
+    assert(elapsedMs < 30000, s"acquisition failure took ${elapsedMs}ms")
+  }
+
+  test("an evaluation failure cancels in-flight sibling trainings " +
+    "(the evalRung orphan-work rule, async flavor)") {
+    val ds = tinyDs
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val slowInterrupted = new AtomicInteger(0)
+    val seeds = Seq[ModelFactory](
+      new ScriptedFactory("slow_m", () => {
+        slowEntered.countDown()
+        try { Thread.sleep(60000); 0.4 }
+        catch {
+          case ie: InterruptedException =>
+            slowInterrupted.incrementAndGet(); throw ie
+        }
+      }),
+      new ScriptedFactory("boom_m", () => {
+        // let the slow sibling be genuinely in flight (and futuresRef
+        // published) before failing
+        slowEntered.await()
+        Thread.sleep(100)
+        throw new IllegalStateException("boom-eval")
+      }))
+    val hb = new Hyperband(seeds = seeds, maxIter = 9, eta = 3,
+      outputEpochs = 11, seedRng = 42L, parallelism = 2, async = true)
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException](hb.selectModel(ds))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage == "boom-eval", e.toString)
+    // the 60 s sleeper must have been interrupted, not slept out
+    assert(elapsedMs < 30000,
+      s"sibling ran to completion after the failure (${elapsedMs}ms)")
+    assert(slowInterrupted.get() >= 1, "slow sibling was never interrupted")
   }
 }

@@ -811,6 +811,11 @@ class EsScrollSourceSpec extends AnyFunSuite {
       val orders = sorts.map(
         _.get("sort").get(0).get("doc_id").get("order").asText()).toSet
       assert(orders == Set("asc", "desc"), orders.toString)
+      // unmapped_type: a field with no mapping anywhere (empty index,
+      // alias with non-uniform mappings) must sort-as-missing → NULL,
+      // not fail the search with 400 "No mapping found"
+      assert(sorts.forall(r => r.get("sort").get(0).get("doc_id")
+        .path("unmapped_type").asText() == "long"), sorts.mkString("|"))
       assert(!es.searches.asScala.exists(_.has("aggs")))
       assert(es.scrollCalls.get() == 0, "sorted-extremum pushdown scrolled")
     } finally es.stop()
