@@ -1,17 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** The three quadratic-BY-DESIGN parity baselines: each reproduces
-    * the reference's all-pairs semantics verbatim and exists so its
-    * scale twin (q_cindex_td_sorted, q_dedup_simhash60_pairs_bucketed)
-    * can be measured against it on the same board. At sf1 they cost
-    * 110 of 300 s while measuring the DATA SHAPE, not the engine — so
-    * scale rehearsals (sf1+) may skip them via
-    * `--parity-baselines=skip` or `SPARK_GRAFT_SKIP_PARITY=1`.
+  /** The quadratic-BY-DESIGN parity baselines: each reproduces the
+    * reference's all-pairs semantics verbatim and exists so its scale
+    * twin (q_cindex_td_sorted, q_dedup_simhash60_pairs_bucketed,
+    * q_dedup_embed_lsh) can be measured against it on the same board.
+    * At sf1 the first three cost 110 of 300 s while measuring the DATA
+    * SHAPE, not the engine — so scale rehearsals (sf1+) may skip them
+    * via `--parity-baselines=skip` or `SPARK_GRAFT_SKIP_PARITY=1`.
     * The default board (and every correctness gate) runs them.
+    *
+    * q_dedup_embed_cos joined the set in round 13: its all-pairs
+    * cartesian (13.6 s over 20k vectors at sf1) is O(n²) in the
+    * embedding count — at sf10's 200k vectors that is 2×10¹⁰
+    * interpreted predicate evaluations, sampled TWICE by the orderBy's
+    * RangePartitioner (the cartesian output is not cached), i.e. a
+    * multi-hour query measuring the baseline's data shape.
     */
   private val ParityBaselines =
-    Set("q_cindex_td", "q_dedup_simhash_pairs", "q_dedup_simhash_pairs_bucketed")
+    Set("q_cindex_td", "q_dedup_simhash_pairs", "q_dedup_simhash_pairs_bucketed",
+      "q_dedup_embed_cos")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
