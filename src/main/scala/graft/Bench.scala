@@ -10,16 +10,22 @@ object Bench {
     * via `--parity-baselines=skip` or `SPARK_GRAFT_SKIP_PARITY=1`.
     * The default board (and every correctness gate) runs them.
     *
-    * q_dedup_embed_cos joined the set in round 13: its all-pairs
-    * cartesian (13.6 s over 20k vectors at sf1) is O(n²) in the
-    * embedding count — at sf10's 200k vectors that is 2×10¹⁰
-    * interpreted predicate evaluations, sampled TWICE by the orderBy's
-    * RangePartitioner (the cartesian output is not cached), i.e. a
-    * multi-hour query measuring the baseline's data shape.
+    * Round-13 additions, each measured super-linear on the sf10 board
+    * with its scale twin green beside it: q_dedup_embed_cos (all-pairs
+    * cosine cartesian — 2×10¹⁰ interpreted predicate evaluations at
+    * 200k vectors; twin q_dedup_embed_lsh), q_cindex (Harrell via the
+    * all-pairs join — 55 s at sf10; twin q_cindex_sorted), and the two
+    * FIXED-8-cell semdedup configs (25k-vector cells at sf10 put 5×10⁹
+    * dot products through the within-cell witness join — 518 s; twin
+    * q_sim_semdedup_auto sizes cells to ~1k vectors from a corpus
+    * count), and q_dedup_embed_lsh's FIXED 4-plane config (16 buckets
+    * of 12.5k vectors at sf10 — 370 s; twin q_dedup_embed_lsh_auto
+    * sizes planes so expected occupancy stays ~500).
     */
   private val ParityBaselines =
     Set("q_cindex_td", "q_dedup_simhash_pairs", "q_dedup_simhash_pairs_bucketed",
-      "q_dedup_embed_cos")
+      "q_dedup_embed_cos", "q_cindex", "q_sim_semdedup", "q_sim_semdedup_kmeans",
+      "q_dedup_embed_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,6 +78,23 @@ object Pins {
     ds
   }
 
+  /** Pin `ds`, then globally order it — for queries whose FINAL
+    * orderBy sits on an expensive exchange-free frontier. A global
+    * sort is a range exchange, and RangePartitioner first runs a
+    * SAMPLE job over the full child output to pick bounds, then the
+    * real shuffle executes the child AGAIN. Below-frontier shuffle
+    * stages are reused (AQE materializes them), but everything ABOVE
+    * the last exchange — a cartesian pair predicate, a codec decode,
+    * a scan-fused scoring projection — executes twice per run.
+    * Pinning the frontier makes the sample pass populate the cache
+    * and the shuffle pass read it: the dominant work runs once.
+    * (jstack-verified on the sf10 board: q_dedup_embed_cos's
+    * RangePartitioner sample sat inside CartesianProductExec.)
+    */
+  def sortedOnce[T](ds: Dataset[T],
+                    cols: org.apache.spark.sql.Column*): Dataset[T] =
+    pin(ds).orderBy(cols: _*)
+
   /** RDD-level twin of [[pin]] for genuine RDD persists (per-partition
     * training accumulators etc.), which never enter the CacheManager.
     */

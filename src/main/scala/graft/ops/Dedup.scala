@@ -455,6 +455,26 @@ object Dedup {
     * pair carries its exact cosine. The oracle runs the identical
     * bucket arithmetic, so results still hash-match.
     */
+  /** [[embeddingPairsLsh]] with AUTO-SIZED planes: the plane count is
+    * the smallest p (1 ≤ p ≤ 30) with 2^p ≥ ceil(n / targetPerBucket),
+    * from ONE column-pruned corpus count — so expected bucket occupancy
+    * (and the within-bucket O(m²) candidate join) stays bounded at ANY
+    * corpus size, where a FIXED plane count is quadratic-over-2^planes
+    * (measured: the 4-plane parity config cost 370 s at sf10's 200k
+    * vectors — 16 buckets of 12.5k). Sizing is integer arithmetic only
+    * (ceil-divide + shift compare, no floating log2), so the DuckDB
+    * oracle replays it bit-exactly from its own count.
+    */
+  def embeddingPairsLshAuto(emb: DataFrame, idCol: String, vecCol: String,
+                            dims: Int, targetPerBucket: Int,
+                            minCos: Double): DataFrame = {
+    require(targetPerBucket > 0, s"targetPerBucket=$targetPerBucket must be > 0")
+    val n = emb.select(col(idCol)).count()
+    val buckets = math.max(1L, (n + targetPerBucket - 1) / targetPerBucket)
+    val planes = (1 to 30).find(p => (1L << p) >= buckets).getOrElse(30)
+    embeddingPairsLsh(emb, idCol, vecCol, dims, planes, minCos)
+  }
+
   def embeddingPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                         dims: Int, numPlanes: Int, minCos: Double): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.Tables
+import graft.core.{Pins, Tables}
 import graft.ops.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,26 +34,33 @@ object DedupQueries {
     }),
 
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", n = 3, minJac = 0.05, maxDocFreq = 100)
-        .orderBy("i", "j")),
+      Pins.sortedOnce(
+        Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, minJac = 0.05, maxDocFreq = 100),
+        col("i"), col("j"))),
 
     "q_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", numHashes = 16, rowsPerBand = 8, n = 3)
-        .orderBy("i", "j")),
+      Pins.sortedOnce(
+        Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", numHashes = 16, rowsPerBand = 8, n = 3),
+        col("i"), col("j"))),
 
+    // sortedOnce on this file's expensive-frontier queries: the final
+    // global sort otherwise executes the fingerprint / pair work twice
+    // (RangePartitioner sample + shuffle — see Pins.sortedOnce)
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text",
-          bits = 32)
-        .orderBy("id")),
+      Pins.sortedOnce(
+        Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text",
+          bits = 32),
+        col("id"))),
 
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       val fp = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id",
         "text", bits = 32)
-      Dedup.simhashPairs(fp, maxDist = 6)
-        .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))
-        .orderBy("i", "j")
+      Pins.sortedOnce(
+        Dedup.simhashPairs(fp, maxDist = 6)
+          .select(col("i"), col("j"), col("hamming").cast("int").as("hamming")),
+        col("i"), col("j"))
     }),
 
     // pigeonhole-bucketed scale path — identical rows to
@@ -64,9 +71,10 @@ object DedupQueries {
     "q_dedup_simhash_pairs_bucketed" -> ((s, dir) => {
       val fp = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id",
         "text", bits = 32)
-      Dedup.simhashPairsBucketed(fp, maxDist = 6, bits = 32)
-        .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))
-        .orderBy("i", "j")
+      Pins.sortedOnce(
+        Dedup.simhashPairsBucketed(fp, maxDist = 6, bits = 32)
+          .select(col("i"), col("j"), col("hamming").cast("int").as("hamming")),
+        col("i"), col("j"))
     }),
 
     // the config that survives 100 TB: 60-bit fingerprint, maxDist 3
@@ -75,16 +83,18 @@ object DedupQueries {
     "q_dedup_simhash60_pairs_bucketed" -> ((s, dir) => {
       val fp = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id",
         "text", bits = 60)
-      Dedup.simhashPairsBucketed(fp, maxDist = 3, bits = 60)
-        .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))
-        .orderBy("i", "j")
+      Pins.sortedOnce(
+        Dedup.simhashPairsBucketed(fp, maxDist = 3, bits = 60)
+          .select(col("i"), col("j"), col("hamming").cast("int").as("hamming")),
+        col("i"), col("j"))
     }),
 
     "q_dedup_embed_cos" -> ((s, dir) =>
-      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", minCos = 0.4)
-        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
-        .orderBy("i", "j")),
+      Pins.sortedOnce(
+        Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", minCos = 0.4)
+          .select(col("i"), col("j"), round(col("cos"), 6).as("cos")),
+        col("i"), col("j"))),
 
     // pairs → clusters: connected components over the n-gram-Jaccard
     // near-dup edges (same parameters as q_dedup_ngram_jaccard);
@@ -135,9 +145,10 @@ object DedupQueries {
     // 3-grams in >4 documents are boilerplate; their token positions
     // are dropped and the text rebuilt
     "q_dedup_span_scrub" -> ((s, dir) =>
-      Dedup.scrubDuplicateSpans(Tables.load(s, dir, "documents"),
-          "doc_id", "text", n = 3, maxDf = 4)
-        .orderBy("id")))
+      Pins.sortedOnce(
+        Dedup.scrubDuplicateSpans(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, maxDf = 4),
+        col("id"))))
 
   /** Shared SQL: distinct HASHED 3-gram shingles — 60-bit md5-prefix
     * ints, mirroring the engine's at-source shingle hashing (1-based

@@ -41,8 +41,12 @@ object SelectQueries {
     // the corpus-fitted bigram LM score (exact percentile — shared
     // p·(n−1) interpolation), one 1-row broadcast, scan-local CASE
     "q_text_lm_buckets" -> ((s, dir) => {
-      val lm = LangModel.bigramScore(Tables.load(s, dir, "documents"),
-        "doc_id", "text")
+      // pinned: the scan-fused bigram scoring feeds THREE passes — the
+      // percentile aggregate, the final sort's RangePartitioner sample,
+      // and the shuffle itself (see Pins.sortedOnce); unpinned it
+      // tokenizes and scores the corpus three times per run
+      val lm = graft.core.Pins.pin(LangModel.bigramScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text"))
       val th = lm.agg(expr("percentile(lm_score, 0.33)").as("p33"),
         expr("percentile(lm_score, 0.66)").as("p66"))
       lm.crossJoin(broadcast(th))

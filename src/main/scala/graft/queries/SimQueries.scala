@@ -64,19 +64,49 @@ object SimQueries {
     // embedding near-dup at scale: LSH-bucket equi-join instead of the
     // all-pairs join of q_dedup_embed_cos
     "q_dedup_embed_lsh" -> ((s, dir) =>
-      graft.ops.Dedup.embeddingPairsLsh(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", dims = Dims, numPlanes = Planes, minCos = 0.4)
-        .select(col("bucket"), col("i"), col("j"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy("i", "j")),
+      graft.core.Pins.sortedOnce(
+        graft.ops.Dedup.embeddingPairsLsh(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", dims = Dims, numPlanes = Planes, minCos = 0.4)
+          .select(col("bucket"), col("i"), col("j"),
+            round(col("cos"), 6).as("cos")),
+        col("i"), col("j"))),
+
+    // the 100-TB shape of the LSH near-dup: planes AUTO-SIZED from one
+    // corpus count (smallest p with 2^p >= ceil(n/500), pure integer
+    // arithmetic) — a FIXED plane count like the 4-plane parity config
+    // above is quadratic-over-2^planes (370 s at sf10's 200k vectors:
+    // 16 buckets of 12.5k); this one holds expected occupancy ~500 at
+    // any scale. Both stay on the correctness gate.
+    "q_dedup_embed_lsh_auto" -> ((s, dir) =>
+      graft.core.Pins.sortedOnce(
+        graft.ops.Dedup.embeddingPairsLshAuto(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", dims = Dims, targetPerBucket = 500,
+            minCos = 0.4)
+          .select(col("bucket"), col("i"), col("j"),
+            round(col("cos"), 6).as("cos")),
+        col("i"), col("j"))),
 
     // SemDeDup-style semantic dedup: coarse-quantizer clustering +
     // within-cell greedy leader rule (keep = no earlier-id neighbor
     // with cos >= tau); one verdict row per input vector
     "q_sim_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", numCells = 8, tau = 0.4)
-        .orderBy("vec_id")),
+      graft.core.Pins.sortedOnce(
+        Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", numCells = 8, tau = 0.4),
+        col("vec_id"))),
+
+    // the 100-TB shape of q_sim_semdedup: cells AUTO-SIZED to
+    // ~targetPerCell vectors from one corpus count, so the within-cell
+    // O(Σ|cell|²) witness join stays bounded at ANY corpus size —
+    // the fixed-8-cell variant above is the mechanics/parity config
+    // (at sf10's 200k vectors its 25k-vector cells cost 518 s where
+    // this one's ~1k-vector cells keep the same greedy-leader rule
+    // linear-ish; both stay on the correctness gate)
+    "q_sim_semdedup_auto" -> ((s, dir) =>
+      graft.core.Pins.sortedOnce(
+        Similarity.semDedupAuto(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", tau = 0.4, targetPerCell = 1000),
+        col("vec_id"))),
 
     // embedding near-dup ingest gate, batch-deterministic form:
     // banded sign-LSH buckets (independent plane family per band),
@@ -92,9 +122,10 @@ object SimQueries {
     // quantizer (lloydIters = 1) — verifies the kmeans+semDedup
     // wiring end to end
     "q_sim_semdedup_kmeans" -> ((s, dir) =>
-      Similarity.semDedup(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", numCells = 8, tau = 0.4, lloydIters = 1)
-        .orderBy("vec_id")),
+      graft.core.Pins.sortedOnce(
+        Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", numCells = 8, tau = 0.4, lloydIters = 1),
+        col("vec_id"))),
 
     // learned coarse quantizer: one Lloyd round (assign -> DECIMAL-
     // exact per-cell means, 6dp-rounded) from the deterministic init,
@@ -219,10 +250,16 @@ object SimQueries {
   // distance arithmetic and tie-break can never drift between them.
   // Emitted pre-stripped; hosts embed it via interpolation inside
   // their own stripMargin strings (embedded lines carry no margins).
-  private val quantizerCtes: String = {
+  private val quantizerCtes: String = quantizerCtesWith("vec_id % 8")
+
+  /** [[quantizerCtes]] with the cell-index expression parametrized —
+    * the auto-sized semdedup oracle derives it from a corpus count
+    * (`vec_id % (SELECT cells FROM nc)`) instead of a constant.
+    */
+  private def quantizerCtesWith(cellExpr: String): String = {
     val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
     val dot = dotSql
-    s"""cent AS (SELECT CAST(vec_id % 8 AS INT) AS cell, j,
+    s"""cent AS (SELECT CAST($cellExpr AS INT) AS cell, j,
        |                round(CAST(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15)))
        |                           AS VARCHAR) AS DOUBLE)
        |                      / CAST(count(*) AS DOUBLE), 6) AS c
@@ -289,6 +326,36 @@ object SimQueries {
          |FROM sc WHERE cos >= CAST(0.4 AS DOUBLE) ORDER BY i, j""".stripMargin
     },
 
+    // identical pair algebra; the plane count replays
+    // embeddingPairsLshAuto's integer sizing (ceil-divide + shift
+    // compare) from DuckDB's own count, and the bucket folds the
+    // dynamic plane range with nested list lambdas instead of the
+    // statically-unrolled per-plane CASE terms of q_dedup_embed_lsh
+    "q_dedup_embed_lsh_auto" -> {
+      val dot = dotSql.format("a.x", "b.x")
+      val na = dotSql.format("a.x", "a.x")
+      val nb = dotSql.format("b.x", "b.x")
+      val autoBucket =
+        """list_reduce(list_transform(generate_series(0, (SELECT p FROM np) - 1),
+          |  bb -> CASE WHEN list_reduce(list_transform(generate_series(0, 63),
+          |               j -> x[j + 1] * CAST((bb * 37 + j * 101) % 19 - 9 AS DOUBLE)),
+          |               (pa, qa) -> pa + qa) > CAST(0 AS DOUBLE)
+          |        THEN CAST(1 AS BIGINT) << bb ELSE CAST(0 AS BIGINT) END),
+          |  (pb, qb) -> pb + qb)""".stripMargin.replaceAll("\n", " ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |cnt AS (SELECT count(*) AS n FROM v),
+         |tgt AS (SELECT GREATEST(CAST(1 AS BIGINT), (n + 499) // 500) AS buckets FROM cnt),
+         |np AS (SELECT min(k) AS p
+         |       FROM (SELECT unnest(generate_series(1, 30)) AS k) g, tgt
+         |       WHERE (CAST(1 AS BIGINT) << k) >= tgt.buckets),
+         |bk AS (SELECT vec_id, x, $autoBucket AS bucket FROM v),
+         |sc AS (SELECT a.bucket AS bucket, a.vec_id AS i, b.vec_id AS j,
+         |              $dot / (sqrt($na) * sqrt($nb)) AS cos
+         |       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT bucket, i, j, round(cos, 6) AS cos
+         |FROM sc WHERE cos >= CAST(0.4 AS DOUBLE) ORDER BY i, j""".stripMargin
+    },
+
     // exact DECIMAL sum (order-independent) mirrors groupCentroids;
     // float32 → double is lossless widening on both engines
     "q_embed_centroids" ->
@@ -307,6 +374,28 @@ object SimQueries {
       val dot = dotSql
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
          |$quantizerCtes,
+         |dup AS (SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
+         |        FROM asgn a JOIN asgn b
+         |          ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |        WHERE round(${dot.format("a.x", "b.x")}
+         |              / (sqrt(${vv.format("a.x")}) * sqrt(${vv.format("b.x")})), 6)
+         |              >= CAST(0.4 AS DOUBLE)
+         |        GROUP BY 1)
+         |SELECT a.vec_id, a.cell,
+         |       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep, d.dup_of
+         |FROM asgn a LEFT JOIN dup d ON d.i = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
+
+    // identical greedy-leader algebra; cells derived from the corpus
+    // count exactly as semDedupAuto does (ceil-divide in integer
+    // arithmetic, floored at 1)
+    "q_sim_semdedup_auto" -> {
+      val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+      val dot = dotSql
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |nc AS (SELECT GREATEST(CAST(1 AS BIGINT), (count(*) + 999) // 1000) AS cells FROM v),
+         |${quantizerCtesWith("vec_id % (SELECT cells FROM nc)")},
          |dup AS (SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
          |        FROM asgn a JOIN asgn b
          |          ON a.cell = b.cell AND b.vec_id < a.vec_id

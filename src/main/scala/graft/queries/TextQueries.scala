@@ -15,22 +15,27 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sortedOnce on the scan-fused heavy scorers: their final global
+    // sort otherwise re-runs the whole tokenize/score scan for the
+    // RangePartitioner sample pass (see Pins.sortedOnce)
     "q_text_tokens" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"),
-          TA.bpeTokenCount(col("text")).as("n_bpe"))
-        .orderBy("doc_id")),
+      graft.core.Pins.sortedOnce(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"),
+            TA.bpeTokenCount(col("text")).as("n_bpe")),
+        col("doc_id"))),
 
     "q_text_quality" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          length(col("text")).as("n_chars"),
-          TA.tokenCount(col("text")).as("n_tokens"),
-          TA.round6HalfUp(TA.avgTokenLen(col("text"))).as("avg_tok_len"),
-          TA.round6HalfUp(TA.punctRatio(col("text"))).as("punct_ratio"),
-          TA.round6HalfUp(TA.stopwordRatio(col("text"))).as("stop_ratio"),
-          TA.round6HalfUp(TA.qualityScore(col("text"))).as("quality"))
-        .orderBy("doc_id")),
+      graft.core.Pins.sortedOnce(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars"),
+            TA.tokenCount(col("text")).as("n_tokens"),
+            TA.round6HalfUp(TA.avgTokenLen(col("text"))).as("avg_tok_len"),
+            TA.round6HalfUp(TA.punctRatio(col("text"))).as("punct_ratio"),
+            TA.round6HalfUp(TA.stopwordRatio(col("text"))).as("stop_ratio"),
+            TA.round6HalfUp(TA.qualityScore(col("text"))).as("quality")),
+        col("doc_id"))),
 
     "q_text_langid" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -79,10 +84,13 @@ object TextQueries {
             (id % 7).toInt + 1, (id % 256).toInt))
         })
         .toDF("doc_id", "payload")
-      Multimodal.decodeFeatures(cards, "doc_id", "payload")
-        .select(col("id"), col("width"), col("height"), col("format"),
-          col("n_pixels"), round(col("mean_luma"), 6).as("luma_r6"))
-        .orderBy("id")
+      // sortedOnce: the final sort's sample pass would otherwise run
+      // the CPU-bound encode+decode a second time (see Pins.sortedOnce)
+      graft.core.Pins.sortedOnce(
+        Multimodal.decodeFeatures(cards, "doc_id", "payload")
+          .select(col("id"), col("width"), col("height"), col("format"),
+            col("n_pixels"), round(col("mean_luma"), 6).as("luma_r6")),
+        col("id"))
     }),
 
     // the audio twin of q_multimodal_decode: derive (rate, frames,
@@ -101,8 +109,9 @@ object TextQueries {
             800 + (id % 100).toInt, ((id % 1000) * 30).toShort))
         })
         .toDF("doc_id", "payload")
-      Multimodal.decodeAudioFeatures(cards, "doc_id", "payload")
-        .orderBy("id")
+      graft.core.Pins.sortedOnce(
+        Multimodal.decodeAudioFeatures(cards, "doc_id", "payload"),
+        col("id"))
     }),
 
     // seed-stable hash sampling: a row-local scan-stage predicate,
@@ -141,12 +150,13 @@ object TextQueries {
     // composite corpus-cleaning pipeline: quality gate + language gate
     // + exact-dedup keep-first in one shuffle
     "q_corpus_clean" -> ((s, dir) =>
-      graft.ops.CorpusPipeline.clean(Tables.load(s, dir, "documents"),
-          "doc_id", "text", minQuality = 0.55, langs = Seq("de", "en"))
-        .select(col("fp"), col("id"),
-          TA.round6HalfUp(col("quality")).as("quality"),
-          col("lang_pred"), col("n_tokens"), col("n_dups"))
-        .orderBy("id")),
+      graft.core.Pins.sortedOnce(
+        graft.ops.CorpusPipeline.clean(Tables.load(s, dir, "documents"),
+            "doc_id", "text", minQuality = 0.55, langs = Seq("de", "en"))
+          .select(col("fp"), col("id"),
+            TA.round6HalfUp(col("quality")).as("quality"),
+            col("lang_pred"), col("n_tokens"), col("n_dups")),
+        col("id"))),
 
     // the END-TO-END training-set build: clean (quality+lang gate,
     // exact dedup) -> MinHash-LSH near-dup gate over survivors ->
@@ -238,9 +248,10 @@ object TextQueries {
     // per-doc average log-prob; the "model" is two count tables joined
     // on gram content
     "q_text_lm" -> ((s, dir) =>
-      graft.ops.LangModel.bigramScore(Tables.load(s, dir, "documents"),
-          "doc_id", "text")
-        .orderBy("id")),
+      graft.core.Pins.sortedOnce(
+        graft.ops.LangModel.bigramScore(Tables.load(s, dir, "documents"),
+          "doc_id", "text"),
+        col("id"))),
 
     // benchmark decontamination: training docs sharing >= 1 hashed
     // 4-gram with the pseudo-eval slice (doc_id % 100 == 0). Real
