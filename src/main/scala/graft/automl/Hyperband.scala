@@ -427,7 +427,13 @@ final class Hyperband(
       None
     }
 
+    // workers park here until futuresRef is published, so even a
+    // first-instant failure sees the full sibling list in failAndStop
+    // (without the gate, a failure racing submission cancels nobody)
+    val startGate = new java.util.concurrent.CountDownLatch(1)
+
     def workerLoop(workerId: Int): Unit = {
+      startGate.await()
       val sc = ds.df.sparkSession.sparkContext
       sc.setLocalProperty("spark.scheduler.pool", s"asha-$workerId")
       try {
@@ -488,6 +494,7 @@ final class Hyperband(
         })
       }
       futuresRef.set(futures)
+      startGate.countDown()
       // a worker cancelled by failAndStop surfaces CancellationException
       // here; the original cause is rethrown from `failure` below
       futures.foreach { f =>

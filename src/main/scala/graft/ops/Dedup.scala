@@ -447,14 +447,6 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
-  /** [[embeddingPairs]] without the all-pairs join: candidates come
-    * from an equi-join on a sign-random-projection LSH bucket
-    * ([[Similarity.lshBucket]]) — shuffle keyed on vector content,
-    * never n². APPROXIMATE by design (a near-dup pair split across
-    * buckets is missed — recall tunes with numPlanes); every emitted
-    * pair carries its exact cosine. The oracle runs the identical
-    * bucket arithmetic, so results still hash-match.
-    */
   /** [[embeddingPairsLsh]] with AUTO-SIZED planes: the plane count is
     * the smallest p (1 ≤ p ≤ 30) with 2^p ≥ ceil(n / targetPerBucket),
     * from ONE column-pruned corpus count — so expected bucket occupancy
@@ -475,6 +467,14 @@ object Dedup {
     embeddingPairsLsh(emb, idCol, vecCol, dims, planes, minCos)
   }
 
+  /** [[embeddingPairs]] without the all-pairs join: candidates come
+    * from an equi-join on a sign-random-projection LSH bucket
+    * ([[Similarity.lshBucket]]) — shuffle keyed on vector content,
+    * never n². APPROXIMATE by design (a near-dup pair split across
+    * buckets is missed — recall tunes with numPlanes); every emitted
+    * pair carries its exact cosine. The oracle runs the identical
+    * bucket arithmetic, so results still hash-match.
+    */
   def embeddingPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                         dims: Int, numPlanes: Int, minCos: Double): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),

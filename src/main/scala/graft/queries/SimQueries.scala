@@ -16,6 +16,14 @@ object SimQueries {
   private val Dims = 64
   private val Planes = 4
   private val TopK = 5
+  // shared sizing targets for the auto-sized scale twins — interpolated
+  // into BOTH the Spark lambdas and the DuckDB oracle SQL so the
+  // replayed integer sizing can never drift from the executed one
+  private val TargetPerBucket = 500
+  private val TargetPerCell = 1000
+  // Scala sizing caps planes at 30 when no p in 1..30 reaches the
+  // bucket target (corpus > 500·2^30); the oracle mirrors via COALESCE
+  private val MaxPlanes = 30
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, dir) => {
@@ -80,8 +88,8 @@ object SimQueries {
     "q_dedup_embed_lsh_auto" -> ((s, dir) =>
       graft.core.Pins.sortedOnce(
         graft.ops.Dedup.embeddingPairsLshAuto(Tables.load(s, dir, "embeddings"),
-            "vec_id", "embedding", dims = Dims, targetPerBucket = 500,
-            minCos = 0.4)
+            "vec_id", "embedding", dims = Dims,
+            targetPerBucket = TargetPerBucket, minCos = 0.4)
           .select(col("bucket"), col("i"), col("j"),
             round(col("cos"), 6).as("cos")),
         col("i"), col("j"))),
@@ -105,7 +113,7 @@ object SimQueries {
     "q_sim_semdedup_auto" -> ((s, dir) =>
       graft.core.Pins.sortedOnce(
         Similarity.semDedupAuto(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", tau = 0.4, targetPerCell = 1000),
+          "vec_id", "embedding", tau = 0.4, targetPerCell = TargetPerCell),
         col("vec_id"))),
 
     // embedding near-dup ingest gate, batch-deterministic form:
@@ -227,7 +235,7 @@ object SimQueries {
        |                 round(CAST(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15)))
        |                            AS VARCHAR) AS DOUBLE)
        |                       / CAST(count(*) AS DOUBLE), 6) AS c
-       |          FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+       |          FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${Dims - 1})) AS j)
        |          GROUP BY 1, 2),
        |ca0 AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent0 GROUP BY cell),
        |${argmin("ca0", "a1")},
@@ -235,7 +243,7 @@ object SimQueries {
        |                  round(CAST(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15)))
        |                             AS VARCHAR) AS DOUBLE)
        |                        / CAST(count(*) AS DOUBLE), 6) AS c
-       |           FROM a1 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+       |           FROM a1 CROSS JOIN (SELECT unnest(generate_series(0, ${Dims - 1})) AS j)
        |           GROUP BY 1, 2),
        |cent1 AS (SELECT c0.cell, c0.j, coalesce(u.c, c0.c) AS c
        |          FROM cent0 c0 LEFT JOIN cent1u u
@@ -263,7 +271,7 @@ object SimQueries {
        |                round(CAST(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15)))
        |                           AS VARCHAR) AS DOUBLE)
        |                      / CAST(count(*) AS DOUBLE), 6) AS c
-       |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+       |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${Dims - 1})) AS j)
        |         GROUP BY 1, 2),
        |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
        |asgn AS (SELECT vec_id, x, cell FROM (
@@ -336,17 +344,19 @@ object SimQueries {
       val na = dotSql.format("a.x", "a.x")
       val nb = dotSql.format("b.x", "b.x")
       val autoBucket =
-        """list_reduce(list_transform(generate_series(0, (SELECT p FROM np) - 1),
-          |  bb -> CASE WHEN list_reduce(list_transform(generate_series(0, 63),
+        s"""list_reduce(list_transform(generate_series(0, (SELECT p FROM np) - 1),
+          |  bb -> CASE WHEN list_reduce(list_transform(generate_series(0, ${Dims - 1}),
           |               j -> x[j + 1] * CAST((bb * 37 + j * 101) % 19 - 9 AS DOUBLE)),
           |               (pa, qa) -> pa + qa) > CAST(0 AS DOUBLE)
           |        THEN CAST(1 AS BIGINT) << bb ELSE CAST(0 AS BIGINT) END),
           |  (pb, qb) -> pb + qb)""".stripMargin.replaceAll("\n", " ")
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
          |cnt AS (SELECT count(*) AS n FROM v),
-         |tgt AS (SELECT GREATEST(CAST(1 AS BIGINT), (n + 499) // 500) AS buckets FROM cnt),
-         |np AS (SELECT min(k) AS p
-         |       FROM (SELECT unnest(generate_series(1, 30)) AS k) g, tgt
+         |tgt AS (SELECT GREATEST(CAST(1 AS BIGINT),
+         |               (n + ${TargetPerBucket - 1}) // $TargetPerBucket) AS buckets
+         |        FROM cnt),
+         |np AS (SELECT COALESCE(min(k), $MaxPlanes) AS p
+         |       FROM (SELECT unnest(generate_series(1, $MaxPlanes)) AS k) g, tgt
          |       WHERE (CAST(1 AS BIGINT) << k) >= tgt.buckets),
          |bk AS (SELECT vec_id, x, $autoBucket AS bucket FROM v),
          |sc AS (SELECT a.bucket AS bucket, a.vec_id AS i, b.vec_id AS j,
@@ -394,7 +404,9 @@ object SimQueries {
       val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
       val dot = dotSql
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         |nc AS (SELECT GREATEST(CAST(1 AS BIGINT), (count(*) + 999) // 1000) AS cells FROM v),
+         |nc AS (SELECT GREATEST(CAST(1 AS BIGINT),
+         |               (count(*) + ${TargetPerCell - 1}) // $TargetPerCell) AS cells
+         |        FROM v),
          |${quantizerCtesWith("vec_id % (SELECT cells FROM nc)")},
          |dup AS (SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
          |        FROM asgn a JOIN asgn b
@@ -573,10 +585,10 @@ object SimQueries {
 
     // per-dim min/max codebook + identical encode/decode arithmetic
     "q_embed_quantize" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
         |           FROM embeddings),
         |e AS (SELECT vec_id, j, x[j + 1] AS xv
-        |      FROM v CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)),
+        |      FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${Dims - 1})) AS j)),
         |st AS (SELECT j, min(xv) AS mn, max(xv) AS mx FROM e GROUP BY j),
         |q AS (SELECT vec_id, e.j, xv, mn, mx,
         |        CASE WHEN mx > mn
