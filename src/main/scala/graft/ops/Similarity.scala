@@ -335,12 +335,22 @@ object Similarity {
       if (lloydIters > 0)
         kmeansMap(corpus, idCol, vecCol, numCells, lloydIters)
       else initCentroidMap(corpus, idCol, vecCol, numCells)
-    // assignment feeds both sides of the self-join and the final
-    // left-join spine — one materialization (Pins-scoped release)
-    val asgn = graft.core.Pins.pin(
+    greedyLeader(
       ivfAssign(corpus, idCol, vecCol, cents)
         .select(col(idCol), col("cell"), col(vecCol).as("v"),
-          sqrt(vec_dot(col(vecCol), col(vecCol))).as("n")))
+          sqrt(vec_dot(col(vecCol), col(vecCol))).as("n")),
+      idCol, tau)
+  }
+
+  /** The within-cell greedy leader rule shared by every semDedup
+    * flavor: given (id, cell, v, n) assignments, drop any vector with
+    * an earlier-id neighbor in its cell at 6dp-cosine ≥ tau. The
+    * assignment feeds both sides of the self-join and the final
+    * left-join spine — one materialization (Pins-scoped release).
+    */
+  private def greedyLeader(assigned: DataFrame, idCol: String,
+                           tau: Double): DataFrame = {
+    val asgn = graft.core.Pins.pin(assigned)
     val a = asgn.select(col(idCol).as("i"), col("cell"),
       col("v").as("iv"), col("n").as("inn"))
     val b = asgn.select(col(idCol).as("j"), col("cell"),
@@ -362,18 +372,163 @@ object Similarity {
     * within-cell O(Σ|cell|²) bound stays honest at ANY corpus size
     * without a caller-tuned constant — 500 vectors get 1 cell, a
     * 100-TB corpus of 10¹⁰ embeddings gets 10⁷ cells of ~10³. The
-    * count is one column-pruned pass; everything downstream is the
-    * parity dataflow unchanged.
+    * count is one column-pruned pass.
+    *
+    * Assignment routes on the cell count: up to `twoLevelCellBound`
+    * cells the flat scan-fused argmin runs (centroids are a literal
+    * Catalyst array — O(cells·dims) per row, fine while cells stay
+    * small); above it [[semDedupTwoLevel]] takes over, whose per-row
+    * cost is O(√cells·dims) with the centroid table broadcast-joined
+    * instead of embedded in the plan — the literal-expression path
+    * would neither analyze nor stay linear at the 10⁷-cell scale the
+    * sizing rule produces from 10¹⁰ embeddings.
     */
   def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
                    tau: Double, targetPerCell: Int = 1000,
-                   lloydIters: Int = 0): DataFrame = {
+                   lloydIters: Int = 0,
+                   twoLevelCellBound: Int = LiteralSafeCells): DataFrame = {
     require(targetPerCell > 0, s"targetPerCell=$targetPerCell must be > 0")
     val n = corpus.select(col(idCol)).count()
-    val cells = math.max(1L,
-      (n + targetPerCell - 1) / targetPerCell).toInt
-    semDedup(corpus, idCol, vecCol, cells, tau, lloydIters)
+    val cellsL = math.max(1L, (n + targetPerCell - 1) / targetPerCell)
+    require(cellsL <= Int.MaxValue,
+      s"cells=$cellsL overflows Int — raise targetPerCell")
+    val cells = cellsL.toInt
+    if (cells <= twoLevelCellBound)
+      semDedup(corpus, idCol, vecCol, cells, tau, lloydIters)
+    else {
+      require(lloydIters == 0,
+        "two-level assignment supports the deterministic init quantizer only")
+      semDedupTwoLevel(corpus, idCol, vecCol, cells, tau)
+    }
   }
+
+  /** Largest centroid count the FLAT assignment may embed as a
+    * literal Catalyst array-of-structs expression. Past this, plans
+    * stop being codegen/analyzer-friendly (the expression tree grows
+    * with cells·dims) — the two-level path switches the centroid set
+    * to a broadcast-join TABLE, which is how any >10⁴-row dimension
+    * belongs in a Spark plan.
+    */
+  val LiteralSafeCells: Int = 4096
+
+  /** [[semDedup]] with a TWO-LEVEL coarse quantizer — the 100-TB
+    * assignment path. The flat argmin is O(cells·dims) per row with a
+    * driver-collected literal centroid set; at the sizing rule's
+    * cells = ⌈n/10³⌉ that is O(n²·dims/10³) total and the literal
+    * won't analyze past ~10⁴ cells. Here the fine cells (same
+    * deterministic id%cells per-dim-mean init, built DISTRIBUTED as a
+    * (cell, carr) table — never collected) are partitioned into
+    * nCoarse = ⌈√cells⌉ groups (coarse group of cell c = c % nCoarse);
+    * each row
+    *   1. probes its nearest COARSE centroid (per-dim 6dp mean of the
+    *      group's fine centroids) — a scan-fused literal fold over
+    *      nCoarse ≤ ⌈√cells⌉ entries, literal-safe up to
+    *      LiteralSafeCells² ≈ 1.7·10⁷ fine cells;
+    *   2. broadcast-joins (1:1 on the coarse key, no row blow-up) the
+    *      group's fine-centroid ARRAY — ≤ ⌈cells/nCoarse⌉ = ⌈√cells⌉
+    *      candidates — and folds the same (vv − 2x·c + c·c) argmin
+    *      over the joined array column.
+    * Per-row work is ≤ 2⌈√cells⌉+1 distance evaluations (10⁷ cells:
+    * ~6.5k, vs 10⁷ flat) and the only non-scan exchange is the tiny
+    * centroid aggregation itself. APPROXIMATE relative to the flat
+    * argmin by construction (the nearest fine cell inside the nearest
+    * coarse group need not be the global nearest — standard IVF
+    * semantics); the rule is deterministic and engine-replayable, so
+    * it gate-checks against a DuckDB oracle that runs the identical
+    * two-level argmin.
+    */
+  def semDedupTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                      numCells: Int, tau: Double): DataFrame =
+    greedyLeader(
+      assignTwoLevel(corpus, idCol, vecCol, numCells)
+        .select(col(idCol), col("cell"), col(vecCol).as("v"),
+          sqrt(vec_dot(col(vecCol), col(vecCol))).as("n")),
+      idCol, tau)
+
+  /** Fine-centroid init table (cell, carr) — the same id%cells
+    * per-dim DECIMAL-exact 6dp means as [[initCentroidMap]], but kept
+    * DISTRIBUTED: one map-side-combined (cell, dim) aggregate, then a
+    * per-cell gather into a dim-ordered array. Nothing here touches
+    * the driver, so the table scales to any cell count.
+    */
+  private def initCentroidDf(corpus: DataFrame, idCol: String,
+                             vecCol: String, numCells: Int): DataFrame =
+    corpus
+      .select((col(idCol) % numCells).cast("int").as("cell"),
+        posexplode(col(vecCol)).as(Seq("j", "xv")))
+      .groupBy(col("cell"), col("j"))
+      .agg(round(
+        sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        s => s.getField("c")).as("carr"))
+
+  /** c·c in VecDot's sequential fold order — bit-equal to the
+    * driver-side loop the flat path bakes into its literals.
+    */
+  private def seqSq(carr: Column): Column =
+    aggregate(carr, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Coarse centroids: per-dim 6dp-rounded DECIMAL-exact mean of the
+    * member fine centroids of each coarse group. nCoarse ≤ ⌈√cells⌉
+    * entries — small enough to collect and fold as a literal, which
+    * is what keeps level 1 scan-fused.
+    */
+  private def coarseCentroidMap(fine: DataFrame,
+                                nCoarse: Int): Map[Int, Array[Double]] =
+    fine.select((col("cell") % nCoarse).cast("int").as("coarse"),
+        posexplode(col("carr")).as(Seq("j", "cv")))
+      .groupBy(col("coarse"), col("j"))
+      .agg(round(
+        sum(col("cv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
+      .toMap
+
+  /** Two-level nearest-cell assignment: (id, vec, cell). See
+    * [[semDedupTwoLevel]] for the dataflow and cost bound. Every
+    * coarse residue 0..nCoarse−1 owns ≥1 fine cell (nCoarse ≤ cells),
+    * so the 1:1 broadcast join drops no rows.
+    */
+  private[ops] def assignTwoLevel(corpus: DataFrame, idCol: String,
+                                  vecCol: String, numCells: Int): DataFrame = {
+    val nCoarse = math.ceil(math.sqrt(numCells.toDouble)).toInt
+    val fine = graft.core.Pins.pin(
+      initCentroidDf(corpus, idCol, vecCol, numCells))
+    val coarse = coarseCentroidMap(fine, nCoarse)
+    // per-group candidate arrays, cell-ascending so the strict-< fold
+    // keeps the lowest cell on distance ties (the flat path's order)
+    val cands = fine.select((col("cell") % nCoarse).cast("int").as("coarse"),
+        struct(col("cell"), col("carr"), seqSq(col("carr")).as("cc")).as("cand"))
+      .groupBy(col("coarse"))
+      .agg(sort_array(collect_list(col("cand"))).as("cands"))
+    corpus.select(col(idCol), col(vecCol),
+        vec_dot(col(vecCol), col(vecCol)).as("vv"))
+      .withColumn("coarse", nearestCell(col(vecCol), col("vv"), coarse))
+      .join(broadcast(cands), Seq("coarse"))
+      .select(col(idCol), col(vecCol),
+        nearestCellOver(col(vecCol), col("vv"), col("cands")).as("cell"))
+  }
+
+  /** The argmin fold of [[nearestCell]] over an array COLUMN of
+    * (cell, carr, cc) structs instead of a literal — same distance
+    * arithmetic, same ascending-cell strict-< tie rule; this is what
+    * lets the centroid set arrive via broadcast join.
+    */
+  private def nearestCellOver(vec: Column, vv: Column,
+                              cands: Column): Column =
+    aggregate(
+      transform(cands, cent =>
+        struct(
+          (vv - lit(2.0) * vec_dot(vec, cent.getField("carr")) +
+            cent.getField("cc")).as("dist"),
+          cent.getField("cell").as("cell"))),
+      struct(lit(Double.PositiveInfinity).as("dist"), lit(-1).as("cell")),
+      (acc, cd) =>
+        when(cd.getField("dist") < acc.getField("dist"), cd).otherwise(acc),
+      acc => acc.getField("cell"))
 
   /** LSH-bucketed top-k: rank only within the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

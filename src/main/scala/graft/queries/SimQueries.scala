@@ -24,6 +24,11 @@ object SimQueries {
   // Scala sizing caps planes at 30 when no p in 1..30 reaches the
   // bucket target (corpus > 500·2^30); the oracle mirrors via COALESCE
   private val MaxPlanes = 30
+  // q_sim_semdedup_2level's per-cell target: small enough that the
+  // gate corpus (500 vectors at sf0.01) produces cells ≫ ⌈√cells⌉
+  // coarse groups, so the two-level route is genuinely multi-group
+  // at oracle scale (20 cells / 5 groups of 4)
+  private val TwoLevelTarget = 25
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> ((s, dir) => {
@@ -114,6 +119,20 @@ object SimQueries {
       graft.core.Pins.sortedOnce(
         Similarity.semDedupAuto(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", tau = 0.4, targetPerCell = TargetPerCell),
+        col("vec_id"))),
+
+    // the >LiteralSafeCells route of semDedupAuto, exercised AT GATE
+    // SCALE: twoLevelCellBound = 1 forces the two-level assignment
+    // (coarse probe over ⌈√cells⌉ literal centroids, then a broadcast-
+    // joined fine-candidate array fold — O(√cells·dims) per row where
+    // the flat argmin is O(cells·dims)). The oracle replays the
+    // identical two-level argmin, so the scale path is hash-checked,
+    // not just the parity path.
+    "q_sim_semdedup_2level" -> ((s, dir) =>
+      graft.core.Pins.sortedOnce(
+        Similarity.semDedupAuto(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", tau = 0.4, targetPerCell = TwoLevelTarget,
+          twoLevelCellBound = 1),
         col("vec_id"))),
 
     // embedding near-dup ingest gate, batch-deterministic form:
@@ -408,6 +427,63 @@ object SimQueries {
          |               (count(*) + ${TargetPerCell - 1}) // $TargetPerCell) AS cells
          |        FROM v),
          |${quantizerCtesWith("vec_id % (SELECT cells FROM nc)")},
+         |dup AS (SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
+         |        FROM asgn a JOIN asgn b
+         |          ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |        WHERE round(${dot.format("a.x", "b.x")}
+         |              / (sqrt(${vv.format("a.x")}) * sqrt(${vv.format("b.x")})), 6)
+         |              >= CAST(0.4 AS DOUBLE)
+         |        GROUP BY 1)
+         |SELECT a.vec_id, a.cell,
+         |       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep, d.dup_of
+         |FROM asgn a LEFT JOIN dup d ON d.i = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
+
+    // the two-level argmin replayed end to end: fine init centroids
+    // (cell = vec_id % cells), coarse group = cell % ⌈√cells⌉, coarse
+    // centroids = per-dim DECIMAL-exact 6dp means OF the fine
+    // centroids, row → nearest coarse (dist, coarse) → nearest fine
+    // WITHIN the group (dist, cell) — then the shared greedy-leader
+    // rule. Distance/tie arithmetic identical to quantizerCtes.
+    "q_sim_semdedup_2level" -> {
+      val vv = "list_reduce(list_transform(%s, e -> e * e), (p, q) -> p + q)"
+      val dot = dotSql
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |nc AS (SELECT GREATEST(CAST(1 AS BIGINT),
+         |               (count(*) + ${TwoLevelTarget - 1}) // $TwoLevelTarget) AS cells
+         |        FROM v),
+         |g AS (SELECT CAST(ceil(sqrt(CAST(cells AS DOUBLE))) AS BIGINT) AS ncoarse
+         |      FROM nc),
+         |cent AS (SELECT CAST(vec_id % (SELECT cells FROM nc) AS INT) AS cell, j,
+         |                round(CAST(CAST(sum(CAST(x[j + 1] AS DECIMAL(38,15)))
+         |                           AS VARCHAR) AS DOUBLE)
+         |                      / CAST(count(*) AS DOUBLE), 6) AS c
+         |         FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${Dims - 1})) AS j)
+         |         GROUP BY 1, 2),
+         |ca AS (SELECT cell, list(c ORDER BY j) AS carr FROM cent GROUP BY cell),
+         |co AS (SELECT CAST(cell % (SELECT ncoarse FROM g) AS INT) AS coarse, j,
+         |              round(CAST(CAST(sum(CAST(c AS DECIMAL(38,15)))
+         |                         AS VARCHAR) AS DOUBLE)
+         |                    / CAST(count(*) AS DOUBLE), 6) AS c
+         |       FROM cent GROUP BY 1, 2),
+         |cca AS (SELECT coarse, list(c ORDER BY j) AS carr FROM co GROUP BY coarse),
+         |rc AS (SELECT vec_id, x, coarse FROM (
+         |  SELECT v.vec_id, v.x, cca.coarse,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |           (${vv.format("v.x")}
+         |            - 2 * ${dot.format("v.x", "cca.carr")}
+         |            + ${vv.format("cca.carr")}), cca.coarse) AS rk
+         |  FROM v CROSS JOIN cca) WHERE rk = 1),
+         |asgn AS (SELECT vec_id, x, cell FROM (
+         |  SELECT rc.vec_id, rc.x, ca.cell,
+         |         row_number() OVER (PARTITION BY rc.vec_id ORDER BY
+         |           (${vv.format("rc.x")}
+         |            - 2 * ${dot.format("rc.x", "ca.carr")}
+         |            + ${vv.format("ca.carr")}), ca.cell) AS rk
+         |  FROM rc JOIN ca
+         |    ON CAST(ca.cell % (SELECT ncoarse FROM g) AS INT) = rc.coarse)
+         |  WHERE rk = 1),
          |dup AS (SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
          |        FROM asgn a JOIN asgn b
          |          ON a.cell = b.cell AND b.vec_id < a.vec_id

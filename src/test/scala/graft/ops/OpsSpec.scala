@@ -158,6 +158,61 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup two-level: assignment matches a local replica and " +
+      "broadcast-joins the centroid table") {
+    import spark.implicits._
+    // 60 vectors / 12 cells → nCoarse = ⌈√12⌉ = 4 groups of 3 fine
+    // cells: genuinely multi-group, so the coarse probe matters
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 60L).map { i =>
+      i -> Seq(math.cos(i * 0.7), math.sin(i * 1.3), math.cos(i * 2.1) * 0.5)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val numCells = 12
+    val nCoarse = 4 // = ceil(sqrt(12))
+    val out = Similarity.assignTwoLevel(df, "vec_id", "embedding", numCells)
+      .select(col("vec_id"), col("cell")).orderBy("vec_id")
+    // the scale contract: fine candidates arrive via BROADCAST JOIN —
+    // a literal centroid expression would grow with cells·dims and
+    // stop analyzing at the 10⁷-cell scale the auto sizing produces
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"two-level assignment must broadcast-join the centroid table:\n$plan")
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // local replica of the exact two-level rule
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val fine: Map[Int, Seq[Double]] =
+      vecs.groupBy { case (id, _) => (id % numCells).toInt }
+        .map { case (c, vs) =>
+          c -> (0 until 3).map(j => r6(vs.map(_._2(j)).sum / vs.size)) }
+    val coarse: Map[Int, Seq[Double]] =
+      fine.groupBy { case (c, _) => c % nCoarse }
+        .map { case (g, cs) =>
+          g -> (0 until 3).map(j => r6(cs.values.map(_(j)).sum / cs.size)) }
+    def best(x: Seq[Double], cands: Iterable[(Int, Seq[Double])]): Int =
+      cands.toSeq.map { case (c, ca) =>
+        (dot(x, x) - 2 * dot(x, ca) + dot(ca, ca), c) }.min._2
+    val expected = vecs.map { case (id, x) =>
+      val g = best(x, coarse)
+      id -> best(x, fine.filter { case (c, _) => c % nCoarse == g })
+    }.toMap
+    assert(got == expected)
+    // non-degenerate: assignments span several coarse groups
+    assert(expected.values.map(_ % nCoarse).toSet.size > 1)
+
+    // semDedupAuto routes to the two-level path past the cell bound
+    val routed = Similarity.semDedupAuto(df, "vec_id", "embedding",
+        tau = 0.9, targetPerCell = 5, twoLevelCellBound = 1) // cells = 12
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val direct = Similarity.semDedupTwoLevel(df, "vec_id", "embedding",
+        numCells = 12, tau = 0.9)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(routed == direct)
+  }
+
   test("kmeans quantizer: two Lloyd rounds match a local replica") {
     import spark.implicits._
     val vecs: Seq[(Long, Seq[Double])] = Seq(
