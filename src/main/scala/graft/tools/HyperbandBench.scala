@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: HyperbandBench <sfDir> [parallelism=4] [maxIter=81] [sync|async]
   *
+  * `sfDir` may also be the pseudo-dir `gbsg2[:n]` — the deterministic
+  * GBSG2-schema fixture (the reference's own CoxPH test table shape,
+  * tests/models/test_cox_ph.py:9-16) instead of the churn view, so the
+  * async-vs-sync quality comparison runs on a SECOND workload with
+  * mixed categorical + numeric covariates.
+  *
   * Prints one HYPERBAND line with the wall time and the COMPLETE
   * selection state (winner, params, best score, per-model bests incl.
   * the H4 quirk fold) so two runs at different parallelism can be
@@ -30,7 +36,14 @@ object HyperbandBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ds = graft.surv.ChurnView.dataset(spark, sfDir)
+    val ds =
+      if (sfDir.startsWith("gbsg2")) {
+        val n = sfDir.split(':') match {
+          case Array(_, c) => c.toInt
+          case _           => 686
+        }
+        graft.surv.Gbsg2Fixture.dataset(spark, n)
+      } else graft.surv.ChurnView.dataset(spark, sfDir)
     val t0 = System.nanoTime()
     val hb = new graft.automl.Hyperband(maxIter = maxIter,
       parallelism = par, async = async)

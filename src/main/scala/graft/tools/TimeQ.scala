@@ -3,8 +3,47 @@ import org.apache.spark.sql.SparkSession
 /** Time one or more SparkEntry queries: cold + two warm runs each,
   * mirroring the bench methodology, without the 75-query overhead.
   * Usage: runMain graft.tools.TimeQ <sfDir> <query> [query ...]
+  *
+  * SPARK_GRAFT_TIMEQ_METRICS=1 attaches a task-metrics listener and
+  * prints, per run, the cluster-side totals that decompose wall time:
+  * executor run / JVM GC / shuffle-fetch-wait time, bytes spilled, and
+  * the driver JVM's own GC delta. This is the variance forensics for
+  * iterative queries (VERDICT r13 item 4: the sf10 PageRank 69–173 s
+  * spread) — a wall-time mover with flat executorRun is scheduling or
+  * driver stalls, one with ballooning gcTime is memory pressure.
   */
 object TimeQ {
+
+  /** Accumulates task metrics across a run window. */
+  private final class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        tasks.incrementAndGet()
+        ()
+      }
+    }
+    def snap(): (Long, Long, Long, Long, Long) =
+      (runMs.get, gcMs.get, fetchWaitMs.get, spillBytes.get, tasks.get)
+  }
+
+  private def driverGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -14,6 +53,12 @@ object TimeQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics =
+      if (sys.env.get("SPARK_GRAFT_TIMEQ_METRICS").contains("1")) {
+        val l = new MetricsListener
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
     // same pre-scope setup as Bench: the shared churn dataset's pins
     // must predate the per-query Pins scopes (otherwise the first
     // churn-backed query pays the build in its cold number AND the
@@ -22,12 +67,28 @@ object TimeQ {
     catch { case e: Throwable => System.err.println(s"[timeq] setup: $e") }
     args.drop(1).foreach { q =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      var runIdx = 0
       def once(): Double = {
+        val m0 = metrics.map(_.snap())
+        val g0 = driverGcMs()
         val t0 = System.nanoTime()
         // full-plan execution, not count() — see Bench.once
         graft.SparkEntry.queries(q)(spark, args(0))
           .queryExecution.executedPlan.execute().count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        metrics.foreach { l =>
+          // the local[*] task threads share this JVM, so listener
+          // deltas are complete once the job is done (no async drain)
+          val (r1, g1, f1, s1, n1) = l.snap()
+          val (r0, gg0, f0, s0, n0) = m0.get
+          println(f"TIMEQM $q run=$runIdx wall=$dt%.2f " +
+            f"execRunS=${(r1 - r0) / 1e3}%.1f gcS=${(g1 - gg0) / 1e3}%.1f " +
+            f"fetchWaitS=${(f1 - f0) / 1e3}%.1f " +
+            s"spillMB=${(s1 - s0) / 1000000L} tasks=${n1 - n0} " +
+            f"driverGcS=${(driverGcMs() - g0) / 1e3}%.1f")
+        }
+        runIdx += 1
+        dt
       }
       // Pins.scoped mirrors Bench: Dataset-level release so the next
       // query's persist of the same canonical plan still caches.

@@ -1,51 +1,21 @@
 package graft.model
 
 import graft.SparkTestBase
-import graft.surv.SurvDataset
+import graft.surv.{Gbsg2Fixture, SurvDataset}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import scala.util.Random
-
-/** BASELINE.md tier-3 stat smoke: a deterministic GBSG2-SCHEMA
-  * fixture (FIXTURES.md §2 — mixed categorical + numeric covariates,
-  * German Breast Cancer Study shape, 686 rows like the real table)
-  * with a planted proportional-hazards signal; linear CoxPH must
-  * reach c-index ≥ 0.6 through the full pipeline (feature inference,
-  * one-hot, ordered split, train, score).
+/** BASELINE.md tier-3 stat smoke: the deterministic GBSG2-SCHEMA
+  * fixture ([[Gbsg2Fixture]] — mixed categorical + numeric
+  * covariates, German Breast Cancer Study shape, 686 rows like the
+  * real table) with a planted proportional-hazards signal; linear
+  * CoxPH must reach c-index ≥ 0.6 through the full pipeline (feature
+  * inference, one-hot, ordered split, train, score).
   */
 class Gbsg2FixtureSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
-  private def gbsg2Like(n: Int = 686) = {
-    import spark.implicits._
-    val rng = new Random(2024)
-    val rows = (0 until n).map { i =>
-      val horTh = if (rng.nextBoolean()) "yes" else "no"
-      val age = 25 + rng.nextInt(50)
-      val menostat = if (rng.nextBoolean()) "Pre" else "Post"
-      val tsize = 5 + rng.nextInt(100)
-      val tgrade = Seq("I", "II", "III")(rng.nextInt(3))
-      val pnodes = 1 + rng.nextInt(30)
-      val progrec = rng.nextInt(500)
-      val estrec = rng.nextInt(500)
-      // planted log-hazard: grade and nodes raise risk, hormone
-      // therapy and progesterone receptors lower it
-      val lp = 0.5 * (tgrade match {
-        case "I" => -1.0; case "II" => 0.0; case _ => 1.0
-      }) + 0.06 * pnodes - 0.4 * (if (horTh == "yes") 1.0 else 0.0) -
-        0.002 * progrec
-      val rate = math.exp(lp) / 1000.0
-      val tEvent = -math.log(rng.nextDouble()) / rate
-      val cens = 200 + rng.nextDouble() * 2400
-      val time = math.min(tEvent, cens).toInt.max(1)
-      val e = if (tEvent <= cens) 1 else 0
-      (i.toLong, horTh, age, menostat, tsize, tgrade, pnodes, progrec,
-        estrec, time, e)
-    }
-    rows.toDF("pid", "horTh", "age", "menostat", "tsize", "tgrade",
-      "pnodes", "progrec", "estrec", "time", "cens")
-  }
+  private def gbsg2Like(n: Int = 686) = Gbsg2Fixture.frame(spark, n)
 
   test("GBSG2-schema: CoxPH c-index >= 0.6 end-to-end") {
     val df = gbsg2Like()
