@@ -105,6 +105,33 @@ object Pins {
     rdd
   }
 
+  /** Release the cached blocks of a locally-checkpointed Dataset —
+    * the per-iteration STATE ROTATION primitive for iterative
+    * operators (PageRank, connectedComponents). Without rotation a
+    * 20-round loop leaves 20 superseded checkpoint RDDs in the
+    * storage pool; at scale the pool saturates and every block
+    * unroll fights task execution for the ONE UnifiedMemoryManager
+    * monitor (jstack on the sf10 board's slow PageRank runs: 18–30
+    * of 32 task threads BLOCKED in acquireExecutionMemory /
+    * reserveUnrollMemoryForThisTask while guest CPUs sat idle).
+    *
+    * A checkpointed Dataset's plan is a bare LogicalRDD over the
+    * checkpoint RDD (possibly under later projections), so the RDD
+    * is recovered from the analyzed plan and unpersisted directly —
+    * `Dataset.unpersist` can't reach it (checkpoint blocks never
+    * enter the CacheManager, so there is no entry to poison either).
+    *
+    * SAFETY: only call once every consumer of `ds` has been
+    * materialized into its own (eager) checkpoint or count — a
+    * locally-checkpointed RDD's lineage is truncated, so an
+    * unpersisted block can never be recomputed. Anything still lazy
+    * over `ds` will throw on next execution.
+    */
+  def releaseCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Run `f` in a fresh scope; every pin taken during `f` on THIS
     * thread is released — Dataset-level, so the CacheManager entry
     * goes too — when `f` finishes. Pins taken on other threads

@@ -347,13 +347,24 @@ object Dedup {
         .localCheckpoint(false)
       val changed = next.filter(col("comp") =!= col("prev")).count()
       prop.unpersist(false)
+      // state ROTATION: the convergence count above materialized
+      // `next`'s lazy checkpoint, which fully consumed the previous
+      // labels — release the superseded round's blocks so live
+      // checkpoint state stays O(1) in the round count (see
+      // Pins.releaseCheckpoint for the memory-manager convoy that
+      // stacking superseded rounds causes at scale)
+      val prevLabels = labels
       labels = next.select(col("node"), col("comp"))
+      graft.core.Pins.releaseCheckpoint(prevLabels)
       converged = changed == 0
       it += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
         "(diameter > 2^maxIter is not a realistic near-dup graph)")
+    // the edge checkpoint fed every round's undirected union; the
+    // returned labels are checkpoint-cut and independent of it
+    graft.core.Pins.releaseCheckpoint(e)
     labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }

@@ -114,6 +114,12 @@ object PageRank {
       val sD = seeds.fold(nD)(_ =>
         nodes.filter(col("seed")).count().toDouble)
       require(sD > 0, "personalized PageRank needs >= 1 in-graph seed")
+      // e0's consumers are all materialized by here (the pinned edge
+      // table cached MEMORY_AND_DISK through nodes' eager checkpoint,
+      // nodes itself counted above), so the edge-sized checkpoint —
+      // the loop's biggest block set — is released before the
+      // iterations start competing for the storage pool.
+      graft.core.Pins.releaseCheckpoint(e0)
       var ranks = nodes.withColumn("m", lit(1.0)).localCheckpoint(true)
       var it = 0
       while (it < iters) {
@@ -146,12 +152,23 @@ object PageRank {
                   lit(damping) * col("dm") / lit(sD))
                 .otherwise(lit(0.0))
         }
+        // state ROTATION: the eager checkpoint above fully consumed
+        // the previous round's ranks, so its blocks are released now —
+        // live checkpoint state stays O(1) in the iteration count
+        // instead of stacking `iters` superseded rank tables into the
+        // storage pool (see Pins.releaseCheckpoint for the measured
+        // memory-manager convoy that stacking causes at sf10)
+        val prev = ranks
         ranks = joined
           .select(col("node"), col("od"), col("seed"),
             round(m2, roundDp).as("m"))
           .localCheckpoint(true)
+        graft.core.Pins.releaseCheckpoint(prev)
         it += 1
       }
+    // `nodes` fed every round's join; the loop is done and the final
+    // ranks checkpoint is self-contained, so it goes too
+    graft.core.Pins.releaseCheckpoint(nodes)
     ranks.select(col("node"), col("od"), col("m"))
   }
 }

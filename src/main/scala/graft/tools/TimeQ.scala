@@ -14,10 +14,18 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQ {
 
-  /** Accumulates task metrics across a run window. */
+  /** Accumulates task metrics across a run window. The run/cpu pair
+    * is the decisive split for wall-time variance: executorRunTime is
+    * thread WALL (inflates when the host deschedules vCPUs — steal
+    * the guest may not even see), executorCpuTime is actual on-CPU
+    * nanoseconds (inflates only with real extra cycles: stalls,
+    * memory-bandwidth contention, or more work). Same tasks + flat
+    * cpu + ballooning run = host-level scheduling, not the engine.
+    */
   private final class MetricsListener
       extends org.apache.spark.scheduler.SparkListener {
     val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
     val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
     val spillBytes = new java.util.concurrent.atomic.AtomicLong
@@ -27,6 +35,7 @@ object TimeQ {
       val m = t.taskMetrics
       if (m != null) {
         runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
         gcMs.addAndGet(m.jvmGCTime)
         fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
         spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
@@ -34,8 +43,9 @@ object TimeQ {
         ()
       }
     }
-    def snap(): (Long, Long, Long, Long, Long) =
-      (runMs.get, gcMs.get, fetchWaitMs.get, spillBytes.get, tasks.get)
+    def snap(): (Long, Long, Long, Long, Long, Long) =
+      (runMs.get, cpuNs.get, gcMs.get, fetchWaitMs.get, spillBytes.get,
+        tasks.get)
   }
 
   private def driverGcMs(): Long = {
@@ -79,10 +89,12 @@ object TimeQ {
         metrics.foreach { l =>
           // the local[*] task threads share this JVM, so listener
           // deltas are complete once the job is done (no async drain)
-          val (r1, g1, f1, s1, n1) = l.snap()
-          val (r0, gg0, f0, s0, n0) = m0.get
+          val (r1, c1, g1, f1, s1, n1) = l.snap()
+          val (r0, c0, gg0, f0, s0, n0) = m0.get
           println(f"TIMEQM $q run=$runIdx wall=$dt%.2f " +
-            f"execRunS=${(r1 - r0) / 1e3}%.1f gcS=${(g1 - gg0) / 1e3}%.1f " +
+            f"execRunS=${(r1 - r0) / 1e3}%.1f " +
+            f"execCpuS=${(c1 - c0) / 1e9}%.1f " +
+            f"gcS=${(g1 - gg0) / 1e3}%.1f " +
             f"fetchWaitS=${(f1 - f0) / 1e3}%.1f " +
             s"spillMB=${(s1 - s0) / 1000000L} tasks=${n1 - n0} " +
             f"driverGcS=${(driverGcMs() - g0) / 1e3}%.1f")
