@@ -61,4 +61,37 @@ class PageRankSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(od == Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
+
+  test("checkpoint state is rotated: O(1) live RDDs, not O(iters)") {
+    // 20 iterations used to leave 20 superseded rank checkpoints (plus
+    // e0 and nodes) in the storage pool — at sf10 that saturated the
+    // pool and convoyed every task on the UnifiedMemoryManager monitor
+    // (jstack: 18-30 of 32 threads BLOCKED in acquireExecutionMemory).
+    // After rotation the only blocks that survive the run are the
+    // returned ranks checkpoint and the scoped edge-table pin.
+    val sc = spark.sparkContext
+    val (before, after) = graft.core.Pins.scoped {
+      val b = sc.getPersistentRDDs.keySet
+      PageRank.ranks(graph, iters = 20).collect()
+      (b, sc.getPersistentRDDs.keySet)
+    }
+    val leaked = (after -- before).size
+    assert(leaked <= 2, s"expected <=2 live RDDs after 20 iters, got $leaked")
+  }
+
+  test("connectedComponents rotates its label checkpoints too") {
+    import spark.implicits._
+    // a 9-node path graph forces several pointer-jumping rounds
+    val edges = (0 until 8).map(i => (s"n$i", s"n${i + 1}"))
+      .toDF("i", "j")
+    val sc = spark.sparkContext
+    val (before, after) = graft.core.Pins.scoped {
+      val b = sc.getPersistentRDDs.keySet
+      val labels = Dedup.connectedComponents(edges).collect()
+      assert(labels.map(_.getString(1)).distinct.length == 1) // one comp
+      (b, sc.getPersistentRDDs.keySet)
+    }
+    val leaked = (after -- before).size
+    assert(leaked <= 1, s"expected <=1 live RDD after CC, got $leaked")
+  }
 }
