@@ -36,9 +36,12 @@ object Bench {
     if (skipParity)
       System.err.println("[bench] skipping parity baselines: " +
         ParityBaselines.toSeq.sorted.mkString(", "))
+    // width ∝ data for scale boards (see TimeQ): default stays the
+    // core count, which is the right size at the driver's sf0.1
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -56,8 +56,15 @@ object TimeQ {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle width defaults to the core count (right for the bench
+    // scale) but decouples via SPARK_GRAFT_SHUFFLE for scale probes:
+    // the sf100 single-axis run measured q5's 600M-row join partitions
+    // spilling 30 GB at width 32 — the fix at any real scale is width
+    // ∝ data (what a cluster's AQE/initialPartitionNum does), so the
+    // probe must be able to express it.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
