@@ -127,10 +127,22 @@ object Pins {
     * unpersisted block can never be recomputed. Anything still lazy
     * over `ds` will throw on next execution.
     */
-  def releaseCheckpoint(ds: Dataset[_]): Unit =
-    ds.queryExecution.analyzed.collect {
+  def releaseCheckpoint(ds: Dataset[_]): Unit = {
+    val rdds = ds.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }
+    // Exactly ONE LogicalRDD by contract: every caller passes a single
+    // eagerly-checkpointed dataset (possibly under later projections).
+    // A plan with several — e.g. a JOIN of two checkpoints — would
+    // silently release a still-live sibling whose truncated lineage
+    // can never recompute ("block not found" far from the bug), so
+    // misuse fails loudly here instead.
+    require(rdds.size == 1,
+      s"releaseCheckpoint expects exactly one checkpoint RDD in the plan, " +
+        s"found ${rdds.size} — pass the checkpointed dataset itself, not a " +
+        "composition of checkpoints")
+    rdds.foreach(_.unpersist(blocking = false))
+  }
 
   /** Run `f` in a fresh scope; every pin taken during `f` on THIS
     * thread is released — Dataset-level, so the CacheManager entry

@@ -424,13 +424,21 @@ object Similarity {
     *      group's fine centroids) — a scan-fused literal fold over
     *      nCoarse ≤ ⌈√cells⌉ entries, literal-safe up to
     *      LiteralSafeCells² ≈ 1.7·10⁷ fine cells;
-    *   2. broadcast-joins (1:1 on the coarse key, no row blow-up) the
-    *      group's fine-centroid ARRAY — ≤ ⌈cells/nCoarse⌉ = ⌈√cells⌉
+    *   2. joins (1:1 on the coarse key, no row blow-up) the group's
+    *      fine-centroid ARRAY — ≤ ⌈cells/nCoarse⌉ = ⌈√cells⌉
     *      candidates — and folds the same (vv − 2x·c + c·c) argmin
-    *      over the joined array column.
+    *      over the joined array column. The candidate table arrives
+    *      by BROADCAST while the payload (cells·dims doubles) stays
+    *      under [[TwoLevelBroadcastBytes]]; past that (≈2·10⁵ cells at
+    *      64 dims) it switches to a SHUFFLE HASH JOIN on the coarse
+    *      key — at the docstring's 10⁷-cell scale the payload is
+    *      ~5 GB, which no executor should replicate, while the extra
+    *      corpus exchange is one keyed pass over rows already headed
+    *      into greedyLeader's cell-keyed shuffle.
     * Per-row work is ≤ 2⌈√cells⌉+1 distance evaluations (10⁷ cells:
-    * ~6.5k, vs 10⁷ flat) and the only non-scan exchange is the tiny
-    * centroid aggregation itself. APPROXIMATE relative to the flat
+    * ~6.5k, vs 10⁷ flat) and the only non-scan exchanges are the tiny
+    * centroid aggregation and (past the broadcast bound) the one
+    * coarse-keyed candidate join. APPROXIMATE relative to the flat
     * argmin by construction (the nearest fine cell inside the nearest
     * coarse group need not be the global nearest — standard IVF
     * semantics); the rule is deterministic and engine-replayable, so
@@ -487,13 +495,35 @@ object Similarity {
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
       .toMap
 
+  /** Largest fine-candidate payload (cells·dims doubles) the two-level
+    * assignment may BROADCAST. Below this, broadcast is right: one tiny
+    * exchange, a map-side join, no corpus shuffle. Above it the payload
+    * outgrows what every executor should replicate (the docstring's
+    * 10⁷ cells × 64 dims is ~5 GB, and `LiteralSafeCells²` cells can
+    * reach Spark's 8 GB broadcast hard cap), so the candidates arrive
+    * via SHUFFLE HASH JOIN on the coarse key instead — the corpus is
+    * about to shuffle into greedyLeader's cell-keyed join anyway, so
+    * the extra exchange is one keyed pass over rows already in flight,
+    * and the candidate side ships each group's array exactly once.
+    */
+  val TwoLevelBroadcastBytes: Long = 100L << 20
+
   /** Two-level nearest-cell assignment: (id, vec, cell). See
     * [[semDedupTwoLevel]] for the dataflow and cost bound. Every
     * coarse residue 0..nCoarse−1 owns ≥1 fine cell (nCoarse ≤ cells),
-    * so the 1:1 broadcast join drops no rows.
+    * so the 1:1 candidate join drops no rows.
+    *
+    * Join strategy routes on the candidate payload (cells·dims
+    * doubles, measured against `broadcastBytes`): broadcast below the
+    * bound, shuffle-hash on the coarse key above it (build side =
+    * candidates — ⌈√cells⌉ rows per key, uniform by construction;
+    * corpus-side coarse skew is AQE skew-join territory). Strategy
+    * never affects results — both routes feed the same argmin fold.
     */
   private[ops] def assignTwoLevel(corpus: DataFrame, idCol: String,
-                                  vecCol: String, numCells: Int): DataFrame = {
+                                  vecCol: String, numCells: Int,
+                                  broadcastBytes: Long =
+                                    TwoLevelBroadcastBytes): DataFrame = {
     val nCoarse = math.ceil(math.sqrt(numCells.toDouble)).toInt
     val fine = graft.core.Pins.pin(
       initCentroidDf(corpus, idCol, vecCol, numCells))
@@ -504,10 +534,18 @@ object Similarity {
         struct(col("cell"), col("carr"), seqSq(col("carr")).as("cc")).as("cand"))
       .groupBy(col("coarse"))
       .agg(sort_array(collect_list(col("cand"))).as("cands"))
+    // dims from one limit-1 scan (empty corpus → payload 0 → broadcast
+    // of an empty table, same degenerate plan as before the routing)
+    val dims = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val payloadBytes = numCells.toLong * dims * 8L
+    val candsRouted =
+      if (payloadBytes <= broadcastBytes) broadcast(cands)
+      else cands.hint("shuffle_hash")
     corpus.select(col(idCol), col(vecCol),
         vec_dot(col(vecCol), col(vecCol)).as("vv"))
       .withColumn("coarse", nearestCell(col(vecCol), col("vv"), coarse))
-      .join(broadcast(cands), Seq("coarse"))
+      .join(candsRouted, Seq("coarse"))
       .select(col(idCol), col(vecCol),
         nearestCellOver(col(vecCol), col("vv"), col("cands")).as("cell"))
   }

@@ -48,6 +48,17 @@ object GenScale {
       case a if a.startsWith("tables=") =>
         a.stripPrefix("tables=").split(',').map(_.trim).toSet
     }
+    // typo guard: an unknown tables= entry would silently fall into
+    // the copy-verbatim branch — the probe then reports scale numbers
+    // for a table that was never tiled
+    val knownTables = Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
+    only.foreach { t =>
+      val unknown = t -- knownTables
+      require(unknown.isEmpty,
+        s"unknown tables= entries: ${unknown.mkString(",")} " +
+          s"(known: ${knownTables.toSeq.sorted.mkString(",")})")
+    }
     // FK closure guard: a tiled fact whose dimension is NOT tiled
     // would mint offset keys pointing at nothing (silent join-row
     // loss measuring the data bug, not the engine)

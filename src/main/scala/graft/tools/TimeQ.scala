@@ -86,7 +86,13 @@ object TimeQ {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       var runIdx = 0
       def once(): Double = {
-        val m0 = metrics.map(_.snap())
+        // listener dispatch is ASYNC even in local mode — drain the bus
+        // before both snaps so no tail onTaskEnd event lands outside
+        // this run's [m0, m1) window (it would skew per-run attribution)
+        val m0 = metrics.map { l =>
+          org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+          l.snap()
+        }
         val g0 = driverGcMs()
         val t0 = System.nanoTime()
         // full-plan execution, not count() — see Bench.once
@@ -94,8 +100,7 @@ object TimeQ {
           .queryExecution.executedPlan.execute().count()
         val dt = (System.nanoTime() - t0) / 1e9
         metrics.foreach { l =>
-          // the local[*] task threads share this JVM, so listener
-          // deltas are complete once the job is done (no async drain)
+          org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
           val (r1, c1, g1, f1, s1, n1) = l.snap()
           val (r0, c0, gg0, f0, s0, n0) = m0.get
           println(f"TIMEQM $q run=$runIdx wall=$dt%.2f " +

@@ -34,6 +34,15 @@ object bridge {
     d.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
   }
 
+  /** Block until the async listener bus has dispatched every queued
+    * event. SparkListener delivery is asynchronous even in local mode,
+    * so task-metrics deltas snapped right after an action returns can
+    * miss tail onTaskEnd events (they would then bleed into the NEXT
+    * run's window). Measurement tools drain before snapping.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Raise a user-facing AnalysisException from a function builder —
     * bad SQL arguments should fail analysis with a readable message,
     * not surface as IndexOutOfBounds/ClassCast from planner internals.

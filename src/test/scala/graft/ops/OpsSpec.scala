@@ -213,6 +213,33 @@ class OpsSpec extends AnyFunSuite {
     assert(routed == direct)
   }
 
+  test("semDedup two-level: candidate join routes on payload size — " +
+      "shuffle-hash past the broadcast bound, identical results") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 60L).map { i =>
+      i -> Seq(math.cos(i * 0.7), math.sin(i * 1.3), math.cos(i * 2.1) * 0.5)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val bcast = Similarity.assignTwoLevel(df, "vec_id", "embedding", 12)
+      .select(col("vec_id"), col("cell"))
+    val shuf = Similarity.assignTwoLevel(df, "vec_id", "embedding", 12,
+        broadcastBytes = 0L)
+      .select(col("vec_id"), col("cell"))
+    // below the bound: candidates broadcast (no corpus shuffle)
+    val pb = bcast.queryExecution.executedPlan.toString
+    assert(pb.contains("BroadcastHashJoin") && !pb.contains("ShuffledHashJoin"),
+      s"sub-bound payload must broadcast the candidate table:\n$pb")
+    // past the bound: shuffle-hash on the coarse key, build = candidates
+    // — the payload (cells·dims doubles) must never replicate to every
+    // executor once it outgrows TwoLevelBroadcastBytes
+    val ps = shuf.queryExecution.executedPlan.toString
+    assert(ps.contains("ShuffledHashJoin") && !ps.contains("BroadcastHashJoin"),
+      s"past-bound payload must shuffle-hash-join the candidate table:\n$ps")
+    // strategy never affects results
+    assert(bcast.orderBy("vec_id").collect().map(_.toSeq).toSeq ==
+      shuf.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("kmeans quantizer: two Lloyd rounds match a local replica") {
     import spark.implicits._
     val vecs: Seq[(Long, Seq[Double])] = Seq(

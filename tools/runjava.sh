@@ -12,6 +12,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# repo root derived from this script's own location, so the script
+# works from any checkout path
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
 exec java $ADDOPENS -Xmx"$MEM" $EXTRA_OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
