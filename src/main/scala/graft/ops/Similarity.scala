@@ -122,54 +122,71 @@ object Similarity {
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
       .toMap
 
-  private def centDfOf(spark: org.apache.spark.sql.SparkSession,
-                       cents: Map[Int, Array[Double]]): DataFrame = {
-    import spark.implicits._
-    // no broadcast hint: the quantizer table is consumed by collecting
-    // back to a driver map (assignCells), never by a join
-    cents.toSeq.sortBy(_._1)
-      .map { case (b, c) => (b, c.toSeq) }.toDF("cell", "carr")
-  }
-
   /** Lloyd-refined ("learned") coarse quantizer: `iters` rounds of
     * assign → per-cell mean, from the deterministic id%cells init.
-    * Each round is ONE assignment pass against the broadcast centroid
-    * table + ONE map-side-combined (cell, dim) aggregate; the driver
-    * carries cells×dims doubles per round. Update means run through
-    * exact DECIMAL sums and round to 6dp, so the trajectory is
-    * row-order- and engine-independent (oracle-replayable); cells
-    * that lose every vector keep their previous centroid. Returns the
-    * (cell, carr) table the IVF/semDedup dataflows consume — the
-    * "learned k-means quantizer slots into the same dataflow" path.
+    * The loop is TABLE-TO-TABLE — centroids never touch the driver:
+    * each round folds the current (cell, carr) table into ONE sorted
+    * candidate-array row, broadcasts it into the exact scan-fused
+    * argmin (same arithmetic and lowest-cell tie rule as the literal
+    * path, bit-equal distances), then rebuilds the table with ONE
+    * map-side-combined (cell, dim) aggregate; cells that lose every
+    * vector keep their previous centroid via a left-join fallback.
+    * Update means run through exact DECIMAL sums and round to 6dp, so
+    * the trajectory is row-order- and engine-independent
+    * (oracle-replayable). Returns the (cell, carr) table the
+    * IVF/semDedup dataflows consume — the "learned k-means quantizer
+    * slots into the same dataflow" path.
+    *
+    * Scale envelope: exact Lloyd assignment needs every row to see
+    * every centroid, so the refinement path is bounded by the
+    * broadcast payload (cells·dims doubles ≤ [[TwoLevelBroadcastBytes]]
+    * ≈ 2·10⁵ cells at 64 dims — 50× the literal path's
+    * [[LiteralSafeCells]]); past that, exact Lloyd is inherently a
+    * corpus×cells join and the deterministic-init two-level assignment
+    * ([[semDedupAuto]]'s auto route) is the 100-TB quantizer.
     */
   def kmeansQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
-                      numCells: Int, iters: Int): DataFrame =
-    centDfOf(corpus.sparkSession,
-      kmeansMap(corpus, idCol, vecCol, numCells, iters))
-
-  /** Driver-map form of [[kmeansQuantizer]] — each Lloyd round is ONE
-    * scan-fused assignment (no join, no shuffle beyond the update agg)
-    * + ONE map-side-combined (cell, dim) aggregate.
-    */
-  private def kmeansMap(corpus: DataFrame, idCol: String, vecCol: String,
-                        numCells: Int, iters: Int): Map[Int, Array[Double]] = {
-    var cents = initCentroidMap(corpus, idCol, vecCol, numCells)
+                      numCells: Int, iters: Int): DataFrame = {
+    var fine = initCentroidDf(corpus, idCol, vecCol, numCells)
     var it = 0
     while (it < iters) {
-      val updated = ivfAssign(corpus, idCol, vecCol, cents)
+      // the round's table feeds BOTH the candidate fold and the
+      // empty-cell fallback join — pin so it computes once (scoped
+      // release by the caller's CacheScope, like every operator pin)
+      val prev = graft.core.Pins.pin(fine)
+      val allCands = prev.select(
+          struct(col("cell"), col("carr"), seqSq(col("carr")).as("cc"))
+            .as("cand"))
+        .agg(sort_array(collect_list(col("cand"))).as("cands"))
+      val assigned = corpus.select(col(vecCol),
+          vec_dot(col(vecCol), col(vecCol)).as("vv"))
+        .crossJoin(broadcast(allCands))
+        .select(nearestCellOver(col(vecCol), col("vv"), col("cands"))
+          .as("cell"), col(vecCol))
+      val updated = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("j", "xv")))
         .groupBy(col("cell"), col("j"))
         .agg(round(
           sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
             .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
-        .toMap
-      cents = cents ++ updated // absent cells keep the previous centroid
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+          s => s.getField("c")).as("uarr"))
+      fine = prev.join(updated, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("uarr"), col("carr")).as("carr"))
       it += 1
     }
-    cents
+    fine
   }
+
+  /** Driver-map form of the Lloyd quantizer for the flat literal
+    * assignment paths — ONE bounded collect of the FINAL table (the
+    * rounds themselves stay distributed in [[kmeansQuantizer]]).
+    */
+  private def kmeansMap(corpus: DataFrame, idCol: String, vecCol: String,
+                        numCells: Int, iters: Int): Map[Int, Array[Double]] =
+    centMapOf(kmeansQuantizer(corpus, idCol, vecCol, numCells, iters))
 
   /** Nearest-centroid cell per row against a (cell, carr) quantizer
     * table — the public face of the assignment dataflow. The table is

@@ -250,8 +250,16 @@ class OpsSpec extends AnyFunSuite {
       4L -> Seq(0.05, 0.9, 0.0),
       5L -> Seq(0.0, 0.0, 1.0))
     val df = vecs.toDF("vec_id", "embedding")
-    val got = Similarity.kmeansQuantizer(df, "vec_id", "embedding",
-        numCells = 2, iters = 2)
+    val quant = Similarity.kmeansQuantizer(df, "vec_id", "embedding",
+      numCells = 2, iters = 2)
+    // the Lloyd rounds are TABLE-TO-TABLE: the returned quantizer must
+    // be a live dataflow (per-round fallback join + in-plan argmin
+    // assignment), not a local relation rebuilt from per-round driver
+    // collects — which would be a single leaf with neither node
+    val qplan = quant.queryExecution.analyzed.toString
+    assert(qplan.contains("Join LeftOuter") && qplan.contains("vecdot"),
+      s"quantizer rounds must stay distributed (no driver round-trip):\n$qplan")
+    val got = quant
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     // local replica: same init, argmin, DECIMAL-exact means, 6dp round
     def r6(x: Double) =
