@@ -282,39 +282,39 @@ object Dedup {
     // the edge list is checkpointed BEFORE the undirected union — the
     // union consumes it twice, and without the cut the upstream pair
     // pipeline (shingle joins etc.) would execute once per branch
-    val e = edges.localCheckpoint(true)
+    val e0 = edges.localCheckpoint(true)
     // Right-size the LOOP's shuffle parallelism to the iterated state:
     // the label table is one row per edge-endpoint node — usually a
     // tiny fraction of the corpus — while the session's shuffle
-    // partition count is sized for corpus-scale scans. Six rounds of
-    // 4-shuffle dataflow at session width is pure task-scheduling
-    // overhead (measured 2x wall on small states). Target ~1M edges
-    // per partition, capped at the session setting so a 100-TB edge
-    // set keeps full parallelism; restored after the loop (the
-    // returned labels are already materialized by the final
-    // convergence count, so nothing downstream re-plans under the
-    // narrowed conf).
-    // CONCURRENCY NOTE: the width is applied via the session conf —
-    // unlike PageRank (explicit pin/repartition), every one of CC's
-    // 4-per-round shuffles must run narrowed WITH map-side combine,
-    // which a user-level repartition cannot express (the partial agg
-    // would move above the exchange and ship raw edge rows). The
-    // mutation is restore-in-finally; do not run connectedComponents
-    // concurrently with other queries on the same SparkSession —
-    // Verify/Bench/Hyperband never do.
-    val spark = e.sparkSession
-    val nEdges = e.count()
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      nEdges / 1000000L + 1L)).toString
+    // partition count is sized for corpus-scale scans. Rounds of
+    // 4-shuffle dataflow at session width are pure task-scheduling
+    // overhead (re-measured this round: 1461 tasks / 72.6 execCpuS per
+    // warm sf0.1 run at width 32 + AQE — whose parallelismFirst
+    // coalescing deliberately keeps reducers ≈ cores — vs 356 tasks /
+    // 34.5 execCpuS narrowed). Target ~1M edges per partition, capped
+    // at the session setting so a 100-TB edge set keeps full width.
+    // The narrowing lives on an ISOLATED newSession() clone — shared
+    // SparkContext, cache, and checkpoint blocks, but its OWN SQL conf
+    // — so every loop shuffle runs narrow WITH map-side combine (what
+    // a user-level repartition can't express: the partial agg would
+    // move above the exchange and ship raw edge rows) and NOTHING is
+    // mutated on the caller's session; concurrent queries are safe.
+    // The loop's datasets live in the clone; the returned labels are
+    // re-bound to the caller's session at the end.
+    val spark = e0.sparkSession
+    val nEdges = e0.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val loopParts = math.max(1L, math.min(sessionParts,
+      nEdges / 1000000L + 1L))
+    val loopSpark = spark.newSession()
+    loopSpark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val e = org.apache.spark.sql.graft.bridge.rebind(loopSpark, e0)
     val undBoth = e.select(col("i").as("node"), col("j").as("nbr"))
       .union(e.select(col("j").as("node"), col("i").as("nbr")))
     // init fuses propagation step 1: lbl0(v) = min(v, min nbr) — the
     // same single groupBy an identity init's distinct() would cost,
     // but one round ahead (typical near-dup graphs then need one
     // fewer join-round before the convergence check comes back clean)
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
     var labels = undBoth.groupBy(col("node"))
       .agg(min(col("nbr")).as("nm"))
       .select(col("node"), least(col("node"), col("nm")).as("comp"))
@@ -364,9 +364,12 @@ object Dedup {
         "(diameter > 2^maxIter is not a realistic near-dup graph)")
     // the edge checkpoint fed every round's undirected union; the
     // returned labels are checkpoint-cut and independent of it
-    graft.core.Pins.releaseCheckpoint(e)
-    labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    // (released via e0 — the checkpointed dataset itself; `e` is a
+    // rebind whose leaf is a DERIVED scan of the same blocks)
+    graft.core.Pins.releaseCheckpoint(e0)
+    // back to the caller's session (and its shuffle width): labels'
+    // rows come straight off the final round's checkpoint blocks
+    org.apache.spark.sql.graft.bridge.rebind(spark, labels)
   }
 
   /** Duplicate-SPAN scrub (the document-REWRITING flavor of dedup used

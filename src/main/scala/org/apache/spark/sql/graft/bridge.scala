@@ -34,6 +34,22 @@ object bridge {
     d.sparkSession.sharedState.cacheManager.lookupCachedData(d).isDefined
   }
 
+  /** Re-bind a dataset's PHYSICAL rows into another session of the
+    * same SparkContext: the source's executed RDD (for an eagerly
+    * checkpointed dataset, a scan of its cached blocks — zero
+    * recompute) becomes a LogicalRDD leaf in `target`. Used by
+    * iterative operators that right-size their loop's shuffle width on
+    * an isolated `newSession()` clone instead of mutating the shared
+    * session conf: the clone shares context, cache, and checkpoint
+    * blocks, but its `spark.sql.shuffle.partitions` is its own.
+    */
+  def rebind(target: org.apache.spark.sql.SparkSession,
+             ds: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.DataFrame = {
+    val c = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(c.queryExecution.toRdd, c.schema)
+  }
+
   /** Block until the async listener bus has dispatched every queued
     * event. SparkListener delivery is asynchronous even in local mode,
     * so task-metrics deltas snapped right after an action returns can
