@@ -27,6 +27,17 @@ object Bench {
       "q_dedup_embed_cos", "q_cindex", "q_sim_semdedup", "q_sim_semdedup_kmeans",
       "q_dedup_embed_lsh")
 
+  /** One measured run: wall seconds + the cluster-side logical metrics
+    * that classify a wall-time mover without re-running anything —
+    * flat cpu/tasks with a ballooning wall is host scheduling, not the
+    * engine (the measurement contract in BASELINE.md). Failure
+    * sentinel: wall = -1, metrics zeroed.
+    */
+  private final case class Obs(wall: Double, cpuS: Double,
+                               spillMB: Long, tasks: Long)
+  private val Failed = Obs(-1.0, 0.0, 0L, 0L)
+  private val Unmeasured = Obs(Double.MaxValue, 0.0, 0L, 0L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,22 +58,39 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Task-metrics listener, always on (one atomic-add per task end):
+    // every reported warm number carries its execCpu/spill/tasks
+    // decomposition so a between-rounds mover can be classified from
+    // the bench artifact alone instead of re-litigating host drift.
+    val listener = new graft.tools.TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def measure(f: => Unit): Obs = {
+      // drain before both snaps: listener dispatch is async even in
+      // local mode — tail onTaskEnd events must not cross run windows
+      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+      val (_, c0, _, _, s0, n0) = listener.snap()
+      val t0 = System.nanoTime()
+      f
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+      val (_, c1, _, _, s1, n1) = listener.snap()
+      Obs(wall, (c1 - c0) / 1e9, (s1 - s0) / 1000000L, n1 - n0)
+    }
+    def minByWall(a: Obs, b: Obs): Obs = if (a.wall <= b.wall) a else b
     // shared-input setup (stable-order churn dataset build + encoder
     // fits), memoized across queries — timed once, reported as _setup
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val tSetup = System.nanoTime()
-    try graft.surv.ChurnView.dataset(spark, sfDir)
-    catch {
-      case e: Throwable =>
-        failed += "_setup"
-        System.err.println(s"[bench] _setup FAILED: $e")
-    }
     // -1 sentinel on failure: the elapsed-until-throw value would be
     // SMALLER than a healthy setup and make the headline improve when
     // setup crashed (the invariant below: failures never help totals)
-    val setupSec =
-      if (failed.contains("_setup")) -1.0
-      else (System.nanoTime() - tSetup) / 1e9
+    val setupObs =
+      try measure { graft.surv.ChurnView.dataset(spark, sfDir); () }
+      catch {
+        case e: Throwable =>
+          failed += "_setup"
+          System.err.println(s"[bench] _setup FAILED: $e")
+          Failed
+      }
     // Setup-level cache blocks (the stable-order churn dataset) are
     // load-bearing across queries: an RDD-level unpersist would disable
     // them for the rest of the run (storageLevel can't be re-enabled on
@@ -98,8 +126,7 @@ object Bench {
         .values.foreach(_.unpersist(blocking = true))
       out
     }
-    def once(name: String): Double = {
-      val t0 = System.nanoTime()
+    def once(name: String): Obs = measure {
       // execute the EXACT planned query: df.count() would let Catalyst
       // column-prune the measured work (a projection-shaped query like
       // q_text_tokens times as a bare scan with its token expressions
@@ -107,7 +134,7 @@ object Bench {
       // pays every projection, expression, and sort the query declares
       SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.execute().count()
-      (System.nanoTime() - t0) / 1e9
+      ()
     }
     val benchQueries =
       if (skipParity) SparkEntry.queries.view.filterKeys(
@@ -117,17 +144,18 @@ object Bench {
       val (cold, warm) = swept {
         try {
           val c = once(name)
-          (c, math.min(once(name), once(name)))
+          (c, minByWall(once(name), once(name)))
         } catch {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name FAILED: $e")
-            (-1.0, -1.0)
+            (Failed, Failed)
         }
       }
       // cache-state drift diagnostic: entry count after the sweep
       // should stay flat at the setup-cache size for the whole run
-      System.err.println(f"[bench] $name cold=$cold%.2f warm=$warm%.2f " +
+      System.err.println(f"[bench] $name cold=${cold.wall}%.2f " +
+        f"warm=${warm.wall}%.2f " +
         s"cacheEntries=${spark.sparkContext.getPersistentRDDs.size}")
       name -> (cold, warm)
     }
@@ -140,17 +168,19 @@ object Bench {
     // run — far from whatever disturbed their window — and report the
     // min of all observations.
     val guarded = measured.map { case (name, (cold, warm)) =>
-      if (cold >= 0 && warm > math.max(2.0 * cold, cold + 1.0)) {
+      if (cold.wall >= 0 &&
+          warm.wall > math.max(2.0 * cold.wall, cold.wall + 1.0)) {
         val re = swept {
           try once(name)
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name re-measure FAILED: $e")
-            Double.MaxValue
+            Unmeasured
           }
         }
         System.err.println(f"[bench] $name warm outlier " +
-          f"(cold=$cold%.2f warm=$warm%.2f) re-measured=$re%.2f")
-        name -> (cold, math.min(warm, re))
+          f"(cold=${cold.wall}%.2f warm=${warm.wall}%.2f) " +
+          f"re-measured=${re.wall}%.2f")
+        name -> (cold, minByWall(warm, re))
       } else name -> (cold, warm)
     }
     // End-of-run settle pass: a transient (GC / IO / co-tenant
@@ -163,19 +193,20 @@ object Bench {
     // its original window; the min of all observations is reported.
     // Bounded cost: only the handful of genuinely-slow queries pay it.
     val results = guarded.map { case (name, (cold, warm)) =>
-      if (cold >= 0 && warm >= 1.0) {
+      if (cold.wall >= 0 && warm.wall >= 1.0) {
         val re = swept {
           try once(name)
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name settle FAILED: $e")
-            Double.MaxValue
+            Unmeasured
           }
         }
-        if (re < warm)
-          System.err.println(f"[bench] $name settle $warm%.2f -> $re%.2f")
-        name -> (cold, math.min(warm, re))
+        if (re.wall < warm.wall)
+          System.err.println(
+            f"[bench] $name settle ${warm.wall}%.2f -> ${re.wall}%.2f")
+        name -> (cold, minByWall(warm, re))
       } else name -> (cold, warm)
-    } ++ Map("_setup" -> (setupSec, setupSec))
+    } ++ Map("_setup" -> (setupObs, setupObs))
     // Two decimals keeps the headline line short: the driver recovers
     // the metric line from a bounded (~2 kB) tail of stdout, and the
     // round-4 line — with full-precision doubles AND the cold map
@@ -196,9 +227,18 @@ object Bench {
     def jsonMap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val warmQs = results.map { case (k, (_, w)) => k -> w }
-    val coldQs = results.map { case (k, (c, _)) => k -> c }
+    val warmQs = results.map { case (k, (_, w)) => k -> w.wall }
+    val coldQs = results.map { case (k, (c, _)) => k -> c.wall }
     val total = warmQs.values.filter(_ >= 0).sum
+    // per-query decomposition of the CHOSEN warm run, compact
+    // "execCpuS|spillMB|tasks" — the triple that classifies a mover
+    def dec(o: Obs): String = s"${fmt(o.cpuS)}|${o.spillMB}|${o.tasks}"
+    // board totals over the reported warm runs: a uniform wall drift
+    // with flat total cpu+tasks is the host, not the engine
+    val okWarm = results.values.map(_._2).filter(_.wall >= 0)
+    val totCpu = okWarm.map(_.cpuS).sum
+    val totSpill = okWarm.map(_.spillMB).sum
+    val totTasks = okWarm.map(_.tasks).sum
     // bounded: a mass-failure round's full name list alone would blow
     // the ~2 kB driver tail the metric line must fit in (the fold loop
     // below can only shrink the QUERIES map) — cap at 8 names + count
@@ -207,6 +247,12 @@ object Bench {
        else failed.take(8).toSeq :+ s"+${failed.size - 8} more")
         .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"bench_cold":${jsonMap(coldQs)},"timing":"warm-min-of-2"}""")
+    // FULL decomposition on its own line (builder-captured boards read
+    // it whole; the driver's bounded tail may truncate it — the final
+    // line below carries totals + the slowest queries' triples)
+    println(results.toSeq.sortBy(_._1)
+      .map { case (k, (_, w)) => s"\"$k\":\"${dec(w)}\"" }
+      .mkString("{\"bench_metrics\":{", ",", "}}"))
     // Hard length budget on the final metric line: the driver recovers
     // it from a ~2000-char stdout tail that ALSO holds sbt's closing
     // [success] line — an overgrown line loses the whole round's bench
@@ -215,11 +261,16 @@ object Bench {
     // count) until the line fits: every slow query keeps its own
     // number, only sub-noise entries collapse, and the total always
     // covers every query. Failed (-1) entries are never folded.
+    // "qm" carries the decomposition triples for the SLOWEST kept
+    // queries (capped at 25) — the ones whose movement between rounds
+    // ever needs classifying.
     def metricLine(qs: Seq[(String, Double)], restSum: Double, restN: Int): String = {
       val m = jsonMap(qs.toMap ++
         (if (restN > 0) Map("_rest" -> restSum, "_rest_n" -> restN.toDouble)
          else Map.empty))
-      s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","queries":$m,"failed":$failedJson,"sf":"$sfDir"}"""
+      val qm = qs.take(25).map { case (k, _) =>
+        s"\"$k\":\"${dec(results(k)._2)}\"" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","execCpuS":${fmt(totCpu)},"spillMB":$totSpill,"tasks":$totTasks,"queries":$m,"qm":$qm,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     // fold order: smallest first; failures pinned at the front (kept)
     val byAsc = warmQs.toSeq.sortBy { case (k, v) =>

@@ -14,40 +14,6 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQ {
 
-  /** Accumulates task metrics across a run window. The run/cpu pair
-    * is the decisive split for wall-time variance: executorRunTime is
-    * thread WALL (inflates when the host deschedules vCPUs — steal
-    * the guest may not even see), executorCpuTime is actual on-CPU
-    * nanoseconds (inflates only with real extra cycles: stalls,
-    * memory-bandwidth contention, or more work). Same tasks + flat
-    * cpu + ballooning run = host-level scheduling, not the engine.
-    */
-  private final class MetricsListener
-      extends org.apache.spark.scheduler.SparkListener {
-    val runMs = new java.util.concurrent.atomic.AtomicLong
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong
-    val gcMs = new java.util.concurrent.atomic.AtomicLong
-    val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
-    val spillBytes = new java.util.concurrent.atomic.AtomicLong
-    val tasks = new java.util.concurrent.atomic.AtomicLong
-    override def onTaskEnd(
-        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = t.taskMetrics
-      if (m != null) {
-        runMs.addAndGet(m.executorRunTime)
-        cpuNs.addAndGet(m.executorCpuTime)
-        gcMs.addAndGet(m.jvmGCTime)
-        fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
-        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-        tasks.incrementAndGet()
-        ()
-      }
-    }
-    def snap(): (Long, Long, Long, Long, Long, Long) =
-      (runMs.get, cpuNs.get, gcMs.get, fetchWaitMs.get, spillBytes.get,
-        tasks.get)
-  }
-
   private def driverGcMs(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -72,7 +38,7 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     val metrics =
       if (sys.env.get("SPARK_GRAFT_TIMEQ_METRICS").contains("1")) {
-        val l = new MetricsListener
+        val l = new TaskMetricsListener
         spark.sparkContext.addSparkListener(l)
         Some(l)
       } else None
