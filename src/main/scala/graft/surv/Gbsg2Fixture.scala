@@ -45,8 +45,12 @@ object Gbsg2Fixture {
         case "I" => -1.0; case "II" => 0.0; case _ => 1.0
       }) + 0.06 * pnodes - 0.4 * (if (horTh == "yes") 1.0 else 0.0) -
         0.002 * progrec
-      val rate = math.exp(lp) / 1000.0
-      val tEvent = -math.log(rng.nextDouble()) / rate
+      // StrictMath, not Math: Math.exp/log may differ by an ulp
+      // across JVMs/hardware (intrinsics), and an ulp at a .0
+      // boundary would flip the toInt below — the fixture must be
+      // bit-identical everywhere ("same table for any caller")
+      val rate = StrictMath.exp(lp) / 1000.0
+      val tEvent = -StrictMath.log(rng.nextDouble()) / rate
       val cens = 200 + rng.nextDouble() * 2400
       val time = math.min(tEvent, cens).toInt.max(1)
       val e = if (tEvent <= cens) 1 else 0
