@@ -306,7 +306,11 @@ object Dedup {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
     val loopParts = math.max(1L, math.min(sessionParts,
       nEdges / 1000000L + 1L))
-    val loopSpark = spark.newSession()
+    // conf-preserving clone: a bare newSession() would silently drop
+    // any RUNTIME spark.conf.set state (ANSI mode, AQE toggles,
+    // timezone) a library caller holds — the loop must differ from
+    // the caller's session in shuffle width ONLY
+    val loopSpark = org.apache.spark.sql.graft.bridge.sessionClone(spark)
     loopSpark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val e = org.apache.spark.sql.graft.bridge.rebind(loopSpark, e0)
     val undBoth = e.select(col("i").as("node"), col("j").as("nbr"))

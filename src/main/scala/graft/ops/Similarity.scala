@@ -148,36 +148,74 @@ object Similarity {
   def kmeansQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
                       numCells: Int, iters: Int): DataFrame = {
     var fine = initCentroidDf(corpus, idCol, vecCol, numCells)
+    // the currently-live inter-round checkpoint (rolling — see below)
+    var prevCkpt: Option[DataFrame] = None
     var it = 0
     while (it < iters) {
-      // the round's table feeds BOTH the candidate fold and the
-      // empty-cell fallback join — pin so it computes once (scoped
-      // release by the caller's CacheScope, like every operator pin)
-      val prev = graft.core.Pins.pin(fine)
-      val allCands = prev.select(
-          struct(col("cell"), col("carr"), seqSq(col("carr")).as("cc"))
-            .as("cand"))
-        .agg(sort_array(collect_list(col("cand"))).as("cands"))
-      val assigned = corpus.select(col(vecCol),
-          vec_dot(col(vecCol), col(vecCol)).as("vv"))
-        .crossJoin(broadcast(allCands))
-        .select(nearestCellOver(col(vecCol), col("vv"), col("cands"))
-          .as("cell"), col(vecCol))
-      val updated = assigned
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("j", "xv")))
-        .groupBy(col("cell"), col("j"))
-        .agg(round(
-          sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
-            .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
-          s => s.getField("c")).as("uarr"))
-      fine = prev.join(updated, Seq("cell"), "left")
-        .select(col("cell"),
-          coalesce(col("uarr"), col("carr")).as("carr"))
+      val prev =
+        if (it == 0)
+          // round 0 reads the lazy init table — pinned, because the
+          // round consumes it on BOTH the candidate fold and the
+          // empty-cell fallback join (scoped release by the caller's
+          // CacheScope, like every operator pin); iters ≤ 1 therefore
+          // stays fully lazy end to end
+          graft.core.Pins.pin(fine)
+        else {
+          // PHYSICAL lineage cut between rounds: each round embeds its
+          // input table ~3× (candidate fold, assignment, fallback
+          // join), so a pin-only loop grows the LOGICAL tree ~3× per
+          // round — analyzer cost explodes with `iters`, and a caller
+          // whose cache scope sweeps before execution would recompute
+          // the exponential tree. The eager checkpoint materializes
+          // round it−1 here and the next round reads its blocks; live
+          // checkpoint state is O(1) in rounds because the superseded
+          // round's blocks are released as soon as its successor
+          // materializes (the PageRank/CC rotation pattern). The
+          // checkpoint is cells×dims rows — tiny at any corpus scale.
+          val ck = fine.localCheckpoint(true)
+          prevCkpt.foreach(graft.core.Pins.releaseCheckpoint)
+          prevCkpt = Some(ck)
+          ck
+        }
+      fine = lloydRound(corpus, vecCol, prev)
       it += 1
     }
+    // the FINAL round stays a live dataflow over the last checkpoint
+    // (spec-pinned: fallback join + in-plan argmin visible in the
+    // analyzed plan); that last checkpoint's blocks belong to the
+    // returned frame and are swept with the caller's query scope
     fine
+  }
+
+  /** One Lloyd round: fold the (cell, carr) table into ONE sorted
+    * candidate-array row, broadcast it into the exact scan-fused
+    * argmin, rebuild the table with a map-side-combined (cell, dim)
+    * DECIMAL-exact 6dp mean, and keep empty cells' previous centroids
+    * via the left-join fallback.
+    */
+  private def lloydRound(corpus: DataFrame, vecCol: String,
+                         prev: DataFrame): DataFrame = {
+    val allCands = prev.select(
+        struct(col("cell"), col("carr"), seqSq(col("carr")).as("cc"))
+          .as("cand"))
+      .agg(sort_array(collect_list(col("cand"))).as("cands"))
+    val assigned = corpus.select(col(vecCol),
+        vec_dot(col(vecCol), col(vecCol)).as("vv"))
+      .crossJoin(broadcast(allCands))
+      .select(nearestCellOver(col(vecCol), col("vv"), col("cands"))
+        .as("cell"), col(vecCol))
+    val updated = assigned
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("j", "xv")))
+      .groupBy(col("cell"), col("j"))
+      .agg(round(
+        sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        s => s.getField("c")).as("uarr"))
+    prev.join(updated, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("uarr"), col("carr")).as("carr"))
   }
 
   /** Driver-map form of the Lloyd quantizer for the flat literal
@@ -525,6 +563,18 @@ object Similarity {
     */
   val TwoLevelBroadcastBytes: Long = 100L << 20
 
+  /** Public face of the two-level assignment — (id, cell) — for
+    * callers that want the 100-TB quantizer without the semDedup
+    * leader rule (and for the route A/B scale probe, which overrides
+    * `broadcastBytes` to force each join strategy on the same data).
+    */
+  def assignCellsTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                          numCells: Int,
+                          broadcastBytes: Long =
+                            TwoLevelBroadcastBytes): DataFrame =
+    assignTwoLevel(corpus, idCol, vecCol, numCells, broadcastBytes)
+      .select(col(idCol), col("cell"))
+
   /** Two-level nearest-cell assignment: (id, vec, cell). See
     * [[semDedupTwoLevel]] for the dataflow and cost bound. Every
     * coarse residue 0..nCoarse−1 owns ≥1 fine cell (nCoarse ≤ cells),
@@ -551,10 +601,14 @@ object Similarity {
         struct(col("cell"), col("carr"), seqSq(col("carr")).as("cc")).as("cand"))
       .groupBy(col("coarse"))
       .agg(sort_array(collect_list(col("cand"))).as("cands"))
-    // dims from one limit-1 scan (empty corpus → payload 0 → broadcast
-    // of an empty table, same degenerate plan as before the routing)
-    val dims = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // dims comes free with the coarse-centroid collect above (every
+    // coarse centroid is a per-dim mean, so its length IS the vector
+    // dimensionality) — the retired limit-1 corpus probe here was an
+    // EXTRA eager job that also re-executed a derived corpus' upstream
+    // pipeline once per operator construction. Empty/all-null corpus →
+    // no centroids → payload 0 → broadcast of an empty table, the same
+    // degenerate plan as before the routing.
+    val dims = coarse.values.headOption.map(_.length).getOrElse(0)
     val payloadBytes = numCells.toLong * dims * 8L
     val candsRouted =
       if (payloadBytes <= broadcastBytes) broadcast(cands)

@@ -50,14 +50,48 @@ object bridge {
       .internalCreateDataFrame(c.queryExecution.toRdd, c.schema)
   }
 
+  /** `newSession()` clone that PRESERVES the caller's runtime SQL
+    * conf. A bare clone initializes its SQLConf from the SparkConf
+    * only, so anything the caller set at runtime via `spark.conf.set`
+    * (ANSI mode, AQE toggles, session timezone, broadcast threshold)
+    * would silently revert to defaults inside an operator's isolated
+    * loop. Every parent entry is copied; static/immutable entries
+    * throw on set and are skipped (the clone already shares them
+    * through the context's SparkConf). Callers then override only
+    * their own knobs (e.g. the loop's shuffle width).
+    */
+  def sessionClone(spark: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.SparkSession = {
+    val clone = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try clone.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    clone
+  }
+
   /** Block until the async listener bus has dispatched every queued
     * event. SparkListener delivery is asynchronous even in local mode,
     * so task-metrics deltas snapped right after an action returns can
     * miss tail onTaskEnd events (they would then bleed into the NEXT
     * run's window). Measurement tools drain before snapping.
+    *
+    * Bounded wait: the no-arg `waitUntilEmpty()` throws
+    * TimeoutException after a 10 s default when the bus is backed up —
+    * uncaught, that would abort a whole timing run (TimeQ) or mark a
+    * successfully-executed query FAILED (Bench) over a measurement
+    * side-channel hiccup. A generous 120 s bound plus a logged
+    * fall-back to an undrained snap keeps the run alive; the snap is
+    * then at worst missing tail task events, which the min-of-N
+    * methodology already tolerates.
     */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+    try spark.sparkContext.listenerBus.waitUntilEmpty(120000L)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[bridge] listener bus drain timed out after " +
+          "120 s — snapping task metrics undrained")
+    }
 
   /** Raise a user-facing AnalysisException from a function builder —
     * bad SQL arguments should fail analysis with a readable message,

@@ -8,6 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
+  /** Jobs the two-level assignment may schedule at CONSTRUCTION on the
+    * 30-vector fixture: the coarse-centroid collect's AQE stage jobs,
+    * nothing else (see the spec that pins it).
+    */
+  private val TwoLevelConstructionJobs = 5
+
   test("rolling hash: known value, codegen path") {
     import spark.implicits._
     // h("ab") = (0*31+97)*31 + 98 = 3105
@@ -238,6 +244,131 @@ class OpsSpec extends AnyFunSuite {
     // strategy never affects results
     assert(bcast.orderBy("vec_id").collect().map(_.toSeq).toSeq ==
       shuf.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("two-level assignment: construction schedules only the " +
+      "centroid-build jobs — the corpus dims probe is gone") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 30L).map { i =>
+      i -> Seq(math.cos(i * 0.3), math.sin(i * 0.9), 0.1 * i)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+    spark.sparkContext.addSparkListener(l)
+    val before =
+      try {
+        // CONSTRUCTION only — no action on the returned frame. The only
+        // eager work the operator is allowed is the coarse-centroid
+        // literal build (collected by design: level 1 is a scan-fused
+        // literal fold); the retired limit-1 dims probe was one EXTRA
+        // job here that also re-executed a derived corpus' upstream.
+        Similarity.assignTwoLevel(df, "vec_id", "embedding", 12)
+        org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    // pinned job count = the coarse-centroid collect's AQE stages on
+    // this fixture; a regression re-adding a construction-time corpus
+    // probe shows up as +1 (update the pin only for a Spark-version
+    // job-split change, never for new eager work)
+    assert(before == TwoLevelConstructionJobs,
+      s"two-level construction scheduled $before jobs, " +
+        s"expected $TwoLevelConstructionJobs (centroid build only)")
+  }
+
+  test("kmeans quantizer: logical plan is O(1) in rounds and " +
+      "inter-round checkpoints rotate") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 24L).map { i =>
+      i -> Seq(math.cos(i * 0.5), math.sin(i * 0.8), 0.05 * i)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def nodeCount(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.analyzed.collect { case p => p }.size
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (n2, n6) = graft.core.Pins.scoped {
+      // iters ≥ 2 reads its final round off a checkpoint LEAF, so the
+      // analyzed tree has the SAME size at any round count — the
+      // pin-only loop this replaces grew ~3× per round (round 6 would
+      // be ~3⁶ the size of round 2 and analyzer-hostile at real iters)
+      val q2 = Similarity.kmeansQuantizer(df, "vec_id", "embedding",
+        numCells = 3, iters = 2)
+      val q6 = Similarity.kmeansQuantizer(df, "vec_id", "embedding",
+        numCells = 3, iters = 6)
+      q6.collect()
+      (nodeCount(q2), nodeCount(q6))
+    }
+    assert(n6 == n2,
+      s"quantizer plan must not grow with rounds: iters=6 has $n6 nodes " +
+        s"vs iters=2's $n2")
+    // rolling rotation: superseded inter-round checkpoints are released
+    // as soon as their successor materializes; the scoped init pin is
+    // swept at scope exit — only the two final-round input checkpoints
+    // (one per quantizer, each cells×dims rows) outlive the scope
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(leaked <= 2, s"expected <=2 live RDDs after 2+6 rounds, got $leaked")
+  }
+
+  test("kmeans quantizer: four rounds (through the checkpoint path) " +
+      "match the local replica") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.1, 0.0),
+      2L -> Seq(0.95, 0.05, 0.0),
+      3L -> Seq(0.0, 1.0, 0.0),
+      4L -> Seq(0.05, 0.9, 0.0),
+      5L -> Seq(0.0, 0.0, 1.0))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansQuantizer(df, "vec_id", "embedding",
+        numCells = 2, iters = 4)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var cents = vecs.groupBy { case (id, _) => (id % 2).toInt }
+      .view.mapValues(vs =>
+        (0 until 3).map(j => r6(vs.map(_._2(j)).sum / vs.size)).toArray).toMap
+    (0 until 4).foreach { _ =>
+      val asgn = vecs.groupBy { case (_, x) =>
+        cents.toSeq.map { case (c, ca) =>
+          (dot(x, x) - 2 * dot(x, ca.toSeq) + dot(ca.toSeq, ca.toSeq), c)
+        }.min._2
+      }
+      cents = cents ++ asgn.view.mapValues { vs =>
+        (0 until 3).map(j =>
+          r6((vs.map(v => BigDecimal(v._2(j))).sum / vs.size).toDouble)).toArray
+      }.toMap
+    }
+    assert(got.keySet == cents.keySet)
+    got.foreach { case (c, arr) =>
+      assert(arr.sameElements(cents(c)), s"cell $c: ${arr.toSeq} vs ${cents(c).toSeq}")
+    }
+  }
+
+  test("sessionClone preserves runtime SQL conf, isolates overrides") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(key)
+    spark.conf.set(key, "12345678")
+    try {
+      val clone = org.apache.spark.sql.graft.bridge.sessionClone(spark)
+      // runtime conf set on the PARENT survives onto the clone — a bare
+      // newSession() reverts it to the SparkConf default and an
+      // operator loop would silently run under different SQL semantics
+      assert(clone.conf.get(key) == "12345678")
+      // and the clone's own overrides never leak back
+      val parentShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      clone.conf.set("spark.sql.shuffle.partitions", "1")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == parentShuffle)
+    } finally spark.conf.set(key, orig)
   }
 
   test("kmeans quantizer: two Lloyd rounds match a local replica") {
