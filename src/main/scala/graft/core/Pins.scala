@@ -39,6 +39,9 @@ object Pins {
   private final case class RddPin(rdd: RDD[_]) extends Pin {
     def release(): Unit = rdd.unpersist(blocking = true)
   }
+  private final case class CkptPin(ds: Dataset[_]) extends Pin {
+    def release(): Unit = releaseCheckpoint(ds)
+  }
 
   private final class Scope {
     val pins = new java.util.concurrent.ConcurrentLinkedQueue[Pin]()
@@ -104,6 +107,22 @@ object Pins {
     register(RddPin(rdd))
     rdd
   }
+
+  /** Register an eagerly-checkpointed Dataset for release at the
+    * innermost scope's exit (no scope → the caller owns the release,
+    * exactly like [[pin]]). This is how an iterative operator's FINAL
+    * checkpoint — the one round the rotation can't release, because
+    * the returned frame reads it — gets the same lifecycle under bare
+    * [[scoped]] that `CacheScope`'s getPersistentRDDs-diff fallback
+    * already gives it: released once the scope closes.
+    *
+    * Same safety contract as [[releaseCheckpoint]]: the scope must
+    * materialize every consumer of the returned frame before it exits
+    * — a truncated-lineage block can never recompute. That is already
+    * the documented CacheScope contract ("consume the result inside
+    * the scope").
+    */
+  def pinCheckpoint(ds: Dataset[_]): Unit = register(CkptPin(ds))
 
   /** Release the cached blocks of a locally-checkpointed Dataset —
     * the per-iteration STATE ROTATION primitive for iterative

@@ -371,6 +371,11 @@ object Dedup {
     // (released via e0 — the checkpointed dataset itself; `e` is a
     // rebind whose leaf is a DERIVED scan of the same blocks)
     graft.core.Pins.releaseCheckpoint(e0)
+    // the FINAL round's label checkpoint backs the returned frame —
+    // registered with the caller's pin scope (released at scope exit,
+    // matching CacheScope's RDD-diff fallback; consume the result
+    // inside the scope)
+    graft.core.Pins.pinCheckpoint(labels)
     // back to the caller's session (and its shuffle width): labels'
     // rows come straight off the final round's checkpoint blocks
     org.apache.spark.sql.graft.bridge.rebind(spark, labels)

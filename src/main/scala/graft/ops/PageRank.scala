@@ -55,6 +55,20 @@ object PageRank {
                         roundDp: Int = 6): DataFrame =
     run(edges, iters, damping, roundDp, seeds = Some(seeds))
 
+  /** Loop shuffle width from the data: ~64k edges per partition —
+    * NOT connectedComponents' 1M-edges/partition (its per-row work is
+    * a min over two longs; a 1M-edge PageRank at 2 partitions left 30
+    * of 32 cores idle and tripled the query time). Capped at the
+    * session setting so a 100-TB edge set keeps full parallelism while
+    * a small graph never pays session-width task scheduling × iters
+    * (the width-128 sf10 board measured that overshoot at 159 s vs
+    * 91 s on q_pagerank — and AQE cannot recover it, because each
+    * round's localCheckpoint boundary materializes the exchanges
+    * before coalescing sees them).
+    */
+  def loopWidth(nEdges: Long, sessionParts: Long): Int =
+    math.max(1L, math.min(sessionParts, nEdges / 65536L + 1L)).toInt
+
   private def run(edges: DataFrame, iters: Int, damping: Double,
                   roundDp: Int, seeds: Option[DataFrame]): DataFrame = {
     val spark = edges.sparkSession
@@ -62,21 +76,22 @@ object PageRank {
     val nEdges = e0.count()
     val teleport = 1.0 - damping
 
-    // Right-size the loop's shuffle width: tiny graphs collapse to a
-    // few partitions (task scheduling would dominate N rounds at
-    // session width), but the per-round rank⋈edge join does REAL work
-    // per edge, so the target is ~64k edges per partition — NOT
-    // connectedComponents' 1M-edges/partition (its per-row work is a
-    // min over two longs; a 1M-edge PageRank at 2 partitions left 30
-    // of 32 cores idle and tripled the query time). Capped at the
-    // session setting so a 100-TB edge set keeps full parallelism.
-    // Width is applied with explicit repartition/pin on the loop's
-    // dataflow, NEVER via spark.sql.shuffle.partitions: mutating the
-    // session conf would race concurrent queries on the same session
-    // (e.g. Hyperband's threaded config evaluation).
+    // Right-size the loop's shuffle width to the edge count
+    // ([[loopWidth]]), applied the connectedComponents way: the whole
+    // loop runs on an ISOLATED conf-preserving session clone — shared
+    // SparkContext, cache, and checkpoint blocks, its OWN SQL conf —
+    // so EVERY per-round exchange (the contribution groupBy(dst), the
+    // nodes left join, the distinct) runs narrow WITH map-side combine
+    // (what a user-level repartition can't express: the partial agg
+    // would move above the exchange and ship raw edge rows), and
+    // nothing is mutated on the caller's session — concurrent queries
+    // (e.g. Hyperband's threaded config evaluation) are safe. The
+    // returned ranks are re-bound to the caller's session at the end.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      nEdges / 65536L + 1L)).toInt
+    val loopParts = loopWidth(nEdges, sessionParts.toLong)
+    val loopSpark = org.apache.spark.sql.graft.bridge.sessionClone(spark)
+    loopSpark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val eb = org.apache.spark.sql.graft.bridge.rebind(loopSpark, e0)
 
       // The edge table is the loop's big invariant input, so it is
       // cached hash-partitioned AND sorted on the join key via
@@ -91,19 +106,23 @@ object PageRank {
       // rides the caller's cache scope (Bench/Verify sweeps release
       // it); lineage above it is the already-checkpointed e0, so the
       // per-round lineage cut stays shallow.
-      val e = graft.core.Pins.pin(e0.withColumnRenamed("src", "node")
+      val e = graft.core.Pins.pin(eb.withColumnRenamed("src", "node")
         .repartition(loopParts, col("node"))
         .sortWithinPartitions("node"))
       val deg = e.groupBy(col("node")).agg(count(lit(1)).as("od"))
-      val nodes0 = e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node"))).distinct()
+      val nodes0 = eb.select(col("src").as("node"))
+        .union(eb.select(col("dst").as("node"))).distinct()
         .join(deg, Seq("node"), "left")
         .select(col("node"), coalesce(col("od"), lit(0L)).as("od"))
       val nodes = seeds match {
         case None => nodes0.withColumn("seed", lit(true))
           .localCheckpoint(true)
         case Some(s) => nodes0
-          .join(s.select(col("node")).distinct()
+          // the seed frame is caller-session — re-bound so the whole
+          // loop dataflow lives on the clone (it is a tiny query set;
+          // its one-time evaluation cost is irrelevant)
+          .join(org.apache.spark.sql.graft.bridge.rebind(loopSpark, s)
+            .select(col("node")).distinct()
             .withColumn("_sf", lit(1)), Seq("node"), "left")
           .select(col("node"), col("od"), col("_sf").isNotNull.as("seed"))
           .localCheckpoint(true)
@@ -125,11 +144,10 @@ object PageRank {
       while (it < iters) {
         // m/od per out-edge, summed exactly per destination: a plain
         // map-side-combined groupBy — the shuffle carries one combined
-        // row per (task, dst), not per edge. Its exchange runs at
-        // session width (an explicit repartition would pin the width
-        // but push the partial agg above the exchange, shipping raw
-        // edge rows); the join feeding it runs at loopParts via the
-        // pinned edge table, which is where the width matters.
+        // row per (task, dst), not per edge. The clone session makes
+        // this exchange (and every other per-round one) run at
+        // loopParts while KEEPING the partial agg below it; the join
+        // feeding it is co-located via the pinned edge table.
         val contrib = ranks.filter(col("od") > 0)
           .join(e, Seq("node"))
           .groupBy(col("dst").as("node"))
@@ -169,6 +187,13 @@ object PageRank {
     // `nodes` fed every round's join; the loop is done and the final
     // ranks checkpoint is self-contained, so it goes too
     graft.core.Pins.releaseCheckpoint(nodes)
-    ranks.select(col("node"), col("od"), col("m"))
+    // the final ranks checkpoint backs the returned frame — registered
+    // with the caller's pin scope (released at scope exit, matching
+    // CacheScope's RDD-diff fallback; consume the result in the scope)
+    graft.core.Pins.pinCheckpoint(ranks)
+    // back to the caller's session (and its shuffle width): the rows
+    // come straight off the final round's checkpoint blocks
+    org.apache.spark.sql.graft.bridge.rebind(spark,
+      ranks.select(col("node"), col("od"), col("m")))
   }
 }

@@ -182,8 +182,12 @@ object Similarity {
     }
     // the FINAL round stays a live dataflow over the last checkpoint
     // (spec-pinned: fallback join + in-plan argmin visible in the
-    // analyzed plan); that last checkpoint's blocks belong to the
-    // returned frame and are swept with the caller's query scope
+    // analyzed plan); that last checkpoint is registered with the
+    // caller's pin scope so bare Pins.scoped callers release it at
+    // scope exit exactly like CacheScope's RDD-diff fallback does —
+    // consume the returned frame inside the scope (the documented
+    // contract for every operator pin)
+    prevCkpt.foreach(graft.core.Pins.pinCheckpoint)
     fine
   }
 

@@ -59,13 +59,20 @@ object bridge {
     * throw on set and are skipped (the clone already shares them
     * through the context's SparkConf). Callers then override only
     * their own knobs (e.g. the loop's shuffle width).
+    *
+    * The skip catches ANY non-fatal error, not just today's
+    * AnalysisException: the static-conf guard's exception class is
+    * Spark-internal surface (CANNOT_MODIFY_CONFIG), and a reclassified
+    * error on a future Spark would otherwise crash every operator that
+    * clones a session — over an entry the clone already inherits
+    * correctly through the shared SparkConf.
     */
   def sessionClone(spark: org.apache.spark.sql.SparkSession):
       org.apache.spark.sql.SparkSession = {
     val clone = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       try clone.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     clone
   }

@@ -12,6 +12,11 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a STATIC SQL conf, set deliberately: builder-seeded spark.sql
+      // entries land in conf.getAll, and re-setting a static one on a
+      // fresh session throws — the hazard bridge.sessionClone must
+      // skip (spec: "sessionClone survives non-settable entries")
+      .config("spark.sql.warehouse.dir", "spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

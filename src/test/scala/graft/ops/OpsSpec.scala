@@ -8,11 +8,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
-  /** Jobs the two-level assignment may schedule at CONSTRUCTION on the
-    * 30-vector fixture: the coarse-centroid collect's AQE stage jobs,
-    * nothing else (see the spec that pins it).
-    */
-  private val TwoLevelConstructionJobs = 5
 
   test("rolling hash: known value, codegen path") {
     import spark.implicits._
@@ -246,40 +241,40 @@ class OpsSpec extends AnyFunSuite {
       shuf.orderBy("vec_id").collect().map(_.toSeq).toSeq)
   }
 
-  test("two-level assignment: construction schedules only the " +
-      "centroid-build jobs — the corpus dims probe is gone") {
-    import spark.implicits._
-    val vecs: Seq[(Long, Seq[Double])] = (0L until 30L).map { i =>
-      i -> Seq(math.cos(i * 0.3), math.sin(i * 0.9), 0.1 * i)
+  test("two-level assignment: construction reads the corpus EXACTLY " +
+      "once — the fine-centroid build; no dims probe, no extra scans") {
+    // Relation-scoped pin (replaces the retired literal job-count pin,
+    // which couldn't distinguish a Spark-version job split from new
+    // eager work): a per-partition accumulator on the corpus RDD
+    // counts actual corpus partition scans. The only eager work the
+    // operator is allowed at construction is the coarse-centroid
+    // collect, which executes the pinned fine-centroid table — ONE
+    // pass over the corpus regardless of how AQE splits its jobs. The
+    // retired limit-1 dims probe was an EXTRA corpus scan here (and
+    // re-executed a derived corpus' upstream pipeline per operator
+    // construction): it would fail this as acc > nParts.
+    val acc = spark.sparkContext.longAccumulator("twoLevelCorpusScans")
+    val nParts = 4
+    val rows = (0L until 30L).map { i =>
+      org.apache.spark.sql.Row(i,
+        Seq(math.cos(i * 0.3), math.sin(i * 0.9), 0.1 * i))
     }
-    val df = vecs.toDF("vec_id", "embedding")
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val spied = spark.sparkContext.parallelize(rows, nParts)
+      .mapPartitions { it => acc.add(1L); it }
+    val df = spark.createDataFrame(spied, schema)
+    graft.core.Pins.scoped {
+      // CONSTRUCTION only — no action on the returned frame
+      Similarity.assignTwoLevel(df, "vec_id", "embedding", 12)
     }
-    org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
-    spark.sparkContext.addSparkListener(l)
-    val before =
-      try {
-        // CONSTRUCTION only — no action on the returned frame. The only
-        // eager work the operator is allowed is the coarse-centroid
-        // literal build (collected by design: level 1 is a scan-fused
-        // literal fold); the retired limit-1 dims probe was one EXTRA
-        // job here that also re-executed a derived corpus' upstream.
-        Similarity.assignTwoLevel(df, "vec_id", "embedding", 12)
-        org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
-        jobs.get()
-      } finally spark.sparkContext.removeSparkListener(l)
-    // pinned job count = the coarse-centroid collect's AQE stages on
-    // this fixture; a regression re-adding a construction-time corpus
-    // probe shows up as +1 (update the pin only for a Spark-version
-    // job-split change, never for new eager work)
-    assert(before == TwoLevelConstructionJobs,
-      s"two-level construction scheduled $before jobs, " +
-        s"expected $TwoLevelConstructionJobs (centroid build only)")
+    assert(acc.value == nParts.toLong,
+      s"two-level construction scanned ${acc.value} corpus partitions, " +
+        s"expected exactly $nParts (one full pass for the centroid build)")
   }
 
   test("kmeans quantizer: logical plan is O(1) in rounds and " +
@@ -309,11 +304,12 @@ class OpsSpec extends AnyFunSuite {
       s"quantizer plan must not grow with rounds: iters=6 has $n6 nodes " +
         s"vs iters=2's $n2")
     // rolling rotation: superseded inter-round checkpoints are released
-    // as soon as their successor materializes; the scoped init pin is
-    // swept at scope exit — only the two final-round input checkpoints
-    // (one per quantizer, each cells×dims rows) outlive the scope
+    // as soon as their successor materializes; the scoped init pin AND
+    // the two final-round input checkpoints (registered via
+    // Pins.pinCheckpoint) are swept at scope exit — bare Pins.scoped
+    // callers now match CacheScope semantics exactly: ZERO leaked RDDs
     val leaked = (sc.getPersistentRDDs.keySet -- before).size
-    assert(leaked <= 2, s"expected <=2 live RDDs after 2+6 rounds, got $leaked")
+    assert(leaked == 0, s"expected 0 live RDDs after 2+6 rounds, got $leaked")
   }
 
   test("kmeans quantizer: four rounds (through the checkpoint path) " +
@@ -368,6 +364,34 @@ class OpsSpec extends AnyFunSuite {
       val parentShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       clone.conf.set("spark.sql.shuffle.partitions", "1")
       assert(spark.conf.get("spark.sql.shuffle.partitions") == parentShuffle)
+    } finally spark.conf.set(key, orig)
+  }
+
+  test("sessionClone survives non-settable (static) conf entries") {
+    // the clone-time copy loop must SKIP entries that refuse set() —
+    // today Spark's static-conf guard throws AnalysisException, but
+    // the exception class is internal surface, so the skip catches
+    // NonFatal. Premise check first: the shared test session's getAll
+    // really does carry at least one entry a fresh session refuses
+    // (static SQL confs seeded through the builder land in getAll) —
+    // without it this spec would pass vacuously.
+    val probe = spark.newSession()
+    val refused = spark.conf.getAll.filter { case (k, v) =>
+      try { probe.conf.set(k, v); false }
+      catch { case scala.util.control.NonFatal(_) => true }
+    }
+    assert(refused.nonEmpty,
+      "fixture premise: the test session's conf.getAll must contain a " +
+        "non-settable entry (seed a static spark.sql conf in " +
+        "SparkTestBase if Spark stops providing one)")
+    // the clone itself must come up cleanly THROUGH those entries and
+    // still preserve a runtime conf set on the parent
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(key)
+    spark.conf.set(key, "23456789")
+    try {
+      val clone = org.apache.spark.sql.graft.bridge.sessionClone(spark)
+      assert(clone.conf.get(key) == "23456789")
     } finally spark.conf.set(key, orig)
   }
 

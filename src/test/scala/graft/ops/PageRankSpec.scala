@@ -62,21 +62,26 @@ class PageRankSpec extends AnyFunSuite {
     assert(od == Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 
-  test("checkpoint state is rotated: O(1) live RDDs, not O(iters)") {
+  test("checkpoint state is rotated: O(1) live RDDs, zero after scope") {
     // 20 iterations used to leave 20 superseded rank checkpoints (plus
     // e0 and nodes) in the storage pool — at sf10 that saturated the
     // pool and convoyed every task on the UnifiedMemoryManager monitor
     // (jstack: 18-30 of 32 threads BLOCKED in acquireExecutionMemory).
-    // After rotation the only blocks that survive the run are the
-    // returned ranks checkpoint and the scoped edge-table pin.
+    // After rotation, only the returned ranks checkpoint and the
+    // scoped edge-table pin survive the RUN; both are scope-registered
+    // (Pins.pin / Pins.pinCheckpoint), so the SCOPE releases
+    // everything — bare Pins.scoped now matches CacheScope semantics.
     val sc = spark.sparkContext
-    val (before, after) = graft.core.Pins.scoped {
-      val b = sc.getPersistentRDDs.keySet
+    val before = sc.getPersistentRDDs.keySet
+    val during = graft.core.Pins.scoped {
       PageRank.ranks(graph, iters = 20).collect()
-      (b, sc.getPersistentRDDs.keySet)
+      sc.getPersistentRDDs.keySet
     }
-    val leaked = (after -- before).size
-    assert(leaked <= 2, s"expected <=2 live RDDs after 20 iters, got $leaked")
+    assert((during -- before).size <= 2,
+      s"expected <=2 live RDDs DURING the run (final ckpt + edge pin), " +
+        s"got ${(during -- before).size}")
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(leaked == 0, s"expected 0 live RDDs after scope exit, got $leaked")
   }
 
   test("connectedComponents rotates its label checkpoints too") {
@@ -85,13 +90,67 @@ class PageRankSpec extends AnyFunSuite {
     val edges = (0 until 8).map(i => (s"n$i", s"n${i + 1}"))
       .toDF("i", "j")
     val sc = spark.sparkContext
-    val (before, after) = graft.core.Pins.scoped {
-      val b = sc.getPersistentRDDs.keySet
+    val before = sc.getPersistentRDDs.keySet
+    val during = graft.core.Pins.scoped {
       val labels = Dedup.connectedComponents(edges).collect()
       assert(labels.map(_.getString(1)).distinct.length == 1) // one comp
-      (b, sc.getPersistentRDDs.keySet)
+      sc.getPersistentRDDs.keySet
     }
-    val leaked = (after -- before).size
-    assert(leaked <= 1, s"expected <=1 live RDD after CC, got $leaked")
+    assert((during -- before).size <= 1,
+      s"expected <=1 live RDD DURING CC, got ${(during -- before).size}")
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(leaked == 0, s"expected 0 live RDDs after scope exit, got $leaked")
+  }
+
+  test("loop width derives from the edge count, capped at session width") {
+    assert(PageRank.loopWidth(0L, 32L) == 1)
+    assert(PageRank.loopWidth(65536L * 3, 32L) == 4)
+    assert(PageRank.loopWidth(1L << 30, 32L) == 32)  // 100-TB cap: full width
+    assert(PageRank.loopWidth(10L, 1L) == 1)
+  }
+
+  test("loop is self-sizing: an over-wide caller session schedules no " +
+      "extra tasks") {
+    // A 200-edge graph derives loopWidth = 1 at ANY session width; the
+    // loop runs on its own conf clone, so a width-128 caller must
+    // schedule about the same task count as the width-4 test session.
+    // Before the clone isolation, every per-round exchange (the
+    // contribution groupBy, the nodes join) ran at caller width — the
+    // width-128 sf10 board measured q_pagerank at 159 s vs 91 s, pure
+    // scheduling overhead AQE cannot recover (the per-round
+    // localCheckpoint boundary materializes exchanges before
+    // coalescing sees them).
+    def mkEdges(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      (0 until 200).map(i => (s"n${i % 50}", s"n${(i * 7) % 49}"))
+        .toDF("src", "dst")
+    }
+    def tasksOf(s: org.apache.spark.sql.SparkSession): Int = {
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet(); ()
+        }
+      }
+      org.apache.spark.sql.graft.bridge.drainListenerBus(s)
+      s.sparkContext.addSparkListener(l)
+      try {
+        graft.core.Pins.scoped {
+          PageRank.ranks(mkEdges(s), iters = 3).collect()
+        }
+        org.apache.spark.sql.graft.bridge.drainListenerBus(s)
+        tasks.get()
+      } finally s.sparkContext.removeSparkListener(l)
+    }
+    val narrow = tasksOf(spark) // width 4 (the test session)
+    val wide128 = {
+      val w = org.apache.spark.sql.graft.bridge.sessionClone(spark)
+      w.conf.set("spark.sql.shuffle.partitions", "128")
+      tasksOf(w)
+    }
+    assert(wide128 <= narrow * 2,
+      s"width-128 session scheduled $wide128 tasks vs $narrow at width 4 " +
+        "— the loop is inheriting caller width instead of self-sizing")
   }
 }

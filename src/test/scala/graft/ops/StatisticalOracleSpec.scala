@@ -332,4 +332,65 @@ class StatisticalOracleSpec extends AnyFunSuite {
         s"tau=$tau engine ${got(tau)} vs MSE $mse")
     }
   }
+
+  // ----------------------------------------------- two-level semDedup
+
+  test("two-level semDedup equals the FLAT exact argmin + leader rule " +
+    "on a separation corpus where the IVF approximation is provably " +
+    "exact — and both land on the constructed ground-truth cells") {
+    // The q_sim_semdedup_2level oracle is the most intricate SQL in the
+    // gate, and it MIRRORS the engine's two-level formula — the
+    // structural blindness this suite exists for (the r9 KMV bug
+    // class). Ground truth a different way: build a corpus whose
+    // cluster geometry makes the two-level rule PROVABLY equal to the
+    // flat exact argmin, then require the two-level path to reproduce
+    // the flat path (itself replica-validated in OpsSpec) row for row.
+    //
+    // Geometry: 9 cells, nCoarse = 3, coarse group of cell c = c % 3.
+    // base(c) = 10·e_{c%3} + 2·⌊c/3⌋·e_3 — groups live on orthogonal
+    // axes (inter-group distance² ≈ 200) and cells within a group are
+    // separated by 2 along e_3, while every vector sits within 0.02 of
+    // its own cell's base point (and cell id%9 == construction
+    // cluster, so the init centroids land ON the clusters). Nearest
+    // coarse group is then always the OWN group (margin 200 vs ≤ 4.1)
+    // and the nearest fine cell inside it is the global nearest
+    // (margin ≥ 3.8 vs ≤ 0.001): two-level ≡ flat, no approximation
+    // slack, no tie anywhere near the 6dp boundary.
+    import spark.implicits._
+    val numCells = 9
+    def base(c: Int): Seq[Double] = {
+      val axis = c % 3
+      Seq(0, 1, 2).map(a => if (a == axis) 10.0 else 0.0) :+
+        2.0 * (c / 3).toDouble
+    }
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 90L).map { i =>
+      val b = base((i % 9).toInt)
+      val jit = Seq(0.01 * math.cos(i * 0.7), 0.01 * math.sin(i * 1.3),
+        0.01 * math.cos(i * 2.1), 0.01 * math.sin(i * 0.4))
+      i -> b.zip(jit).map { case (x, j) => x + j }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val tau = 0.999
+    val flat = Similarity.semDedup(df, "vec_id", "embedding",
+        numCells, tau)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val two = Similarity.semDedupTwoLevel(df, "vec_id", "embedding",
+        numCells, tau)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(two == flat,
+      "two-level assignment must equal the flat exact argmin on a " +
+        "separation corpus — the IVF approximation has zero slack here")
+    // constructed ground truth, no engine arithmetic at all: cell is
+    // the construction cluster id%9; every cell keeps exactly its
+    // lowest id (all within-cell cosines ≈ 1 − 4·10⁻⁶ ≥ tau, every
+    // cross-cell cosine far below); dup_of is the cell's leader
+    two.foreach { r =>
+      val id = r(0).asInstanceOf[Long]
+      assert(r(1) == (id % 9).toInt, s"id $id landed in cell ${r(1)}")
+      if (id < 9) assert(r(2) == 1 && r(3) == null, s"leader $id: $r")
+      else assert(r(2) == 0 && r(3) == id % 9, s"dup $id: $r")
+    }
+    // non-degenerate: all 3 coarse groups and all 9 cells populated
+    assert(two.map(_(1).asInstanceOf[Int]).toSet.size == 9)
+  }
 }
