@@ -60,9 +60,14 @@ object TwoLevelBench {
       (wall, (c1 - c0) / 1e9, (s1 - s0) / (1L << 20), n1 - n0)
     }
 
-    // per route: fresh Pins scope (cold pays the centroid build; the
-    // two warm runs reuse the pin, exactly the Bench contract), the
-    // operator re-CONSTRUCTED per run like Bench's once()
+    // per route: fresh Pins scope, operator re-CONSTRUCTED per run
+    // like Bench's once(). NOTE (r17 line review): the join-detection
+    // construction below runs BEFORE cold and already pays the
+    // centroid build + populates the fine-table pin (pin() is
+    // idempotent per canonical plan), so "cold" here is cold for the
+    // corpus-side argmin but warm for the centroid stage; route
+    // comparisons use the warm minimum, which is unaffected. Kept
+    // as-is so rows stay comparable with the r16 record.
     def route(name: String, bytes: Long): Unit = graft.core.Pins.scoped {
       def once() = measure {
         graft.ops.Similarity.assignCellsTwoLevel(
