@@ -304,7 +304,12 @@ object Dedup {
     val spark = e0.sparkSession
     val nEdges = e0.count()
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    val loopParts = math.max(1L, math.min(sessionParts,
+    // like PageRank.loopWidth, additionally capped at 2× cores: a
+    // billion-edge near-dup graph would derive past any session width,
+    // and partitions beyond ~2× the machine add only per-task fixed
+    // cost × rounds (see the r17 width-128 probe note there)
+    val loopParts = math.max(1L, math.min(
+      math.min(sessionParts, 2L * spark.sparkContext.defaultParallelism),
       nEdges / 1000000L + 1L))
     // conf-preserving clone: a bare newSession() would silently drop
     // any RUNTIME spark.conf.set state (ANSI mode, AQE toggles,

@@ -27,10 +27,11 @@ import org.apache.spark.sql.types.DecimalType
   * static node table. Lineage is cut every round (localCheckpoint) —
   * without the cut the plan doubles per iteration and the analyzer
   * dies long before the executors work (see connectedComponents
-  * note). Loop shuffle width is right-sized to the edge count via
-  * explicit repartition/pin on the loop's own dataflow (no session
-  * conf mutation), so a small graph doesn't pay corpus-width task
-  * scheduling and a 100-TB edge set keeps full parallelism.
+  * note). Loop shuffle width is right-sized to the edge count
+  * ([[loopWidth]]) on an isolated conf-preserving session clone — the
+  * caller's session conf is never mutated — so a small graph doesn't
+  * pay corpus-width task scheduling × iters and a 100-TB edge set
+  * keeps full parallelism.
   */
 object PageRank {
 
@@ -55,19 +56,30 @@ object PageRank {
                         roundDp: Int = 6): DataFrame =
     run(edges, iters, damping, roundDp, seeds = Some(seeds))
 
-  /** Loop shuffle width from the data: ~64k edges per partition —
-    * NOT connectedComponents' 1M-edges/partition (its per-row work is
-    * a min over two longs; a 1M-edge PageRank at 2 partitions left 30
-    * of 32 cores idle and tripled the query time). Capped at the
-    * session setting so a 100-TB edge set keeps full parallelism while
-    * a small graph never pays session-width task scheduling × iters
-    * (the width-128 sf10 board measured that overshoot at 159 s vs
-    * 91 s on q_pagerank — and AQE cannot recover it, because each
-    * round's localCheckpoint boundary materializes the exchanges
-    * before coalescing sees them).
+  /** Loop shuffle width from the data AND the machine: ~64k edges per
+    * partition — NOT connectedComponents' 1M-edges/partition (its
+    * per-row work is a min over two longs; a 1M-edge PageRank at 2
+    * partitions left 30 of 32 cores idle and tripled the query time) —
+    * additionally capped at 2× the cluster's core count
+    * (`defaultParallelism`) and at the session setting.
+    *
+    * Why the cores cap: a big graph's edge target alone saturates any
+    * session width (sf10's ~40M-edge entity graph derives 611), so an
+    * over-wide session would run every per-round exchange at full
+    * session width — and the r17 width-128 probe showed the identical
+    * 3048/3206-task signature pre- and post-self-sizing because of
+    * exactly that. Partitions beyond ~2× cores add no parallelism for
+    * the loop's CPU-bound per-round work, only per-task fixed cost ×
+    * iters (the width-128 sf10 board measured it at 159 s vs 91 s on
+    * q_pagerank; per-task cpu flat, 2× the tasks) — and AQE cannot
+    * recover it, because each round's localCheckpoint boundary
+    * materializes the exchanges before coalescing sees them. On a
+    * 1000-executor cluster defaultParallelism IS the capacity signal,
+    * so the cap keeps full cluster width at any scale.
     */
-  def loopWidth(nEdges: Long, sessionParts: Long): Int =
-    math.max(1L, math.min(sessionParts, nEdges / 65536L + 1L)).toInt
+  def loopWidth(nEdges: Long, sessionParts: Long, cores: Int): Int =
+    math.max(1L, math.min(math.min(sessionParts, 2L * cores),
+      nEdges / 65536L + 1L)).toInt
 
   private def run(edges: DataFrame, iters: Int, damping: Double,
                   roundDp: Int, seeds: Option[DataFrame]): DataFrame = {
@@ -88,7 +100,8 @@ object PageRank {
     // (e.g. Hyperband's threaded config evaluation) are safe. The
     // returned ranks are re-bound to the caller's session at the end.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = loopWidth(nEdges, sessionParts.toLong)
+    val loopParts = loopWidth(nEdges, sessionParts.toLong,
+      spark.sparkContext.defaultParallelism)
     val loopSpark = org.apache.spark.sql.graft.bridge.sessionClone(spark)
     loopSpark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val eb = org.apache.spark.sql.graft.bridge.rebind(loopSpark, e0)

@@ -102,11 +102,18 @@ class PageRankSpec extends AnyFunSuite {
     assert(leaked == 0, s"expected 0 live RDDs after scope exit, got $leaked")
   }
 
-  test("loop width derives from the edge count, capped at session width") {
-    assert(PageRank.loopWidth(0L, 32L) == 1)
-    assert(PageRank.loopWidth(65536L * 3, 32L) == 4)
-    assert(PageRank.loopWidth(1L << 30, 32L) == 32)  // 100-TB cap: full width
-    assert(PageRank.loopWidth(10L, 1L) == 1)
+  test("loop width derives from the edge count, capped at session " +
+      "width AND machine parallelism") {
+    assert(PageRank.loopWidth(0L, 32L, 32) == 1)
+    assert(PageRank.loopWidth(65536L * 3, 32L, 32) == 4)
+    assert(PageRank.loopWidth(1L << 30, 32L, 32) == 32) // session cap
+    assert(PageRank.loopWidth(10L, 1L, 32) == 1)
+    // the r17 probe case: a 40M-edge graph on an over-wide 128-part
+    // session with 32 cores — the edge target (611) saturates the
+    // session cap, so the CORES cap is what keeps the loop sane
+    assert(PageRank.loopWidth(40000000L, 128L, 32) == 64)
+    // on a 4000-core cluster the same session width is fully used
+    assert(PageRank.loopWidth(40000000L, 128L, 4000) == 128)
   }
 
   test("loop is self-sizing: an over-wide caller session schedules no " +

@@ -86,6 +86,30 @@ class GoldenDatasetSpec extends AnyFunSuite {
     assert(got.toSeq == (1 to 10).map(i => (i, (i - 1).toLong)))
   }
 
+  test("stable order: per-partition offset is an O(1) array lookup, " +
+      "not a width-deep CASE WHEN chain") {
+    import spark.implicits._
+    // the retired foldLeft(when(_pid === p, off)) built one CaseWhen
+    // branch PER PARTITION, evaluated per row and duplicated per rn
+    // reference after pushdown — O(width) per row (q_pair_rank burned
+    // 2300 execCpu-s at width 128 / sf10 vs 26 at width 32) and
+    // analyzer-hostile at cluster widths. The offset must stay a
+    // constant-foldable array indexed by _pid.
+    val df = (1L to 1000L).toDF("k")
+    val (withRn, n) = graft.core.StableOrder.withRowNumber(
+      df, Seq(col("k")), numPartitions = 64)
+    assert(n == 1000L)
+    val plan = withRn.queryExecution.analyzed.toString
+    assert(!plan.contains("CASE WHEN (_pid"),
+      s"per-pid CaseWhen chain is back in the rn projection:\n${plan.take(1500)}")
+    assert(plan.contains("element_at"),
+      s"expected the literal-array offset lookup in:\n${plan.take(1500)}")
+    // rn semantics unchanged at a width where partitions may be empty
+    val got = withRn.select("k", "rn").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (1L to 1000L).map(i => (i, i - 1)))
+  }
+
   test("duration cuts: equidistant, clamped index (dataset.py:122-132)") {
     val d = ds(10)
     val cuts = DurationCuts.fit(d.train, "A", 5) // train A = 1..9
