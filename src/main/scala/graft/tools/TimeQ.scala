@@ -82,8 +82,14 @@ object TimeQ {
       }
       // Pins.scoped mirrors Bench: Dataset-level release so the next
       // query's persist of the same canonical plan still caches.
+      // SPARK_GRAFT_TIMEQ_RUNS trims the default cold+2-warm for
+      // multi-minute fourth-decade probes (2 = cold + 1 warm); the
+      // default stays the bench-faithful min-of-2.
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_TIMEQ_RUNS", "3").toInt
+      require(nRuns >= 2, "TimeQ needs at least cold + 1 warm run")
       val (c, w) = graft.core.Pins.scoped {
-        val c0 = once(); (c0, math.min(once(), once()))
+        val c0 = once()
+        (c0, Seq.fill(nRuns - 1)(once()).min)
       }
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before(id) }
