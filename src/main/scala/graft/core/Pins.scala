@@ -74,6 +74,7 @@ object Pins {
     */
   def pin[T](ds: Dataset[T],
              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    requireConsumable(ds, "pin() input")
     if (!org.apache.spark.sql.graft.bridge.isCached(ds)) {
       ds.persist(level)
       register(DsPin(ds))
@@ -121,8 +122,89 @@ object Pins {
     * — a truncated-lineage block can never recompute. That is already
     * the documented CacheScope contract ("consume the result inside
     * the scope").
+    *
+    * HAZARD (scope nesting): registration is with the INNERMOST scope
+    * on the current thread. If an operator returning a
+    * checkpoint-backed frame is ever invoked inside a narrower
+    * internal `scoped` block, the blocks are released at that inner
+    * scope's exit and the caller's later consumption fails — the
+    * frame must escape no scope narrower than its consumers. Released
+    * ids are tombstoned ([[requireConsumable]]) so the failure names
+    * the contract instead of surfacing as a block-manager error.
     */
   def pinCheckpoint(ds: Dataset[_]): Unit = register(CkptPin(ds))
+
+  // ---- use-after-release tombstones -------------------------------
+  // RDD ids of checkpoints released through releaseCheckpoint (state
+  // rotation AND scope-exit CkptPins). A released local checkpoint's
+  // lineage is truncated, so any later execution over it dies deep in
+  // the block manager with a generic "block not found" that names
+  // neither the operator nor the contract; the tombstones let the
+  // entry points that stale frames cross (bridge.rebind, [[pin]])
+  // fail loudly with the fix in the message instead. Bounded ring —
+  // ids are context-unique and never reused, so a false positive is
+  // impossible; eviction only ever FORGETS an old release (back to
+  // the generic error), never misreports a live one.
+  private val TombstoneCap = 4096
+  private val tombstoneRing =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val tombstones =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // RDD ids restart at 0 per SparkContext, so the key carries the
+  // context's epoch-unique startTime — a tombstone can never flag an
+  // RDD of a LATER context that happens to reuse the integer id.
+  private def tombstoneKey(rdd: RDD[_]): String =
+    s"${rdd.context.startTime}:${rdd.id}"
+
+  private def recordTombstone(rdd: RDD[_]): Unit = {
+    val key = tombstoneKey(rdd)
+    if (tombstones.add(key)) {
+      tombstoneRing.add(key)
+      while (tombstoneRing.size > TombstoneCap) {
+        val old = tombstoneRing.poll()
+        if (old != null) tombstones.remove(old)
+      }
+    }
+  }
+
+  private def lineageHitsTombstone(rdd: RDD[_],
+                                   seen: scala.collection.mutable.Set[Int]): Option[Int] =
+    if (!seen.add(rdd.id)) None
+    else if (tombstones.contains(tombstoneKey(rdd))) Some(rdd.id)
+    else rdd.dependencies.iterator
+      .flatMap(d => lineageHitsTombstone(d.rdd, seen)).nextOption()
+
+  /** First released-checkpoint RDD id reachable from `ds`'s plan
+    * (LogicalRDD leaves and their lineage — a re-bound frame's leaf is
+    * a DERIVED scan over the checkpoint RDD, so the walk follows
+    * dependencies; checkpoint lineage is truncated, keeping it
+    * shallow). None → every checkpoint under `ds` is still live.
+    */
+  def releasedCheckpointIn(ds: Dataset[_]): Option[Int] = {
+    if (tombstones.isEmpty) return None // nothing released yet: no walk
+    val seen = scala.collection.mutable.Set.empty[Int]
+    ds.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.iterator.flatMap(lineageHitsTombstone(_, seen)).nextOption()
+  }
+
+  /** Fail loudly — naming the operator contract and the fix — when
+    * `ds` reads a checkpoint that state rotation or a pin-scope exit
+    * already released. Called where stale frames cross operator
+    * boundaries (bridge.rebind, [[pin]]); also a standalone debug
+    * helper for diagnosing a raw "block not found".
+    */
+  def requireConsumable(ds: Dataset[_], what: String = "frame"): Unit =
+    releasedCheckpointIn(ds).foreach { id =>
+      throw new IllegalStateException(
+        s"$what is backed by a local checkpoint (RDD $id) that was " +
+          "already released at pin-scope exit or by state rotation — a " +
+          "truncated-lineage checkpoint cannot recompute, so this frame " +
+          "is permanently dead (Spark would fail with a generic 'block " +
+          "not found' at execution). Consume an operator's result inside " +
+          "the Pins.scoped/CacheScope block that produced it.")
+    }
 
   /** Release the cached blocks of a locally-checkpointed Dataset —
     * the per-iteration STATE ROTATION primitive for iterative
@@ -160,7 +242,7 @@ object Pins {
       s"releaseCheckpoint expects exactly one checkpoint RDD in the plan, " +
         s"found ${rdds.size} — pass the checkpointed dataset itself, not a " +
         "composition of checkpoints")
-    rdds.foreach(_.unpersist(blocking = false))
+    rdds.foreach { r => recordTombstone(r); r.unpersist(blocking = false) }
   }
 
   /** Run `f` in a fresh scope; every pin taken during `f` on THIS

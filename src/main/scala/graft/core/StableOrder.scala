@@ -68,6 +68,14 @@ object StableOrder {
     // running offset so the dense array indexes by pid directly;
     // CreateArray of foldable literals constant-folds to one Literal,
     // so the per-row work is a single array index.
+    // WIDTH BOUND: the literal array is O(numPartitions) PLAN payload,
+    // duplicated per rn reference until constant-folding collapses it
+    // — negligible at the 10³–10⁴ reducer widths measured, but at
+    // ingest-scale widths (10⁵+) plan size and the counts collect
+    // grow linearly with width. That regime is exactly where the
+    // documented 100-TB path applies: materialize rn ONCE at ingest
+    // (object scaladoc) instead of numbering on the fly; past that, a
+    // broadcast _pid→offset map join is the fallback.
     val byPid = counts.toMap
     val dense = (0 until np).map(p => byPid.getOrElse(p, 0L))
     val offsets = dense.scanLeft(0L)(_ + _).init

@@ -304,13 +304,14 @@ object Dedup {
     val spark = e0.sparkSession
     val nEdges = e0.count()
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    // like PageRank.loopWidth, additionally capped at 2× cores: a
+    // PageRank.loopWidth with CC's own per-partition target: a
     // billion-edge near-dup graph would derive past any session width,
     // and partitions beyond ~2× the machine add only per-task fixed
-    // cost × rounds (see the r17 width-128 probe note there)
-    val loopParts = math.max(1L, math.min(
-      math.min(sessionParts, 2L * spark.sparkContext.defaultParallelism),
-      nEdges / 1000000L + 1L))
+    // cost × rounds (see the width rationale and the r17 width-128
+    // probe note there). Sharing the helper keeps the cores cap from
+    // silently diverging between the two iterated-join loops.
+    val loopParts = PageRank.loopWidth(nEdges, sessionParts,
+      spark.sparkContext.defaultParallelism, edgesPerPartition = 1000000L)
     // conf-preserving clone: a bare newSession() would silently drop
     // any RUNTIME spark.conf.set state (ANSI mode, AQE toggles,
     // timezone) a library caller holds — the loop must differ from

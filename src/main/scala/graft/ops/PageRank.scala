@@ -38,10 +38,23 @@ object PageRank {
   /** `edges`: (src string, dst string), assumed pre-deduplicated.
     * Returns (node, od, m): out-degree and final rank mass (mean 1.0;
     * divide by n for the classic probability-vector form).
+    *
+    * `earlyRelease`: halve the graph-construction PEAK storage window.
+    * By default the edge-sized ingest checkpoint (recompute insurance
+    * while the pinned edge table builds) and the edge-sized sorted pin
+    * coexist until the node table materializes — ~2× edge bytes of
+    * block storage, which competes with shuffle space on the same
+    * disks at scale (single-node measured: the sf100 probe, ~600M
+    * edges, ENOSPC'd exactly this window at 75 GB free). With
+    * `earlyRelease = true` the pin is materialized eagerly (ONE extra
+    * pass over the edge table — the paid price) and the checkpoint is
+    * released immediately, so peak live state is ~1× edge bytes plus
+    * the transient crossover. Results are bit-identical (spec-pinned);
+    * the default path is unchanged.
     */
   def ranks(edges: DataFrame, iters: Int, damping: Double = 0.85,
-            roundDp: Int = 6): DataFrame =
-    run(edges, iters, damping, roundDp, seeds = None)
+            roundDp: Int = 6, earlyRelease: Boolean = false): DataFrame =
+    run(edges, iters, damping, roundDp, seeds = None, earlyRelease)
 
   /** Personalized PageRank (random walk with restart): teleport AND
     * dangling mass land uniformly on the SEED nodes instead of the
@@ -52,9 +65,9 @@ object PageRank {
     * m' = d·Σ m/od + [v ∈ S]·((1−d)·n + d·dangling)/|S|.
     */
   def personalizedRanks(edges: DataFrame, seeds: DataFrame, iters: Int,
-                        damping: Double = 0.85,
-                        roundDp: Int = 6): DataFrame =
-    run(edges, iters, damping, roundDp, seeds = Some(seeds))
+                        damping: Double = 0.85, roundDp: Int = 6,
+                        earlyRelease: Boolean = false): DataFrame =
+    run(edges, iters, damping, roundDp, seeds = Some(seeds), earlyRelease)
 
   /** Loop shuffle width from the data AND the machine: ~64k edges per
     * partition — NOT connectedComponents' 1M-edges/partition (its
@@ -76,13 +89,21 @@ object PageRank {
     * materializes the exchanges before coalescing sees them. On a
     * 1000-executor cluster defaultParallelism IS the capacity signal,
     * so the cap keeps full cluster width at any scale.
+    *
+    * SHARED by both iterative graph operators: connectedComponents
+    * calls this with its own `edgesPerPartition` target (1M — its
+    * per-row work is a min over two longs) so the cores cap can never
+    * silently diverge between the two loops (a CC-side width pin in
+    * PageRankSpec holds both).
     */
-  def loopWidth(nEdges: Long, sessionParts: Long, cores: Int): Int =
+  def loopWidth(nEdges: Long, sessionParts: Long, cores: Int,
+                edgesPerPartition: Long = 65536L): Int =
     math.max(1L, math.min(math.min(sessionParts, 2L * cores),
-      nEdges / 65536L + 1L)).toInt
+      nEdges / edgesPerPartition + 1L)).toInt
 
   private def run(edges: DataFrame, iters: Int, damping: Double,
-                  roundDp: Int, seeds: Option[DataFrame]): DataFrame = {
+                  roundDp: Int, seeds: Option[DataFrame],
+                  earlyRelease: Boolean): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.localCheckpoint(true)
     val nEdges = e0.count()
@@ -122,9 +143,23 @@ object PageRank {
       val e = graft.core.Pins.pin(eb.withColumnRenamed("src", "node")
         .repartition(loopParts, col("node"))
         .sortWithinPartitions("node"))
+      // earlyRelease: materialize the pin NOW (one extra edge pass)
+      // and drop the ingest checkpoint immediately — everything below
+      // reads the pin, so peak block storage stays ~1× edge bytes
+      // instead of carrying checkpoint + pin (2×) through the node
+      // table's materialization (see [[ranks]]). Default path: the
+      // pin materializes lazily inside nodes' checkpoint and the
+      // release happens right after (recompute insurance intact).
+      if (earlyRelease) {
+        e.count()
+        graft.core.Pins.releaseCheckpoint(e0)
+      }
       val deg = e.groupBy(col("node")).agg(count(lit(1)).as("od"))
-      val nodes0 = eb.select(col("src").as("node"))
-        .union(eb.select(col("dst").as("node"))).distinct()
+      // node universe off the PIN (not the checkpoint): the cached
+      // co-partitioned table is the cheaper scan, and it makes the
+      // checkpoint's consumer set close as early as possible
+      val nodes0 = e.select(col("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
         .join(deg, Seq("node"), "left")
         .select(col("node"), coalesce(col("od"), lit(0L)).as("od"))
       val nodes = seeds match {
@@ -150,8 +185,9 @@ object PageRank {
       // table cached MEMORY_AND_DISK through nodes' eager checkpoint,
       // nodes itself counted above), so the edge-sized checkpoint —
       // the loop's biggest block set — is released before the
-      // iterations start competing for the storage pool.
-      graft.core.Pins.releaseCheckpoint(e0)
+      // iterations start competing for the storage pool. (Already
+      // gone on the earlyRelease path.)
+      if (!earlyRelease) graft.core.Pins.releaseCheckpoint(e0)
       var ranks = nodes.withColumn("m", lit(1.0)).localCheckpoint(true)
       var it = 0
       while (it < iters) {

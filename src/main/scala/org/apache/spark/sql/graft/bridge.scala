@@ -45,6 +45,11 @@ object bridge {
     */
   def rebind(target: org.apache.spark.sql.SparkSession,
              ds: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.DataFrame = {
+    // fail loudly at the operator boundary if `ds` reads a checkpoint
+    // that state rotation / a pin-scope exit already released — the
+    // alternative is Spark's generic "block not found" at execution,
+    // far from the contract violation (Pins.requireConsumable note)
+    graft.core.Pins.requireConsumable(ds, "rebind input")
     val c = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(c.queryExecution.toRdd, c.schema)
@@ -60,19 +65,28 @@ object bridge {
     * through the context's SparkConf). Callers then override only
     * their own knobs (e.g. the loop's shuffle width).
     *
-    * The skip catches ANY non-fatal error, not just today's
-    * AnalysisException: the static-conf guard's exception class is
-    * Spark-internal surface (CANNOT_MODIFY_CONFIG), and a reclassified
-    * error on a future Spark would otherwise crash every operator that
-    * clones a session — over an entry the clone already inherits
-    * correctly through the shared SparkConf.
+    * The static-conf guard (error class CANNOT_MODIFY_CONFIG) is
+    * matched explicitly and skipped silently — that is the expected,
+    * per-entry-normal case. Any OTHER non-fatal set failure is still
+    * skipped (a reclassified guard on a future Spark must not crash
+    * every operator that clones a session, over an entry the clone
+    * already inherits through the shared SparkConf) but is LOGGED: a
+    * mutable, semantics-bearing conf (ANSI mode, timezone) failing for
+    * a transient or validation reason would otherwise leave the loop
+    * clone silently diverging from the caller's session.
     */
   def sessionClone(spark: org.apache.spark.sql.SparkSession):
       org.apache.spark.sql.SparkSession = {
     val clone = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       try clone.conf.set(k, v)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).contains("CANNOT_MODIFY_CONFIG") => ()
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bridge] sessionClone: skipped conf '$k' " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+      }
     }
     clone
   }

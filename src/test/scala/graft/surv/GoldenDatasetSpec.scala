@@ -110,6 +110,38 @@ class GoldenDatasetSpec extends AnyFunSuite {
     assert(got.toSeq == (1L to 1000L).map(i => (i, i - 1)))
   }
 
+  test("stable order: ANSI mode, empty partitions, width >> rows") {
+    // adversarial review of the r17 element_at rewrite (VERDICT r18
+    // item 2a): under ANSI, element_at THROWS on an out-of-bounds
+    // index instead of returning null — the offsets array must cover
+    // every pid spark_partition_id can emit even when RangePartitioner
+    // returns fewer partitions than requested (5 rows at width 64
+    // leave most partitions empty) and when the data is skewed onto
+    // one key range.
+    import spark.implicits._
+    val old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val df = Seq(5, 3, 9, 1, 7).toDF("k")
+      val (withRn, n) = graft.core.StableOrder.withRowNumber(
+        df, Seq(col("k")), numPartitions = 64)
+      assert(n == 5L)
+      val got = withRn.select("k", "rn").orderBy("rn").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      assert(got.toSeq ==
+        Seq((1, 0L), (3, 1L), (5, 2L), (7, 3L), (9, 4L)))
+      // skew: one repeated-range key block plus a lone outlier
+      val skew = ((1 to 500).map(_ => 7) :+ 9999).zipWithIndex
+        .map { case (v, i) => v * 100000 + i } // unique, heavily skewed
+        .toDF("k")
+      val (rn2, n2) = graft.core.StableOrder.withRowNumber(
+        skew, Seq(col("k")), numPartitions = 32)
+      assert(n2 == 501L)
+      assert(rn2.agg(min("rn"), max("rn"), countDistinct("rn"))
+        .head() == org.apache.spark.sql.Row(0L, 500L, 501L))
+    } finally spark.conf.set("spark.sql.ansi.enabled", old)
+  }
+
   test("duration cuts: equidistant, clamped index (dataset.py:122-132)") {
     val d = ds(10)
     val cuts = DurationCuts.fit(d.train, "A", 5) // train A = 1..9
