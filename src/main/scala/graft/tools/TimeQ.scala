@@ -85,12 +85,30 @@ object TimeQ {
       // SPARK_GRAFT_TIMEQ_RUNS trims the default cold+2-warm for
       // multi-minute fourth-decade probes (2 = cold + 1 warm); the
       // default stays the bench-faithful min-of-2.
+      // SPARK_GRAFT_TIMEQ_SCOPE_PER_RUN=1 releases each run's pins
+      // BEFORE the next run instead of at the query's end. The default
+      // (scope spans cold+warm, the Bench contract) is what lets the
+      // 16 sortedOnce queries measure re-query-from-cache — but for an
+      // iterative operator whose edge-sized state is a large fraction
+      // of the machine's disk, it means every warm run builds a SECOND
+      // full copy of that state while the cold run's pins are still
+      // live (the operator pins key on per-run checkpoint ids, so the
+      // warm run could never REUSE them anyway — its warmth is
+      // JIT/page-cache, which per-run scoping preserves). The sf100
+      // PageRank probe's warm run ENOSPC'd on exactly this 2×
+      // methodology state after the cold run had fit comfortably.
       val nRuns = sys.env.getOrElse("SPARK_GRAFT_TIMEQ_RUNS", "3").toInt
       require(nRuns >= 2, "TimeQ needs at least cold + 1 warm run")
-      val (c, w) = graft.core.Pins.scoped {
-        val c0 = once()
-        (c0, Seq.fill(nRuns - 1)(once()).min)
-      }
+      val perRun = sys.env.get("SPARK_GRAFT_TIMEQ_SCOPE_PER_RUN")
+        .contains("1")
+      val (c, w) =
+        if (perRun) {
+          val c0 = graft.core.Pins.scoped(once())
+          (c0, Seq.fill(nRuns - 1)(graft.core.Pins.scoped(once())).min)
+        } else graft.core.Pins.scoped {
+          val c0 = once()
+          (c0, Seq.fill(nRuns - 1)(once()).min)
+        }
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(blocking = true))
