@@ -155,11 +155,22 @@ object PageRank {
         graft.core.Pins.releaseCheckpoint(e0)
       }
       val deg = e.groupBy(col("node")).agg(count(lit(1)).as("od"))
-      // node universe off the PIN (not the checkpoint): the cached
-      // co-partitioned table is the cheaper scan, and it makes the
-      // checkpoint's consumer set close as early as possible
-      val nodes0 = e.select(col("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
+      // Node universe source is path-dependent, and the difference is
+      // MEASURED, not stylistic: on the earlyRelease path it must read
+      // the PIN (the checkpoint is already gone), but on the default
+      // path it reads the CHECKPOINT — the pin is a columnar
+      // InMemoryRelation whose every scan pays a decode, while the
+      // checkpoint scan is a raw row iterator (r18 boards: pin-derived
+      // union cost the pagerank pair +56 tasks and +6–10 execCpu-s at
+      // sf0.1 across two confirming boards; reverted to eb, the r17
+      // plan, for the default path).
+      val (srcNodes, dstNodes) =
+        if (earlyRelease)
+          (e.select(col("node")), e.select(col("dst").as("node")))
+        else
+          (eb.select(col("src").as("node")),
+            eb.select(col("dst").as("node")))
+      val nodes0 = srcNodes.union(dstNodes).distinct()
         .join(deg, Seq("node"), "left")
         .select(col("node"), coalesce(col("od"), lit(0L)).as("od"))
       val nodes = seeds match {
