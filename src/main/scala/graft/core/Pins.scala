@@ -142,12 +142,18 @@ object Pins {
   // neither the operator nor the contract; the tombstones let the
   // entry points that stale frames cross (bridge.rebind, [[pin]])
   // fail loudly with the fix in the message instead. Bounded ring —
-  // ids are context-unique and never reused, so a false positive is
-  // impossible; eviction only ever FORGETS an old release (back to
-  // the generic error), never misreports a live one.
+  // ids are context-unique and never reused, so there are no ID-REUSE
+  // false positives; eviction only ever FORGETS an old release (back
+  // to the generic error), never misreports a live one. (The check is
+  // a LINEAGE property, not a cache one — see the caveat on
+  // [[requireConsumable]].)
   private val TombstoneCap = 4096
   private val tombstoneRing =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // ring occupancy tracked explicitly: ConcurrentLinkedQueue.size() is
+  // an O(n) traversal, so calling it per released checkpoint turns the
+  // eviction loop quadratic once the ring sits near the cap
+  private val tombstoneCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private val tombstones =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -161,9 +167,11 @@ object Pins {
     val key = tombstoneKey(rdd)
     if (tombstones.add(key)) {
       tombstoneRing.add(key)
-      while (tombstoneRing.size > TombstoneCap) {
+      // count races concurrent adds at worst into harmless transient
+      // over-eviction (one extra old entry forgotten), never a miss
+      if (tombstoneCount.incrementAndGet() > TombstoneCap) {
         val old = tombstoneRing.poll()
-        if (old != null) tombstones.remove(old)
+        if (old != null) { tombstoneCount.decrementAndGet(); tombstones.remove(old) }
       }
     }
   }
@@ -194,6 +202,18 @@ object Pins {
     * already released. Called where stale frames cross operator
     * boundaries (bridge.rebind, [[pin]]); also a standalone debug
     * helper for diagnosing a raw "block not found".
+    *
+    * CAVEAT (conservative by design): the walk is a LINEAGE property —
+    * it is blind to CacheManager coverage. A frame whose lineage roots
+    * in a released checkpoint but whose subtree is fully served by a
+    * live InMemoryRelation pin would execute fine off the cache, yet
+    * is rejected here; cache entries are evictable, so treating a
+    * cache hit as consumability would make the check load-dependent
+    * (pass under memory headroom, "block not found" under pressure).
+    * No in-repo call path pins/rebinds over released lineage, but
+    * library callers composing their own scopes may hit this: keep
+    * the checkpoint live until its cached consumers are materialized
+    * (the documented scope contract), exactly as the error says.
     */
   def requireConsumable(ds: Dataset[_], what: String = "frame"): Unit =
     releasedCheckpointIn(ds).foreach { id =>

@@ -87,4 +87,38 @@ object StableOrder {
       .drop("_pid")
     (out, counts.map(_._2).sum)
   }
+
+  /** Materialize `rn` ONCE at ingest — the 100-TB path the object
+    * scaladoc prescribes, as executable code. Numbers `df` with
+    * [[withRowNumber]] and writes the result to parquet at `path`;
+    * returns the total row count (callers derive split bounds from
+    * it, e.g. trainLen = ⌊n·ratio⌋).
+    *
+    * Why the LAYOUT makes splits cheap: the numbered frame is
+    * range-partitioned by the keys and sorted within partitions, and
+    * rn is monotone in key order — so each output file covers a
+    * contiguous rn range, internally sorted, and every parquet row
+    * group's rn min/max stats are TIGHT and DISJOINT. A downstream
+    * split or batch window (`rn < n`, `rn BETWEEN a AND b`) is then a
+    * plain pushed-down data filter that prunes whole row groups (and
+    * files) at scan time — no shuffle, no window, no counts job, at
+    * any corpus size. This also retires [[withRowNumber]]'s two
+    * width-bound caveats (the O(width) literal-array plan payload and
+    * the counts collect): both are paid once at ingest, never at
+    * query time.
+    *
+    * `writerOptions` pass through to the parquet writer (specs size
+    * `parquet.block.size` down to force multi-row-group files; callers
+    * at scale can bound `maxRecordsPerFile`).
+    */
+  def materializeRowNumber(df: DataFrame, keys: Seq[Column], path: String,
+                           numPartitions: Int = 0,
+                           writerOptions: Map[String, String] = Map.empty): Long =
+    Pins.scoped {
+      // scoped: withRowNumber's partitioning pin is fully consumed by
+      // the write below, so its cache entry is released on exit
+      val (out, total) = withRowNumber(df, keys, numPartitions)
+      out.write.mode("overwrite").options(writerOptions).parquet(path)
+      total
+    }
 }

@@ -51,6 +51,16 @@ object PageRank {
     * released immediately, so peak live state is ~1× edge bytes plus
     * the transient crossover. Results are bit-identical (spec-pinned);
     * the default path is unchanged.
+    *
+    * DURABILITY caveat: releasing the ingest checkpoint also drops the
+    * loop's RECOMPUTE INSURANCE — the sorted edge pin's lineage roots
+    * in the released checkpoint, so on a cluster a lost/evicted block
+    * of the MEMORY_AND_DISK pin (executor loss, decommission) is
+    * unrecoverable and converts a recompute into a job failure. That
+    * trade is right for the single-node storage-window probes this
+    * knob was built for; CLUSTER callers should prefer the default
+    * path (insurance intact until the node table materializes) or
+    * accept re-running the job on executor loss.
     */
   def ranks(edges: DataFrame, iters: Int, damping: Double = 0.85,
             roundDp: Int = 6, earlyRelease: Boolean = false): DataFrame =

@@ -113,6 +113,53 @@ object SinkQueries {
       })
     }
 
+  // ---- materialized-rn ingest layout (StableOrder's 100-TB path) ----
+  // Per (session, dir): the churn view numbered ONCE at ingest
+  // (StableOrder.materializeRowNumber) into a temp parquet layout;
+  // value = (path, totalRows). The split twins below read it back and
+  // filter on rn — same oracles as the on-the-fly q_split_train/test
+  // (the LAYOUT must change nothing about the results), while the scan
+  // side is a pushed-down rn filter over row groups with tight
+  // disjoint rn stats (pruning pinned in StableOrderIngestSpec).
+  private val rnMat =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (String, Long)]]()
+
+  private def materializedChurn(spark: SparkSession,
+                                dir: String): (String, Long) =
+    rnMat.synchronized {
+      val perSession = {
+        val cur = rnMat.get(spark)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map.empty[String, (String, Long)]
+          rnMat.put(spark, m)
+          m
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val base = java.nio.file.Files.createTempDirectory("graft_rnmat_")
+        registerCleanup(base)
+        val path = s"$base/churn_rn"
+        val total = graft.core.StableOrder.materializeRowNumber(
+          graft.surv.ChurnView.build(spark, dir), Seq(col("id")), path)
+        (path, total)
+      })
+    }
+
+  private def matSplit(spark: SparkSession, dir: String,
+                       train: Boolean): DataFrame = {
+    val (path, total) = materializedChurn(spark, dir)
+    // floor(n * 0.9), the SurvDataset.trainLen rule (dataset.py:64)
+    val trainLen = (total * 0.9).toLong
+    val pred =
+      if (train) col(graft.core.StableOrder.RN) < trainLen
+      else col(graft.core.StableOrder.RN) >= trainLen
+    spark.read.parquet(path).filter(pred)
+      .select(col("id"), col("t"), col("e"), col(graft.core.StableOrder.RN))
+      .orderBy("id")
+  }
+
   /** Revenue by order priority over (lineitem ⋈ orders) — the shared
     * query body; only the input layout differs between the twins.
     */
@@ -138,7 +185,14 @@ object SinkQueries {
           .select(col("l_orderkey"), col("l_extendedprice"),
             col("l_discount")),
         Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority")))))
+          .select(col("o_orderkey"), col("o_orderpriority")))),
+
+    // L1/L2 over the MATERIALIZED-rn ingest layout: the split is a
+    // pushed-down data filter on a column with tight disjoint
+    // row-group stats — zero shuffle, zero counts job at query time.
+    // Same oracles as the on-the-fly twins: layout changes nothing.
+    "q_split_train_mat" -> ((s, dir) => matSplit(s, dir, train = true)),
+    "q_split_test_mat" -> ((s, dir) => matSplit(s, dir, train = false)))
 
   // identical SQL for both twins: the layout must not change results.
   // VARCHAR-route cast on the unrounded decimal sum: DuckDB's direct
@@ -156,5 +210,13 @@ object SinkQueries {
 
   val oracles: Map[String, String] = Map(
     "q_q5join_bucketed" -> q5Sql,
-    "q_q5join_shuffled" -> q5Sql)
+    "q_q5join_shuffled" -> q5Sql,
+    "q_split_train_mat" -> (graft.surv.ChurnView.sql +
+      s", ${SurvQueries.splitSql}\n" +
+      "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl " +
+      "WHERE rn < train_len ORDER BY id"),
+    "q_split_test_mat" -> (graft.surv.ChurnView.sql +
+      s", ${SurvQueries.splitSql}\n" +
+      "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl " +
+      "WHERE rn >= train_len ORDER BY id"))
 }

@@ -15,7 +15,8 @@ object SurvQueries {
 
   private val C = ChurnView.sql // churn + churn_rn CTEs
 
-  private val splitSql =
+  // shared with SinkQueries' materialized-rn split twins
+  private[queries] val splitSql =
     """tl AS (SELECT CAST(floor(count(*) * CAST(0.9 AS DOUBLE)) AS BIGINT)
       |          AS train_len FROM churn)""".stripMargin
 
