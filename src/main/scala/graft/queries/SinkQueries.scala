@@ -192,7 +192,20 @@ object SinkQueries {
     // row-group stats — zero shuffle, zero counts job at query time.
     // Same oracles as the on-the-fly twins: layout changes nothing.
     "q_split_train_mat" -> ((s, dir) => matSplit(s, dir, train = true)),
-    "q_split_test_mat" -> ((s, dir) => matSplit(s, dir, train = false)))
+    "q_split_test_mat" -> ((s, dir) => matSplit(s, dir, train = false)),
+
+    // L3 over the same layout: the cursor window [256, 320) of the
+    // train split as a pushed-down rn range — at scale this reads
+    // exactly the row groups covering 64 rows, wherever they sit in
+    // a 100-TB corpus. Same oracle as on-the-fly q_batch_window.
+    "q_batch_window_mat" -> ((s, dir) => {
+      val (path, total) = materializedChurn(s, dir)
+      val trainLen = (total * 0.9).toLong
+      val rn = col(graft.core.StableOrder.RN)
+      s.read.parquet(path)
+        .filter(rn < trainLen && rn >= 256 && rn < 320)
+        .select(col("id"), rn, col("t"), col("e")).orderBy("id")
+    }))
 
   // identical SQL for both twins: the layout must not change results.
   // VARCHAR-route cast on the unrounded decimal sum: DuckDB's direct
@@ -218,5 +231,11 @@ object SinkQueries {
     "q_split_test_mat" -> (graft.surv.ChurnView.sql +
       s", ${SurvQueries.splitSql}\n" +
       "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl " +
-      "WHERE rn >= train_len ORDER BY id"))
+      "WHERE rn >= train_len ORDER BY id"),
+    // identical to q_batch_window's oracle (the window sits inside the
+    // train split at every gate SF, matching the on-the-fly twin's
+    // established convention)
+    "q_batch_window_mat" -> (graft.surv.ChurnView.sql +
+      "SELECT id, rn, t, e FROM churn_rn " +
+      "WHERE rn >= 256 AND rn < 320 ORDER BY id"))
 }

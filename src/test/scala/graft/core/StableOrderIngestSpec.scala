@@ -118,4 +118,33 @@ class StableOrderIngestSpec extends AnyFunSuite {
       finally walk.close()
     }
   }
+
+  test("materializeRowNumber on an EMPTY frame writes a readable " +
+    "zero-row layout (the ingest-of-nothing edge)") {
+    // an empty source partition set must not break the counts pass,
+    // the offsets array, or the written footer — a pipeline that
+    // filters everything upstream still needs its ingest step to
+    // succeed and its splits to return empty, not throw
+    val df = spark.range(0).select(
+      concat(lit("k"), col("id").cast("string")).as("key"),
+      col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft_rnmat_empty_")
+    try {
+      val total = StableOrder.materializeRowNumber(
+        df, Seq(org.apache.spark.sql.functions.col("key")), s"$base/t",
+        numPartitions = 4)
+      assert(total == 0L)
+      val back = spark.read.parquet(s"$base/t")
+      assert(back.count() == 0L)
+      assert(back.filter(col(StableOrder.RN) < 100L).count() == 0L)
+      assert(back.columns.contains(StableOrder.RN))
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val walk = Files.walk(base)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
