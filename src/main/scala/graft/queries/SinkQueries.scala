@@ -121,6 +121,11 @@ object SinkQueries {
   // (the LAYOUT must change nothing about the results), while the scan
   // side is a pushed-down rn filter over row groups with tight
   // disjoint rn stats (pruning pinned in StableOrderIngestSpec).
+  // Same memo rules as `written` above: WEAK session keys, values
+  // carry no session back-reference (path string + count only), and
+  // the lock spans the materialization — gate runners execute queries
+  // sequentially, so serializing the once-per-(session,dir) write is
+  // simpler than a per-key guard and can never double-write.
   private val rnMat =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, (String, Long)]]()
@@ -147,11 +152,16 @@ object SinkQueries {
       })
     }
 
+  // floor(n * 0.9) — the ONE train-boundary rule for the mat twins,
+  // same arithmetic as SurvDataset.trainLen at the gate's fixed 0.9
+  // ratio and as the oracle splitSql's floor(count(*) * 0.9): all
+  // three must move together or the twins silently diverge
+  private def matTrainLen(total: Long): Long = (total * 0.9).toLong
+
   private def matSplit(spark: SparkSession, dir: String,
                        train: Boolean): DataFrame = {
     val (path, total) = materializedChurn(spark, dir)
-    // floor(n * 0.9), the SurvDataset.trainLen rule (dataset.py:64)
-    val trainLen = (total * 0.9).toLong
+    val trainLen = matTrainLen(total)
     val pred =
       if (train) col(graft.core.StableOrder.RN) < trainLen
       else col(graft.core.StableOrder.RN) >= trainLen
@@ -200,10 +210,9 @@ object SinkQueries {
     // a 100-TB corpus. Same oracle as on-the-fly q_batch_window.
     "q_batch_window_mat" -> ((s, dir) => {
       val (path, total) = materializedChurn(s, dir)
-      val trainLen = (total * 0.9).toLong
       val rn = col(graft.core.StableOrder.RN)
       s.read.parquet(path)
-        .filter(rn < trainLen && rn >= 256 && rn < 320)
+        .filter(rn < matTrainLen(total) && rn >= 256 && rn < 320)
         .select(col("id"), rn, col("t"), col("e")).orderBy("id")
     }))
 
@@ -221,21 +230,14 @@ object SinkQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // the mat twins share the on-the-fly twins' oracles BY REFERENCE —
+  // the "layout changes nothing" proof depends on both sides of each
+  // pair comparing against the SAME SQL, and a re-derived copy would
+  // silently decouple on the next edit
   val oracles: Map[String, String] = Map(
     "q_q5join_bucketed" -> q5Sql,
     "q_q5join_shuffled" -> q5Sql,
-    "q_split_train_mat" -> (graft.surv.ChurnView.sql +
-      s", ${SurvQueries.splitSql}\n" +
-      "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl " +
-      "WHERE rn < train_len ORDER BY id"),
-    "q_split_test_mat" -> (graft.surv.ChurnView.sql +
-      s", ${SurvQueries.splitSql}\n" +
-      "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl " +
-      "WHERE rn >= train_len ORDER BY id"),
-    // identical to q_batch_window's oracle (the window sits inside the
-    // train split at every gate SF, matching the on-the-fly twin's
-    // established convention)
-    "q_batch_window_mat" -> (graft.surv.ChurnView.sql +
-      "SELECT id, rn, t, e FROM churn_rn " +
-      "WHERE rn >= 256 AND rn < 320 ORDER BY id"))
+    "q_split_train_mat" -> SurvQueries.oracles("q_split_train"),
+    "q_split_test_mat" -> SurvQueries.oracles("q_split_test"),
+    "q_batch_window_mat" -> SurvQueries.oracles("q_batch_window"))
 }

@@ -139,8 +139,13 @@ object SurvQueries {
     "q_split_test" -> (C + s", $splitSql\n" +
       "SELECT id, t, e, rn FROM churn_rn CROSS JOIN tl WHERE rn >= train_len ORDER BY id"),
 
-    "q_batch_window" -> (C +
-      "SELECT id, rn, t, e FROM churn_rn WHERE rn >= 256 AND rn < 320 ORDER BY id"),
+    // the train bound is part of batch semantics (ds.batch filters the
+    // TRAIN split): carrying it in the oracle keeps the twin exact at
+    // ANY SF, not just those where the window sits inside the split
+    // (at n in ~[285, 355] the unbounded form would diverge)
+    "q_batch_window" -> (C + s", $splitSql\n" +
+      "SELECT id, rn, t, e FROM churn_rn CROSS JOIN tl " +
+      "WHERE rn >= 256 AND rn < 320 AND rn < train_len ORDER BY id"),
 
     "q_feature_names" -> {
       val values = expectedFeatures.zipWithIndex

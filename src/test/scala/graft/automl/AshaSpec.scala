@@ -247,7 +247,6 @@ class AshaSpec extends AnyFunSuite {
     "(the evalRung orphan-work rule, async flavor)") {
     val ds = tinyDs
     val slowEntered = new java.util.concurrent.CountDownLatch(1)
-    val slowInterrupted = new AtomicInteger(0)
     val interruptObserved = new java.util.concurrent.CountDownLatch(1)
     val seeds = Seq[ModelFactory](
       new ScriptedFactory("slow_m", () => {
@@ -255,7 +254,6 @@ class AshaSpec extends AnyFunSuite {
         try { Thread.sleep(60000); 0.4 }
         catch {
           case ie: InterruptedException =>
-            slowInterrupted.incrementAndGet()
             interruptObserved.countDown()
             throw ie
         }
@@ -278,11 +276,12 @@ class AshaSpec extends AnyFunSuite {
       s"sibling ran to completion after the failure (${elapsedMs}ms)")
     // The cancelled worker's InterruptedException handler runs on ITS
     // thread, asynchronously with respect to selectModel's failure
-    // propagation — a bare counter read here races it (judge-observed
+    // propagation — a bare flag read here races it (judge-observed
     // 262/263 under full-suite load: intercept returned before the
-    // worker executed its catch block). Bounded await, then assert.
+    // worker executed its catch block). Bounded await is the ONE
+    // check: the latch counts down inside the handler, so a
+    // successful await IS the interruption proof.
     assert(interruptObserved.await(10, java.util.concurrent.TimeUnit.SECONDS),
       "slow sibling was never interrupted (10 s bound)")
-    assert(slowInterrupted.get() >= 1, "slow sibling was never interrupted")
   }
 }
