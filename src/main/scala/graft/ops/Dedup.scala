@@ -96,9 +96,14 @@ object Dedup {
     out
   }
 
-  /** Shingle → 60-bit integer via md5 prefix (engine-independent). */
+  /** Shingle → 60-bit integer via md5 prefix (engine-independent).
+    * Computed by the codegen'd [[graft.functions.Md5Prefix60]] kernel —
+    * bit-identical to the `conv(substring(md5(sh),1,15),16,10)` chain
+    * the oracles replay (Md5Prefix60Spec pins the equality), minus its
+    * four per-call string materializations (r19 optimization).
+    */
   def shingleInt(sh: Column): Column =
-    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix60.md5_prefix60(sh)
 
   /** MinHash signature as ONE array column per doc from the (id, sh)
     * shingle table ([[shingles]]): a single groupBy(id) runs all

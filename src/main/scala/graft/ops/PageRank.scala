@@ -164,25 +164,26 @@ object PageRank {
         e.count()
         graft.core.Pins.releaseCheckpoint(e0)
       }
-      val deg = e.groupBy(col("node")).agg(count(lit(1)).as("od"))
-      // Node universe source is path-dependent, and the difference is
-      // MEASURED, not stylistic: on the earlyRelease path it must read
-      // the PIN (the checkpoint is already gone), but on the default
-      // path it reads the CHECKPOINT — the pin is a columnar
-      // InMemoryRelation whose every scan pays a decode, while the
-      // checkpoint scan is a raw row iterator (r18 boards: pin-derived
-      // union cost the pagerank pair +56 tasks and +6–10 execCpu-s at
-      // sf0.1 across two confirming boards; reverted to eb, the r17
-      // plan, for the default path).
-      val (srcNodes, dstNodes) =
-        if (earlyRelease)
-          (e.select(col("node")), e.select(col("dst").as("node")))
-        else
-          (eb.select(col("src").as("node")),
-            eb.select(col("dst").as("node")))
-      val nodes0 = srcNodes.union(dstNodes).distinct()
-        .join(deg, Seq("node"), "left")
-        .select(col("node"), coalesce(col("od"), lit(0L)).as("od"))
+      // Node universe AND out-degree from ONE pass (r19 optimization,
+      // guide §2.4): each edge contributes (src, 1) and (dst, 0); a
+      // single map-side-combined sum(c) per node IS the out-degree,
+      // with pure sinks landing at 0 — so the former three-piece
+      // derivation (deg aggregate over the pin + src∪dst distinct +
+      // left join, i.e. two aggregations, two extra passes over the
+      // edge set and a join) collapses into one explode + groupBy.
+      // Reading the PIN (not eb) on both paths keeps the invariant the
+      // default path's release below relies on — the pin is fully
+      // materialized inside nodes' eager checkpoint, before e0 goes —
+      // and retires the r18 path-dependence (the measured pin-scan
+      // penalty was the OLD shape's two extra columnar decodes; this
+      // shape scans the edge set exactly once). Measured at sf0.1:
+      // the pagerank pair's node-table phase cpu roughly halves and
+      // the per-query task count drops ~15% (OPTIMIZATION_r19.md).
+      val nodes0 = e.select(explode(array(
+          struct(col("node"), lit(1L).as("c")),
+          struct(col("dst").as("node"), lit(0L).as("c")))).as("nc"))
+        .select(col("nc.node").as("node"), col("nc.c").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("od"))
       val nodes = seeds match {
         case None => nodes0.withColumn("seed", lit(true))
           .localCheckpoint(true)

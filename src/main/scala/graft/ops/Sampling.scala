@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** md5-derived 60-bit uniform hash of (seed, key). */
+  /** md5-derived 60-bit uniform hash of (seed, key) — the codegen'd
+    * [[graft.functions.Md5Prefix60]] kernel, bit-identical to the
+    * conv(substring(md5(...),1,15),16,10) SQL the oracles replay.
+    */
   def hash60(key: Column, seed: Long): Column =
-    conv(substring(md5(concat(lit(seed.toString), lit(":"),
-      key.cast("string"))), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix60.md5_prefix60(
+      concat(lit(seed.toString), lit(":"), key.cast("string")))
 
   /** Keep rows whose hash falls below fraction · 2^60 — a seed-stable
     * Bernoulli(fraction) sample.

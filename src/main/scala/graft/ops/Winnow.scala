@@ -26,9 +26,13 @@ object Winnow {
 
   private val PosRange = 4294967296L // 2^32
 
-  /** 28-bit md5-prefix gram hash (7 hex digits, engine-independent). */
+  /** 28-bit md5-prefix gram hash (7 hex digits, engine-independent):
+    * the digest's top 28 bits = its top 60 bits >>> 32, so the
+    * codegen'd [[graft.functions.Md5Prefix60]] kernel serves here too
+    * (bit-equality with the conv/substring SQL form is spec-pinned).
+    */
   def gramHash28(gram: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(gram), 1, 7), 16, 10).cast("long")
+    shiftright(graft.functions.Md5Prefix60.md5_prefix60(gram), 32)
 
   /** Selected fingerprints (id, pos, h) — pos is the 1-based k-gram
     * start, h the 28-bit gram hash. Documents with fewer than

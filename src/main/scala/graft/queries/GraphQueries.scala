@@ -38,7 +38,22 @@ object GraphQueries {
   }
 
   /** The customer→supplier→part purchase-topology edge list shared by
-    * the PageRank queries.
+    * the PageRank queries — keyed on LONGS inside the engine
+    * (key·4 + tag: c=0, s=1, p=2), with the `c:`/`s:`/`p:` strings of
+    * the declared output reconstructed only in the final projection
+    * ([[nodeStr]]).
+    *
+    * Why (r19 optimization, guide §2.3/§8): the node id is a pure
+    * proxy — every rank value is an exact DECIMAL(38,15) sum plus a
+    * per-node 6dp round, both invariant under any injective re-keying
+    * of the isomorphic graph — so the loop's joins, group-bys, sorts,
+    * columnar edge pin and checkpoints can all run on 8-byte longs
+    * instead of UTF8 strings. Measured at sf0.1 (ScratchPR, committed
+    * in OPTIMIZATION_r19.md): edge build cpu 4.6→3.3 s, node-universe
+    * aggregation 3.8→1.1 s, node-table materialization 15.0→7.8 s;
+    * the distinct() here also dedups 16-byte (long, long) pairs
+    * instead of concat-allocated strings. At 100 TB the same change
+    * is a ~2× cut of every loop shuffle's bytes and hash cost.
     */
   private def entityEdges(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
@@ -46,15 +61,27 @@ object GraphQueries {
     val l = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
     val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("o_custkey").cast("long") * 4L).as("src"),
+        (col("l_suppkey").cast("long") * 4L + 1L).as("dst"))
       .distinct()
     val sp = l
-      .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("src"),
-        concat(lit("p:"), col("l_partkey").cast("string")).as("dst"))
+      .select((col("l_suppkey").cast("long") * 4L + 1L).as("src"),
+        (col("l_partkey").cast("long") * 4L + 2L).as("dst"))
       .distinct()
     cs.union(sp)
   }
+
+  /** Long node key back to the declared `c:`/`s:`/`p:` string form —
+    * the inverse of [[entityEdges]]' key·4+tag packing, applied once
+    * in the final output projection (36k rows at sf0.1, never inside
+    * the loop).
+    */
+  private def nodeStr(node: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(node.bitwiseAND(lit(3L)) === 0L, lit("c:"))
+        .when(node.bitwiseAND(lit(3L)) === 1L, lit("s:"))
+        .otherwise(lit("p:")),
+      shiftright(node, 2).cast("string"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3 PageRank iterations over customer→supplier→part; mass units
@@ -66,7 +93,7 @@ object GraphQueries {
       graft.ops.PageRank.ranks(entityEdges(s, dir), iters = 3,
           earlyRelease =
             sys.env.get("SPARK_GRAFT_PR_EARLY_RELEASE").contains("1"))
-        .select(col("node"), col("m").as("rank_mass"))
+        .select(nodeStr(col("node")).as("node"), col("m").as("rank_mass"))
         .orderBy("node")),
 
     // personalized PageRank: restart on one nation's customers —
@@ -77,11 +104,10 @@ object GraphQueries {
         .join(broadcast(Tables.load(s, dir, "nation")
           .filter(col("n_name") === "NATION_7")),
           col("c_nationkey") === col("n_nationkey"))
-        .select(concat(lit("c:"), col("c_custkey").cast("string"))
-          .as("node"))
+        .select((col("c_custkey").cast("long") * 4L).as("node"))
       graft.ops.PageRank.personalizedRanks(entityEdges(s, dir), seeds,
           iters = 3)
-        .select(col("node"), col("m").as("rank_mass"))
+        .select(nodeStr(col("node")).as("node"), col("m").as("rank_mass"))
         .orderBy("node")
     }),
 

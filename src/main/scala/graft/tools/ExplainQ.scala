@@ -9,8 +9,14 @@ object ExplainQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries(args(1))(spark, args(0))
-    println(df.queryExecution.executedPlan.toString.take(6000))
+    // formatted explain of every named query, in order — the plan-
+    // evidence format the optimization rounds commit under plans/
+    args.drop(1).foreach { q =>
+      println(s"==== $q ====")
+      val df = graft.SparkEntry.queries(q)(spark, args(0))
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     spark.stop()
   }
 }
