@@ -53,6 +53,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // r19: advisory-size AQE coalescing (both knobs env-overridable).
+      // parallelismFirst=false is Spark's own production recommendation
+      // ("respect the configured target size"): reducer count derives
+      // from shuffle BYTES (advisory 64 MB default), so a KB-sized
+      // aggregate no longer fans out to `cpus` reducers paying ~60 ms
+      // fixed cpu each (measured: q_corpus_training_set 22→0.4
+      // execCpuS), while a 100-TB shuffle still fills every core —
+      // width ∝ data at every scale, the guide-§2.2 prescription. The
+      // cached-plan knob extends the same sizing to operator pins
+      // (InMemoryRelation otherwise freezes session-width partitions:
+      // q_dedup_ngram_jaccard 2.3→0.0 execCpuS, 66→4 tasks); explicit
+      // repartition(N)/repartitionByRange(N) calls (StableOrder, the
+      // loop pins) are REPARTITION_BY_NUM origins AQE never coalesces,
+      // so every spec-pinned partitioning contract is untouched
+      // (OPTIMIZATION_r19.md has the A/B boards).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_REPARTITION", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -44,7 +44,7 @@ object KaplanMeier {
 
   def curveExpr(df: DataFrame, t: Column, e: Column): DataFrame = {
     val spark = df.sparkSession
-    val np = spark.sessionState.conf.numShufflePartitions
+    // width: session-default map side, AQE advisory-size coalescing
     // One shuffle to the grouped distinct-time table, range-ordered:
     // partition p holds strictly smaller t than p+1, rows sorted
     // within.
@@ -56,7 +56,7 @@ object KaplanMeier {
       .groupBy(t.cast("double").as("t"))
       .agg(coalesce(sum(e.cast("long")), lit(0L)).as("d"),
         count(lit(1)).as("m"))
-      .repartitionByRange(np, col("t"))
+      .repartitionByRange(col("t"))
       .sortWithinPartitions(col("t"))
       .select(col("t"), col("d"), col("m"))
 
@@ -209,7 +209,7 @@ object KaplanMeier {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = points.sparkSession
-    val np = spark.sessionState.conf.numShufflePartitions
+    // width: session-default map side, AQE advisory-size coalescing
 
     // ADAPTIVE small-side fast path: when the curve fits in the plan
     // (<= SmallCurveRows knots — discrete/rounded time grids, the
@@ -240,7 +240,7 @@ object KaplanMeier {
       lit(pTag).as("_tag"), lit(null).cast("double").as("_ks"),
       struct(pCols.map(col): _*).as("_pp"))
     val u = (c unionByName p)
-      .repartitionByRange(np, col("_t"), col("_tag"))
+      .repartitionByRange(col("_t"), col("_tag"))
       .sortWithinPartitions(col("_t"), col("_tag"))
     // shared BY OBJECT across both passes (see curveExpr: the sampled
     // range bounds must agree between summary and emit)

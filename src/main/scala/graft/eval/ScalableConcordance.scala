@@ -290,12 +290,12 @@ object ScalableConcordance {
 
   private def evAfterKeyedDf(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
     val k = keyCols.length
-    val np = cells.sparkSession.sessionState.conf.numShufflePartitions
+    // width: session-default map side, AQE advisory-size coalescing
     val sortExprs = keyCols.map(col(_).asc) :+ col("t").desc
     cells
       .select((keyCols.map(col) :+ col("t").cast("double").as("t") :+
         col("m").cast("long").as("m") :+ col("ev").cast("long").as("ev")): _*)
-      .repartition(np, keyCols.map(col): _*)
+      .repartition(keyCols.map(col): _*)
       .sortWithinPartitions(sortExprs: _*)
       .mapPartitions { it =>
         var acc = 0L
@@ -334,7 +334,7 @@ object ScalableConcordance {
   private def evAfterDf(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    val np = spark.sessionState.conf.numShufflePartitions
+    // width: session-default map side, AQE advisory-size coalescing
     val k = keyCols.length
     val sortExprs = keyCols.map(col(_).asc) :+ col("t").desc
     // The grouped cell table is consumed TWICE by repartitionByRange
@@ -345,7 +345,7 @@ object ScalableConcordance {
       .select((keyCols.map(col) :+ col("t").cast("double").as("t") :+
         col("m").cast("long").as("m") :+ col("ev").cast("long").as("ev")): _*))
     val g = cellsP
-      .repartitionByRange(np, sortExprs: _*)
+      .repartitionByRange(sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
     // RDD-level persist shared by object across both passes (same
     // contract as KaplanMeier.curveExpr: one sampled partitioning;

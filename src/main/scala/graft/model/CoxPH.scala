@@ -93,9 +93,9 @@ final case class CoxPH(
       // scheme in an earlier round). Suffix sums in t (the risk sets)
       // become prefix carries in partition order, exactly like
       // [[CoxPH.breslow]].
-      val np = tr.sparkSession.sessionState.conf.numShufflePartitions
+      // width: session-default map side, AQE advisory-size coalescing
       val sorted = tr
-        .repartitionByRange(np, col("t").desc)
+        .repartitionByRange(col("t").desc)
         .sortWithinPartitions(col("t").desc)
         .rdd.persist(StorageLevel.MEMORY_AND_DISK)
       sorted.count()
@@ -267,7 +267,7 @@ object CoxPH {
     */
   def breslow(df: DataFrame, sc: Column): DataFrame = {
     val spark = df.sparkSession
-    val np = spark.sessionState.conf.numShufflePartitions
+    // width: session-default map side, AQE advisory-size coalescing
     // clamp ±50 (the likelihood passes use ±500 against Inf poison;
     // here the bound is the DECIMAL range): the per-time risk mass
     // w_t sums in DECIMAL(38,15) so it is summation-ORDER-independent
@@ -284,7 +284,7 @@ object CoxPH {
       .agg(sum(col("w")).cast("double").as("w_t"),
         sum(col("e").cast("long")).as("d"),
         sum(col("sat")).as("nsat"))
-      .repartitionByRange(np, col("t").desc)
+      .repartitionByRange(col("t").desc)
       .sortWithinPartitions(col("t").desc)
       .select(col("t"), col("w_t"), col("d"), col("nsat"))
     // RDD-level persist shared by object across passes: pins one
