@@ -79,12 +79,17 @@ object PageRank {
                         earlyRelease: Boolean = false): DataFrame =
     run(edges, iters, damping, roundDp, seeds = Some(seeds), earlyRelease)
 
-  /** Loop shuffle width from the data AND the machine: ~64k edges per
-    * partition — NOT connectedComponents' 1M-edges/partition (its
-    * per-row work is a min over two longs; a 1M-edge PageRank at 2
-    * partitions left 30 of 32 cores idle and tripled the query time) —
-    * additionally capped at 2× the cluster's core count
-    * (`defaultParallelism`) and at the session setting.
+  /** Loop shuffle width from the data AND the machine: ~256k edges
+    * per partition — between connectedComponents' 1M-edges/partition
+    * (its per-row work is a min over two longs) and the 64k target
+    * the STRING-keyed loop used through r18 (a 1M-edge PageRank at 2
+    * partitions left 30 of 32 cores idle and tripled the query time;
+    * r19's long-keyed rows cut per-edge join+agg cost ~4×, so 4×
+    * bigger partitions keep the same per-task runtime — measured at
+    * sf0.1: width 18→5, the pair's tasks 155/162→~80, execCpuS and
+    * wall both down, OPTIMIZATION_r19.md) — additionally capped at 2×
+    * the cluster's core count (`defaultParallelism`) and at the
+    * session setting.
     *
     * Why the cores cap: a big graph's edge target alone saturates any
     * session width (sf10's ~40M-edge entity graph derives 611), so an
@@ -107,7 +112,7 @@ object PageRank {
     * PageRankSpec holds both).
     */
   def loopWidth(nEdges: Long, sessionParts: Long, cores: Int,
-                edgesPerPartition: Long = 65536L): Int =
+                edgesPerPartition: Long = 262144L): Int =
     math.max(1L, math.min(math.min(sessionParts, 2L * cores),
       nEdges / edgesPerPartition + 1L)).toInt
 
@@ -197,11 +202,16 @@ object PageRank {
           .select(col("node"), col("od"), col("_sf").isNotNull.as("seed"))
           .localCheckpoint(true)
       }
-      val nD = nodes.count().toDouble
+      // ONE job for both cardinalities (|V| and the restart set): the
+      // two counts ride the same scan of the just-materialized
+      // checkpoint (r19: the separate filter-count was a whole extra
+      // job per personalized run)
+      val cnts = nodes.agg(count(lit(1)),
+        count(when(col("seed"), lit(1)))).head()
+      val nD = cnts.getLong(0).toDouble
       // |restart set|: the whole graph for classic PR, the in-graph
       // seeds for personalized
-      val sD = seeds.fold(nD)(_ =>
-        nodes.filter(col("seed")).count().toDouble)
+      val sD = seeds.fold(nD)(_ => cnts.getLong(1).toDouble)
       require(sD > 0, "personalized PageRank needs >= 1 in-graph seed")
       // e0's consumers are all materialized by here (the pinned edge
       // table cached MEMORY_AND_DISK through nodes' eager checkpoint,

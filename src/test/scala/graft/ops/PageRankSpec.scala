@@ -151,7 +151,9 @@ class PageRankSpec extends AnyFunSuite {
   test("loop width derives from the edge count, capped at session " +
       "width AND machine parallelism") {
     assert(PageRank.loopWidth(0L, 32L, 32) == 1)
-    assert(PageRank.loopWidth(65536L * 3, 32L, 32) == 4)
+    // r19: the default PR target is 256k edges/partition (long-keyed
+    // rows made 64k partitions per-task-overhead-bound)
+    assert(PageRank.loopWidth(262144L * 3, 32L, 32) == 4)
     assert(PageRank.loopWidth(1L << 30, 32L, 32) == 32) // session cap
     assert(PageRank.loopWidth(10L, 1L, 32) == 1)
     // the r17 probe case: a 40M-edge graph on an over-wide 128-part
