@@ -229,15 +229,23 @@ object PageRank {
         // this exchange (and every other per-round one) run at
         // loopParts while KEEPING the partial agg below it; the join
         // feeding it is co-located via the pinned edge table.
+        // r19: the exact sum runs through Dec15 (split once in the
+        // projection, two-long carry aggregation) — bit-identical to
+        // CAST(SUM(CAST(… AS DECIMAL(38,15))) AS DOUBLE) at ~half the
+        // cpu (Dec15 scaladoc; Dec15Spec pins the equality). Domain:
+        // mass conservation bounds every per-node sum by |V| ≪ 9.2e21.
         val contrib = ranks.filter(col("od") > 0)
           .join(e, Seq("node"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum((col("m") / col("od").cast("double"))
-            .cast(DecimalType(38, 15))).cast("double").as("c"))
+          .select(col("dst").as("node"),
+            graft.functions.Dec15.dec15_split(
+              col("m") / col("od").cast("double")).as("_c"))
+          .groupBy(col("node"))
+          .agg(graft.functions.Dec15.dec15_sum_split(col("_c")).as("c"))
         // dangling mass: 1 row, broadcast back — never a driver value
         val dang = ranks.filter(col("od") === 0)
-          .agg(coalesce(sum(col("m").cast(DecimalType(38, 15)))
-            .cast("double"), lit(0.0)).as("dm"))
+          .select(graft.functions.Dec15.dec15_split(col("m")).as("_m"))
+          .agg(coalesce(graft.functions.Dec15.dec15_sum_split(col("_m")),
+            lit(0.0)).as("dm"))
         val joined = nodes.join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dang))
         val m2 = seeds match {

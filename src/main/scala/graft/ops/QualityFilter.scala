@@ -44,14 +44,18 @@ object QualityFilter {
   def score(docs: DataFrame, idCol: String, textCol: String,
             weights: Array[Double], bias: Double): DataFrame = {
     val wArr = array(weights.map(lit(_)): _*)
+    // r19: exact weight sum via Dec15 (split-once projection + two-long
+    // carry aggregate) — bit-identical to the DECIMAL(38,15) sum idiom
+    // (Dec15Spec) at ~half the cpu. Domain: |w| ≤ 0.9 per token, so a
+    // doc's |Σ| is bounded by its token count — nowhere near 9.2e21.
     val perTok = docs.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("id"),
-        element_at(wArr,
+        graft.functions.Dec15.dec15_split(element_at(wArr,
           (pmod(Dedup.shingleInt(col("tok")), lit(weights.length.toLong))
-            + 1).cast("int")).as("w"))
+            + 1).cast("int"))).as("_w"))
       .groupBy(col("id"))
-      .agg(sum(col("w").cast(DecimalType(38, 15))).cast("double").as("z"))
+      .agg(graft.functions.Dec15.dec15_sum_split(col("_w")).as("z"))
     docs.select(col(idCol).as("id"))
       .join(perTok, Seq("id"), "left")
       .select(col("id"),
