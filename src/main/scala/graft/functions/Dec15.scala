@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BinaryExpression, Expression, GetStructField, GreaterThanOrEqual, If, IsNull, Literal, Not, Or, Subtract, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BinaryExpression, EvalMode, Expression, GetStructField, GreaterThanOrEqual, If, IsNull, Literal, Not, Or, Subtract, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -34,7 +34,13 @@ import org.apache.spark.sql.types._
   * long). Inside it, results are exactly the decimal sum's; beyond
   * it the decimal path would itself be approaching its precision-38
   * overflow-to-null cliff — callers in that regime (e.g. Breslow's
-  * exp-weight masses) keep the DECIMAL(38,15) sum. PageRank masses
+  * exp-weight masses) keep the DECIMAL(38,15) sum. Out-of-domain
+  * inputs fail LOUD at every layer regardless of the session's
+  * `spark.sql.ansi.enabled`: a single oversized |x| throws in
+  * [[Dec15.split]] (longValueExact), and an accumulated |Σ| crossing
+  * the hi-limb range throws in the aggregate itself, whose hi adds
+  * are pinned to ANSI evalMode (r19-verdict hardening — the default
+  * Catalyst Add wraps silently under non-ANSI sessions). PageRank masses
   * (Σ = |V| by conservation) and the quality filter's ±0.9-per-token
   * logits sit orders of magnitude inside the domain at any corpus
   * size.
@@ -110,6 +116,16 @@ case class Dec15Sum(child: Expression)
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal(0L), Literal(0L), Literal(false))
 
+  // The hi-limb accumulator is where an out-of-domain group sum would
+  // overflow, so its adds are pinned to ANSI evalMode REGARDLESS of
+  // the session's spark.sql.ansi.enabled: Math.addExact throws loud
+  // instead of wrapping into a silently-wrong finite double (r19
+  // verdict — the default-mode Catalyst Add wraps under non-ANSI
+  // sessions, which is exactly what Bench/Verify run). Domain callers
+  // never pay more than the addExact overflow branch.
+  private def addExact(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.ANSI)
+
   // ONE split per row; hi/lo limb references share it via the struct.
   // lo limbs are in [0, 1e18) by the floor split, so lo + loIn < 2e18
   // never overflows a long; the carry renormalizes back into range.
@@ -120,7 +136,8 @@ case class Dec15Sum(child: Expression)
     val loSum = Add(lo, loIn)
     val carry = GreaterThanOrEqual(loSum, E18)
     Seq(
-      If(skip, hi, Add(Add(hi, hiIn), If(carry, Literal(1L), Literal(0L)))),
+      If(skip, hi,
+        addExact(addExact(hi, hiIn), If(carry, Literal(1L), Literal(0L)))),
       If(skip, lo, If(carry, Subtract(loSum, E18), loSum)),
       Or(seen, Not(skip)))
   }
@@ -129,7 +146,8 @@ case class Dec15Sum(child: Expression)
     val loSum = Add(lo.left, lo.right)
     val carry = GreaterThanOrEqual(loSum, E18)
     Seq(
-      Add(Add(hi.left, hi.right), If(carry, Literal(1L), Literal(0L))),
+      addExact(addExact(hi.left, hi.right),
+        If(carry, Literal(1L), Literal(0L))),
       If(carry, Subtract(loSum, E18), loSum),
       Or(seen.left, seen.right))
   }
@@ -151,11 +169,17 @@ object Dec15 {
 
   /** Spark's exact double→Decimal(38,15) cast (same code path:
     * `Decimal(d)` + `changePrecision` with HALF_UP), floor-split into
-    * base-10^18 limbs with lo ∈ [0, 1e18). Null on cast overflow —
-    * the same inputs the decimal-sum idiom skips. Throws (never
-    * silently wrong) outside the |x| < ~9.2e21 hi-limb domain.
+    * base-10^18 limbs with lo ∈ [0, 1e18). Null on a non-finite input
+    * or on cast overflow — the same inputs the NON-ANSI decimal-sum
+    * idiom nulls out and SUM skips (an ANSI session's cast would
+    * throw instead; Dec15 mirrors the non-ANSI idiom the engine's
+    * oracle-checked queries run under). Throws (never silently wrong)
+    * outside the |x| < ~9.2e21 hi-limb domain.
     */
   def split(d: Double): InternalRow = {
+    // Decimal(NaN / ±Infinity) throws NumberFormatException; the cast
+    // idiom this mirrors yields NULL (r19 advisory)
+    if (!java.lang.Double.isFinite(d)) return null
     val dec = org.apache.spark.sql.types.Decimal(d)
     if (!dec.changePrecision(38, 15)) return null
     var hi = 0L

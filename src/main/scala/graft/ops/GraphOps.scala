@@ -25,14 +25,46 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** The deduplicated (basket, item) table [[copairs]] self-joins, in
+    * its canonical `_b`/`_i` columns. Exposed so a caller that also
+    * needs per-item / per-basket supports over the SAME table
+    * (q_assoc_rules) can pin ONE copy and share it instead of paying
+    * the scan + distinct once per aggregate.
+    */
+  def basketItems(items: DataFrame, basket: String,
+                  item: String): DataFrame =
+    items.select(col(basket).as("_b"), col(item).as("_i")).distinct()
+
   /** Distinct co-occurring item pairs per basket with support count:
     * (i, j, n_baskets), i < j, support ≥ `minSupport`.
     */
   def copairs(items: DataFrame, basket: String, item: String,
-              minSupport: Long): DataFrame = {
-    val p = items.select(col(basket).as("_b"), col(item).as("_i"))
-      .distinct()
-    p.join(p.select(col("_b"), col("_i").as("_j")), Seq("_b"))
+              minSupport: Long): DataFrame =
+    copairsOf(basketItems(items, basket, item), minSupport)
+
+  /** [[copairs]] over a pre-built [[basketItems]] table.
+    *
+    * The basket self-join's probe runs at an EXPLICIT width sized to
+    * the counted input (r20, r19 verdict item 1; guide §8): its
+    * shuffle input is one slim row per (basket, item) but its output
+    * is C(k, 2) per basket, so advisory-size AQE coalescing — which
+    * sees only the ~6 MB input — ran the whole explosion on ONE
+    * reducer at sf0.1 (3.4 execCpuS | 9 tasks, q_copurchase 3.9 s).
+    * The input is pinned (idempotent if the caller already pinned it),
+    * so the sizing count is one cheap job over cached blocks and the
+    * distinct pipeline runs once; the width is rows-proportional
+    * (~75k rows ≈ 0.15 s of pair-explosion cpu per task), capped at
+    * machine width — at corpus scale the cap binds and the stage
+    * fills the cluster. The small-side broadcast stays the planner's
+    * size-estimate decision, so a corpus-scale basket table still
+    * sort-merges.
+    */
+  def copairsOf(p0: DataFrame, minSupport: Long): DataFrame = {
+    val p = graft.core.Pins.pin(p0)
+    val np = graft.core.Width.explodeRows(p.sparkSession, p.count(),
+      rowsPerTask = 75000L)
+    p.repartition(np, col("_b"))
+      .join(p.select(col("_b"), col("_i").as("_j")), Seq("_b"))
       .filter(col("_i") < col("_j"))
       .groupBy(col("_i").as("i"), col("_j").as("j"))
       .agg(count(lit(1)).as("n_baskets"))
@@ -43,7 +75,14 @@ object GraphOps {
     * assumed canonical i < j, deduplicated). Returns one row:
     * (n_triangles).
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges0: DataFrame): DataFrame = {
+    // pinned: the edge list feeds the degree aggregate AND the rank
+    // join (everything above copairs' last exchange otherwise executes
+    // once per consumer — measured 2 × 0.6 s at sf0.1), and the count
+    // below sizes the wedge stage from cached blocks
+    val edges = graft.core.Pins.pin(edges0)
+    val np = graft.core.Width.explodeRows(edges.sparkSession,
+      edges.count(), rowsPerTask = 25000L)
     val deg = edges
       .select(explode(array(col("i"), col("j"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -53,11 +92,18 @@ object GraphOps {
     val rI = struct(col("di").as("d"), col("i").as("v"))
     val rJ = struct(col("dj").as("d"), col("j").as("v"))
     val iLow = rI < rJ
-    // src = lower-ranked endpoint; carry the dst's rank for the wedge order
+    // src = lower-ranked endpoint; carry the dst's rank for the wedge
+    // order. Explicit edge-counted width on the wedge self-join's
+    // exchange: the oriented edge list is slim but the wedge output is
+    // Σ out-deg(v)² — the same input-bytes blind spot copairsOf sizes
+    // around (the closure join right after is keyed on the
+    // POST-explosion wedge set, which AQE sizes correctly from its
+    // real bytes).
     val oriented = ranked.select(
       when(iLow, col("i")).otherwise(col("j")).as("src"),
       when(iLow, col("j")).otherwise(col("i")).as("dst"),
       when(iLow, rJ).otherwise(rI).as("dstR"))
+      .repartition(np, col("src"))
     val wedges = oriented.select(col("src"), col("dst").as("v1"),
         col("dstR").as("r1"))
       .join(oriented.select(col("src"), col("dst").as("v2"),

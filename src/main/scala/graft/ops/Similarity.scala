@@ -102,11 +102,14 @@ object Similarity {
 
   /** Deterministic init: per-dim means of id%cells groups, rounded to
     * 6dp. Driver carry is bounded at cells×dims doubles. The mean
-    * runs through an exact DECIMAL sum like every other mean on an
-    * oracle-checked path — a plain double avg() is summation-order-
-    * dependent, so Spark's partial-agg order vs DuckDB's scan order
-    * could round differently at the 6dp boundary and cascade through
-    * every downstream assignment.
+    * runs through an exact fixed-point sum (Dec15 — bit-identical to
+    * the DECIMAL(38,15) idiom at ~double-sum cost, r20) like every
+    * other mean on an oracle-checked path — a plain double avg() is
+    * summation-order-dependent, so Spark's partial-agg order vs
+    * DuckDB's scan order could round differently at the 6dp boundary
+    * and cascade through every downstream assignment. Domain: unit-
+    * scale embedding components, orders inside Dec15's ~9.2e21 bound
+    * (out-of-domain now fails loud, never silently wrong).
     */
   private def initCentroidMap(corpus: DataFrame, idCol: String,
                               vecCol: String,
@@ -114,10 +117,12 @@ object Similarity {
     corpus
       .select((col(idCol) % numCells).cast("int").as("cell"),
         posexplode(col(vecCol)).as(Seq("j", "xv")))
+      .select(col("cell"), col("j"),
+        graft.functions.Dec15.dec15_split(col("xv").cast("double")).as("_s"))
       .groupBy(col("cell"), col("j"))
       .agg(round(
-        sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
-          .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
+        graft.functions.Dec15.dec15_sum_split(col("_s"))
+          / count(lit(1)).cast("double"), 6).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
       .toMap
@@ -210,10 +215,12 @@ object Similarity {
         .as("cell"), col(vecCol))
     val updated = assigned
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("j", "xv")))
+      .select(col("cell"), col("j"),
+        graft.functions.Dec15.dec15_split(col("xv").cast("double")).as("_s"))
       .groupBy(col("cell"), col("j"))
       .agg(round(
-        sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
-          .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
+        graft.functions.Dec15.dec15_sum_split(col("_s"))
+          / count(lit(1)).cast("double"), 6).as("c"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
         s => s.getField("c")).as("uarr"))
@@ -523,10 +530,12 @@ object Similarity {
     corpus
       .select((col(idCol) % numCells).cast("int").as("cell"),
         posexplode(col(vecCol)).as(Seq("j", "xv")))
+      .select(col("cell"), col("j"),
+        graft.functions.Dec15.dec15_split(col("xv").cast("double")).as("_s"))
       .groupBy(col("cell"), col("j"))
       .agg(round(
-        sum(col("xv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
-          .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
+        graft.functions.Dec15.dec15_sum_split(col("_s"))
+          / count(lit(1)).cast("double"), 6).as("c"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
         s => s.getField("c")).as("carr"))
@@ -546,10 +555,12 @@ object Similarity {
                                 nCoarse: Int): Map[Int, Array[Double]] =
     fine.select((col("cell") % nCoarse).cast("int").as("coarse"),
         posexplode(col("carr")).as(Seq("j", "cv")))
+      .select(col("coarse"), col("j"),
+        graft.functions.Dec15.dec15_split(col("cv")).as("_s"))
       .groupBy(col("coarse"), col("j"))
       .agg(round(
-        sum(col("cv").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
-          .cast("double") / count(lit(1)).cast("double"), 6).as("c"))
+        graft.functions.Dec15.dec15_sum_split(col("_s"))
+          / count(lit(1)).cast("double"), 6).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray)
       .toMap
@@ -665,19 +676,23 @@ object Similarity {
     * (group, dim, centroid, n). The explode is dims× rows into ONE
     * map-side-combined groupBy on (group, dim) — at 100 TB this is a
     * single shuffle of |groups|·dims partial sums per partition, never
-    * per-vector traffic. Sums run through exact DECIMAL so the
-    * centroid is independent of row order (float inputs widen to
-    * double losslessly; the DECIMAL(38,15) window far exceeds unit-
-    * scale embedding magnitudes).
+    * per-vector traffic. Sums run through the exact Dec15 fixed-point
+    * aggregate (bit-identical to the DECIMAL(38,15) idiom the oracle
+    * replays, at ~double-sum cost — r20) so the centroid is
+    * independent of row order (float inputs widen to double
+    * losslessly; the Dec15 domain far exceeds unit-scale embedding
+    * magnitudes, and an out-of-domain sum fails loud).
     */
   def groupCentroids(emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
     emb.select(col(groupCol).as("grp"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select(col("grp"), (col("pos") + 1).as("dim"),
         col("v").cast("double").as("v"))
+      .select(col("grp"), col("dim"),
+        graft.functions.Dec15.dec15_split(col("v")).as("_s"))
       .groupBy(col("grp"), col("dim"))
       .agg(
-        (sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
-          .cast("double") / count(lit(1)).cast("double")).as("centroid"),
+        (graft.functions.Dec15.dec15_sum_split(col("_s"))
+          / count(lit(1)).cast("double")).as("centroid"),
         count(lit(1)).as("n"))
 }

@@ -74,4 +74,43 @@ class Dec15Spec extends AnyFunSuite {
     val rows = Seq.tabulate(500)(i => (i % 3, 900.0 - i * 1e-7))
     assert(bothForms(rows.toDF("k", "x").repartition(5)) === 0L)
   }
+
+  test("non-finite inputs are skipped like the non-ANSI cast's NULL " +
+      "(r19 advisory: Decimal(NaN) would throw NumberFormatException)") {
+    val rows = Seq((0, Double.NaN), (0, 2.5), (0, Double.PositiveInfinity),
+      (1, Double.NegativeInfinity), (2, 1.25))
+    val out = rows.toDF("k", "x")
+      .select(col("k"), Dec15.dec15_split(col("x")).as("_s"))
+      .groupBy("k").agg(Dec15.dec15_sum_split(col("_s")).as("b"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(out(0) === Some(2.5)) // NaN and +Inf skipped
+    assert(out(1) === None)      // only a non-finite input: NULL group
+    assert(out(2) === Some(1.25))
+  }
+
+  test("an out-of-domain ACCUMULATED sum fails loud even under " +
+      "spark.sql.ansi.enabled=false (r19 verdict: the hi-limb adds are " +
+      "pinned to ANSI evalMode, so the overflow can never wrap into a " +
+      "silently wrong finite double)") {
+    // each input is inside the per-row split domain (hi = 9e18 fits a
+    // long) but two of them cross the signed-long hi range
+    val rows = Seq((0, 9.0e21), (0, 9.0e21))
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ex = intercept[Throwable] {
+        rows.toDF("k", "x")
+          .select(col("k"), Dec15.dec15_split(col("x")).as("_s"))
+          .groupBy("k").agg(Dec15.dec15_sum_split(col("_s")).as("b"))
+          .collect()
+      }
+      val causes = Iterator.iterate(ex)(_.getCause)
+        .takeWhile(_ != null).take(10).toSeq
+      assert(causes.exists(c => c.isInstanceOf[ArithmeticException] ||
+        Option(c.getMessage).exists(m =>
+          m.toLowerCase.contains("overflow"))),
+        s"expected a loud arithmetic overflow, got: $ex")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
 }
