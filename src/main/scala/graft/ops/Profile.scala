@@ -92,15 +92,39 @@ object QualityChecks {
     * tuples containing null, so counting ALL rows would flag every
     * null-keyed row as a duplicate.
     */
+  def uniquenessExpr(cols: Seq[String]): Column =
+    count(when(cols.map(c => col(c).isNotNull).reduce(_ && _), 1)) -
+      countDistinct(cols.head, cols.tail: _*)
+
   def uniqueness(name: String, df: DataFrame, cols: Seq[String]): CheckFn =
-    () => one(name, df.agg((count(when(
-      cols.map(c => col(c).isNotNull).reduce(_ && _), 1)) -
-      countDistinct(cols.head, cols.tail: _*)).as("violations")))
+    () => one(name, df.agg(uniquenessExpr(cols).as("violations")))
 
   /** null count (0 ⇔ complete). */
+  def completenessExpr(c: String): Column =
+    sum(when(col(c).isNull, 1L).otherwise(0L))
+
   def completeness(name: String, df: DataFrame, c: String): CheckFn =
-    () => one(name, df.agg(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as("violations")))
+    () => one(name, df.agg(completenessExpr(c).as("violations")))
+
+  /** Several scalar checks over the SAME table fused into ONE
+    * aggregation pass (r20; guide §2.4 — each separate check was its
+    * own scan + aggregate + AQE stage job): every check contributes
+    * its violations aggregate as a column, and the 1-row result
+    * unpivots to the identical (check_name, violations) rows the
+    * separate checks produce. Only for checks expressible as a scalar
+    * aggregate over one table (uniqueness/completeness/accepted/
+    * range) — referential stays a keyed anti-join.
+    */
+  def fused(df: DataFrame, named: Seq[(String, Column)]): CheckFn =
+    () => {
+      val wide = df.agg(
+        named.head._2.cast("long").as(named.head._1),
+        named.tail.map { case (n, e) => e.cast("long").as(n) }: _*)
+      wide.select(explode(array(named.map { case (n, _) =>
+        struct(lit(n).as("check_name"), col(n).as("violations"))
+      }: _*)).as("kv"))
+        .select(col("kv.check_name"), col("kv.violations"))
+    }
 
   /** child keys with no parent — a keyed LEFT ANTI join count (the
     * optimizer broadcasts when the parent side is small).
@@ -113,18 +137,22 @@ object QualityChecks {
       .agg(count(lit(1)).as("violations")))
 
   /** values outside the accepted set (nulls don't violate). */
+  def acceptedExpr(c: String, values: Seq[String]): Column =
+    sum(when(col(c).isNotNull && !col(c).isin(values: _*), 1L)
+      .otherwise(0L))
+
   def accepted(name: String, df: DataFrame, c: String,
                values: Seq[String]): CheckFn =
-    () => one(name, df.agg(sum(when(
-      col(c).isNotNull && !col(c).isin(values: _*), 1L)
-      .otherwise(0L)).as("violations")))
+    () => one(name, df.agg(acceptedExpr(c, values).as("violations")))
 
   /** values outside [lo, hi] (nulls don't violate). */
+  def rangeExpr(c: String, lo: Double, hi: Double): Column =
+    sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+      .otherwise(0L))
+
   def range(name: String, df: DataFrame, c: String,
             lo: Double, hi: Double): CheckFn =
-    () => one(name, df.agg(sum(when(
-      col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
-      .otherwise(0L)).as("violations")))
+    () => one(name, df.agg(rangeExpr(c, lo, hi).as("violations")))
 
   /** Evaluate every check and union the 1-row results. */
   def run(checks: Seq[CheckFn]): DataFrame =

@@ -396,12 +396,30 @@ object RelationalQueries {
 
     // one-pass column profiler (Deequ-style analyze): every metric
     // for every column out of ONE aggregation, melted per-row
-    // (ops.Profile scale note)
-    "q_profile" -> ((s, dir) =>
-      graft.ops.Profile.summarize(Tables.load(s, dir, "orders"),
+    // (ops.Profile scale note). The 5-way exact-distinct Expand makes
+    // this scan ~20× cpu-denser than a plain scan (r20 measured:
+    // 2.2 execCpuS on the 3-4 open-cost-packed splits of the small
+    // orders file — 0.6 s SERIAL per split), so the profile runs on a
+    // session clone whose small-file split packing floor
+    // (spark.sql.files.openCostInBytes, 4 MB default) drops to 256 KB
+    // — cpu-granularity splits for a cpu-dense scan. Scale-inert by
+    // construction: the open-cost floor only binds while the table is
+    // smaller than cores × 4 MB; past that, bytesPerCore governs and
+    // the clone plans the identical scan.
+    "q_profile" -> ((s, dir) => {
+      val prof = org.apache.spark.sql.graft.bridge.sessionClone(s)
+      prof.conf.set("spark.sql.files.openCostInBytes", "262144")
+      // the distinct-grid merge is equally cpu-dense (~170 ms/MB vs a
+      // scan's ~3), so the clone's advisory drops to 512 KB too; at
+      // corpus scale the exchange exceeds sessionParts × advisory at
+      // ANY advisory and coalescing is inert either way
+      prof.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "524288")
+      graft.ops.Profile.summarize(Tables.load(prof, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_totalprice",
             "o_orderstatus", "o_orderpriority"))
-        .orderBy("col_name", "metric")),
+        .orderBy("col_name", "metric")
+    }),
 
     // declarative data-quality gate: uniqueness / completeness /
     // referential integrity / accepted values / range, one bounded
@@ -412,18 +430,23 @@ object RelationalQueries {
       val lineitem = Tables.load(s, dir, "lineitem")
       val customer = Tables.load(s, dir, "customer")
       val events = Tables.load(s, dir, "events")
+      // same-table scalar checks share ONE aggregation pass each
+      // (QualityChecks.fused, r20): orders and lineitem were scanned
+      // once per check before
       run(Seq(
-        uniqueness("unique_orderkey", orders, Seq("o_orderkey")),
-        uniqueness("unique_lineitem_pk", lineitem,
-          Seq("l_orderkey", "l_linenumber")),
+        fused(orders, Seq(
+          "unique_orderkey" -> uniquenessExpr(Seq("o_orderkey")),
+          "accepted_orderstatus" ->
+            acceptedExpr("o_orderstatus", Seq("O", "F", "P")))),
+        fused(lineitem, Seq(
+          "unique_lineitem_pk" ->
+            uniquenessExpr(Seq("l_orderkey", "l_linenumber")),
+          "range_discount" -> rangeExpr("l_discount", 0.0, 0.1))),
         completeness("complete_user_id", events, "user_id"),
         referential("ref_orders_customer", orders, "o_custkey",
           customer, "c_custkey"),
         referential("ref_lineitem_orders", lineitem, "l_orderkey",
-          orders, "o_orderkey"),
-        accepted("accepted_orderstatus", orders, "o_orderstatus",
-          Seq("O", "F", "P")),
-        range("range_discount", lineitem, "l_discount", 0.0, 0.1)))
+          orders, "o_orderkey")))
         .orderBy("check_name")
     }),
 
