@@ -213,6 +213,60 @@ object Sketches {
       .orderBy(col("_h"), key).limit(k)
       .drop("_h")
 
+  /** EXACT percentiles of `vCol` — bit-identical to Spark's
+    * `percentile(v, array(...))` — WITHOUT the single merge task that
+    * holds every distinct value (r20, verdict item 5: the classic
+    * exact-percentile aggregate builds a value→count map per
+    * partition and merges ALL of them in one final task — O(distinct
+    * values) memory and cpu in one place; measured 1.36 s / 5.3 MB of
+    * serialized maps at sf0.1, and unboundedly worse at corpus
+    * scale).
+    *
+    * Shape: the multiset is range-sorted and globally numbered by
+    * [[graft.core.StableOrder.withRowNumber]] (range exchange +
+    * per-partition sort + O(width) offset literals — every partition
+    * numbers itself in parallel; the total count comes back with it),
+    * the ≤ 2·|percs| rows at the needed positions are filtered out of
+    * the pinned sorted table, and the linear interpolation replays
+    * Spark's own arithmetic exactly: position = p·(n−1) as a double,
+    * value = (ceil−pos)·v_floor + (pos−floor)·v_ceil, with the
+    * lower-value shortcut when floor == ceil (Percentile.getPercentile
+    * semantics, spec-pinned against the built-in in
+    * SketchQuantileSpec). Row-number ties among EQUAL values are
+    * harmless here — withRowNumber's uniqueness contract exists for
+    * deterministic (row → rn) assignment, and this reader only uses
+    * the (rn → value) direction, which is the sorted multiset's
+    * position function regardless of tie order.
+    *
+    * NULL inputs are dropped first (the built-in skips them); an
+    * empty/all-null input yields the built-in's NULL row. Returns ONE
+    * row: (n, _p0, _p1, ...).
+    */
+  def exactPercentiles(df: DataFrame, vCol: String,
+                       percs: Seq[Double]): DataFrame = {
+    val (rnDf, n) = graft.core.StableOrder.withRowNumber(
+      df.filter(col(vCol).isNotNull).select(col(vCol).as("_v")),
+      Seq(col("_v")))
+    // Spark Percentile: position = percentage * (count - 1); linear
+    // interpolation between the floor/ceil positions
+    val wanted = percs.zipWithIndex.map { case (p, i) =>
+      val pos = p * (n - 1)
+      (i, math.floor(pos).toLong, math.ceil(pos).toLong, pos)
+    }
+    val idx = wanted.flatMap(w => Seq(w._2, w._3)).distinct.filter(_ >= 0)
+    val vals = rnDf
+      .filter(col(graft.core.StableOrder.RN).isin(idx: _*))
+      .select(col(graft.core.StableOrder.RN).as("_rn"), col("_v"))
+    val aggs = wanted.map { case (i, lo, hi, pos) =>
+      val vLo = min(when(col("_rn") === lo, col("_v")))
+      val vHi = min(when(col("_rn") === hi, col("_v")))
+      (if (lo == hi) vLo
+       else lit(hi - pos) * vLo + lit(pos - lo) * vHi).as(s"_p$i")
+    }
+    vals.agg(aggs.head, aggs.tail: _*)
+      .select(lit(n).as("n") +: percs.indices.map(i => col(s"_p$i")): _*)
+  }
+
   /** Cardinality estimate per scope from its sketch:
     * est = round((k−1)·2^60 / h_(k), 4), the classic KMV estimator —
     * one division of exact operands, one half-up round. Scopes with
